@@ -1,0 +1,313 @@
+"""Exact 64-bit integer emulation on 32-bit TPU lanes.
+
+TPU vector units have no int64 datapath (and JAX's x64 mode is not a TPU
+fast path), but QuBLAS semantics require *exact* wide intermediates: e.g. a
+default-format (8,8) multiply produces a 33-bit product before requantization
+(reference widens to ``ArbiInt<N+M>``, QuBLAS.h:1186-1363).  This module
+represents such intermediates as ``(hi: int32, lo: uint32)`` pairs and
+implements the handful of exact operations the requantization pipeline needs:
+widen, add, negate, 32×32→64 multiply, static shifts, masks, compares.
+
+Everything here is pure jnp on 32-bit lanes, so it runs identically inside
+Pallas kernels (VPU) and in plain XLA-fused elementwise code, on TPU and on
+the CPU test backend.  All shift amounts / masks are static Python ints —
+no dynamic shapes, nothing blocks XLA fusion.
+
+Width contract: callers must prove (via :mod:`qublas_tpu.ops.widths`) that
+the value fits 64 bits; results of requantization must fit int32.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..qformat import OverflowMode, QFormat, RoundMode
+
+__all__ = [
+    "widen", "pair_const", "pair_add", "pair_neg", "mul32_wide",
+    "pair_shl", "pair_shr", "pair_low_bits", "pair_lt", "pair_eq",
+    "pair_is_neg", "pair_is_pos", "pair_to_int32",
+    "requantize_pair", "requantize_i32",
+]
+
+_U32 = jnp.uint32
+_I32 = jnp.int32
+
+
+def _bitcast_i32(x):
+    return jax.lax.bitcast_convert_type(x, _I32)
+
+
+def _bitcast_u32(x):
+    return jax.lax.bitcast_convert_type(x, _U32)
+
+
+def widen(x):
+    """int32 array -> sign-extended (hi, lo) pair."""
+    return x >> 31, _bitcast_u32(x)
+
+
+def pair_const(c: int, shape=(), dtype_like=None):
+    """Python int (|c| < 2^63) -> broadcastable constant pair."""
+    c &= (1 << 64) - 1
+    hi = jnp.full(shape, _to_i32(c >> 32), dtype=_I32)
+    lo = jnp.full(shape, c & 0xFFFFFFFF, dtype=_U32)
+    return hi, lo
+
+
+def _to_i32(v: int) -> int:
+    v &= 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def pair_add(a, b):
+    hi1, lo1 = a
+    hi2, lo2 = b
+    lo = lo1 + lo2  # uint32 wraparound
+    carry = _bitcast_i32((lo < lo1).astype(_U32))
+    return hi1 + hi2 + carry, lo
+
+
+def pair_neg(a):
+    hi, lo = a
+    nlo = (~lo) + _U32(1)
+    borrow = _bitcast_i32((nlo == 0).astype(_U32))
+    return (~hi) + borrow, nlo
+
+
+def pair_sub(a, b):
+    return pair_add(a, pair_neg(b))
+
+
+def mul32_wide(a, b):
+    """Exact signed 32×32 → 64-bit product as a (hi, lo) pair.
+
+    Unsigned schoolbook on 16-bit halves (Hacker's Delight style) plus the
+    signed correction ``hi -= (a<0)*b + (b<0)*a``.
+    """
+    ua, ub = _bitcast_u32(a), _bitcast_u32(b)
+    a0, a1 = ua & _U32(0xFFFF), ua >> 16
+    b0, b1 = ub & _U32(0xFFFF), ub >> 16
+    ll = a0 * b0
+    mid = a0 * b1 + (ll >> 16)
+    mid2 = a1 * b0 + (mid & _U32(0xFFFF))
+    lo = (mid2 << 16) | (ll & _U32(0xFFFF))
+    hi_u = a1 * b1 + (mid >> 16) + (mid2 >> 16)
+    hi_u = hi_u - jnp.where(a < 0, ub, _U32(0)) - jnp.where(b < 0, ua, _U32(0))
+    return _bitcast_i32(hi_u), lo
+
+
+def pair_shl(a, d: int):
+    """Exact static left shift (caller guarantees no overflow past 63 bits)."""
+    hi, lo = a
+    if d == 0:
+        return a
+    if d < 32:
+        hi2 = (hi << d) | _bitcast_i32(lo >> (32 - d))
+        lo2 = lo << d
+        return hi2, lo2
+    return (_bitcast_i32(lo) << (d - 32) if d > 32 else _bitcast_i32(lo)), jnp.zeros_like(lo)
+
+
+def pair_shr(a, d: int):
+    """Arithmetic (sign-propagating) static right shift."""
+    hi, lo = a
+    if d == 0:
+        return a
+    if d < 32:
+        lo2 = (lo >> d) | (_bitcast_u32(hi) << (32 - d))
+        return hi >> d, lo2
+    x = hi >> (d - 32) if d > 32 else hi
+    return hi >> 31, _bitcast_u32(x)
+
+
+def pair_low_bits(a, d: int):
+    """val & (2^d - 1) as a (non-negative) pair, 0 <= d < 64."""
+    hi, lo = a
+    if d == 0:
+        return jnp.zeros_like(hi), jnp.zeros_like(lo)
+    if d <= 32:
+        mask = _U32((1 << d) - 1) if d < 32 else _U32(0xFFFFFFFF)
+        return jnp.zeros_like(hi), lo & mask
+    return hi & _I32((1 << (d - 32)) - 1), lo
+
+
+def pair_lt(a, b):
+    """Signed a < b."""
+    hi1, lo1 = a
+    hi2, lo2 = b
+    return (hi1 < hi2) | ((hi1 == hi2) & (lo1 < lo2))
+
+
+def pair_eq(a, b):
+    return (a[0] == b[0]) & (a[1] == b[1])
+
+
+def pair_is_neg(a):
+    return a[0] < 0
+
+
+def pair_is_pos(a):
+    hi, lo = a
+    return (hi > 0) | ((hi == 0) & (lo != 0))
+
+
+def pair_to_int32(a):
+    """Truncate to int32 (caller guarantees the value fits)."""
+    return _bitcast_i32(a[1])
+
+
+# ---------------------------------------------------------------------------
+# Requantization epilogues
+# ---------------------------------------------------------------------------
+
+def _carry_mode(mode, xl_gt, xl_ge, xl_eq, is_neg, is_pos, xh_odd):
+    """Rounding carry predicate shared by the i32 and pair paths.
+
+    Mirrors reference fracConvert (QuBLAS.h:2002-2159): each RND mode adds a
+    mode-specific carry computed from (Xl vs T) and value sign / Xh parity.
+    """
+    if mode == RoundMode.RND_POS_INF:
+        return xl_ge
+    if mode == RoundMode.RND_NEG_INF:
+        return xl_gt
+    if mode == RoundMode.RND_ZERO:
+        return xl_gt | (xl_eq & is_neg)
+    if mode == RoundMode.RND_INF:
+        return xl_gt | (xl_eq & is_pos)
+    if mode == RoundMode.RND_CONV:
+        return xl_gt | (xl_eq & xh_odd)
+    raise AssertionError(mode)
+
+
+def _overflow_i32(y, fmt: QFormat):
+    """int_convert on an int32 value (result width <= 32 by width proof)."""
+    w = fmt.storage_bits
+    mode = fmt.overflow_mode
+    hi = _I32((1 << (w - 1)) - 1) if w <= 32 else None
+    if mode in (OverflowMode.SAT_TCPL, OverflowMode.SAT_ZERO,
+                OverflowMode.SAT_SMGN):
+        if w > 32:
+            return y  # cannot overflow a 32-bit-wide intermediate
+        if not fmt.signed:
+            lo = _I32(0)
+        elif mode == OverflowMode.SAT_SMGN:
+            lo = _I32(-(1 << (w - 1)) + 1)
+        else:
+            lo = _I32(-(1 << (w - 1)))
+        if mode == OverflowMode.SAT_ZERO:
+            return jnp.where((y > hi) | (y < lo), _I32(0), y)
+        return jnp.clip(y, lo, hi)
+    if mode == OverflowMode.WRP_TCPL:
+        if fmt.signed:
+            if w >= 32:
+                return y
+            mask = _I32((1 << w) - 1)
+            m = y & mask
+            sign = (m >> (w - 1)) & _I32(1)
+            return jnp.where(sign == 1, m | ~mask, m)
+        wb = w - 1  # unsigned wrap masks to int_bits+frac_bits (QuBLAS.h:2329)
+        if wb >= 32:
+            return y
+        return y & _I32((1 << wb) - 1)
+    if mode == OverflowMode.WRP_TCPL_SAT:
+        return y  # reference stub (QuBLAS.h:2336-2344)
+    raise AssertionError(mode)
+
+
+def requantize_i32(x, from_frac: int, fmt: QFormat):
+    """Bit-exact requantize on int32 lanes (single-limb fast path).
+
+    Caller must have proven (see :mod:`.widths`) that ``x`` and every
+    intermediate (left shift, +1 carry) fit int32.
+    """
+    mode = fmt.round_mode
+    d = from_frac - fmt.frac_bits
+    if d <= 0:
+        y = x << (-d) if d else x
+    elif mode == RoundMode.TRN_TCPL:
+        y = x >> d
+    elif mode == RoundMode.TRN_SMGN:
+        y = jnp.where(x < 0, -((-x) >> d), x >> d)
+    else:
+        xh = x >> d
+        xl = x & _I32((1 << d) - 1) if d < 32 else x - (xh << d)
+        t = _I32(1 << (d - 1)) if d <= 31 else None
+        if t is None:
+            # d == 32+ cannot happen on the i32 path (width proof rejects it)
+            raise AssertionError("shift too wide for i32 path")
+        carry = _carry_mode(mode, xl > t, xl >= t, xl == t,
+                            x < 0, x > 0, (xh & 1) == 1)
+        y = xh + carry.astype(_I32)
+    return _overflow_i32(y, fmt)
+
+
+def requantize_pair(p, from_frac: int, fmt: QFormat):
+    """Bit-exact requantize of a 64-bit (hi, lo) pair down to int32.
+
+    The result must fit int32 (guaranteed when ``fmt.storage_bits <= 32``
+    and the overflow mode is saturating/wrapping; WRP_TCPL_SAT — the
+    reference identity stub — additionally requires the caller to prove the
+    unclamped value fits, else the host path is used).
+    """
+    mode = fmt.round_mode
+    d = from_frac - fmt.frac_bits
+    if d <= 0:
+        y = pair_shl(p, -d) if d else p
+    elif mode == RoundMode.TRN_TCPL:
+        y = pair_shr(p, d)
+    elif mode == RoundMode.TRN_SMGN:
+        neg = pair_is_neg(p)
+        pos_res = pair_shr(p, d)
+        neg_res = pair_neg(pair_shr(pair_neg(p), d))
+        y = (jnp.where(neg, neg_res[0], pos_res[0]),
+             jnp.where(neg, neg_res[1], pos_res[1]))
+    else:
+        xh = pair_shr(p, d)
+        xl = pair_low_bits(p, d)
+        t = pair_const(1 << (d - 1), shape=p[0].shape)
+        xl_gt = pair_lt(t, xl)
+        xl_eq = pair_eq(xl, t)
+        carry = _carry_mode(mode, xl_gt, xl_gt | xl_eq, xl_eq,
+                            pair_is_neg(p), pair_is_pos(p),
+                            (xh[1] & _U32(1)) == 1)
+        cpair = (jnp.zeros_like(p[0]), carry.astype(_U32))
+        y = pair_add(xh, cpair)
+
+    # overflow stage on the pair, then truncate to int32
+    w = fmt.storage_bits
+    omode = fmt.overflow_mode
+    if omode in (OverflowMode.SAT_TCPL, OverflowMode.SAT_ZERO,
+                 OverflowMode.SAT_SMGN):
+        hi_b = pair_const((1 << (w - 1)) - 1, shape=y[0].shape)
+        if not fmt.signed:
+            lo_v = 0
+        elif omode == OverflowMode.SAT_SMGN:
+            lo_v = -(1 << (w - 1)) + 1
+        else:
+            lo_v = -(1 << (w - 1))
+        lo_b = pair_const(lo_v, shape=y[0].shape)
+        over = pair_lt(hi_b, y)
+        under = pair_lt(y, lo_b)
+        if omode == OverflowMode.SAT_ZERO:
+            val = pair_to_int32(y)
+            return jnp.where(over | under, _I32(0), val)
+        val = pair_to_int32(y)
+        val = jnp.where(over, pair_to_int32(hi_b), val)
+        val = jnp.where(under, pair_to_int32(lo_b), val)
+        return val
+    if omode == OverflowMode.WRP_TCPL:
+        if fmt.signed:
+            if w >= 33:
+                return pair_to_int32(y)  # low 32 bits, sign-extended by cast
+            m32 = pair_to_int32(y)
+            return _overflow_i32(m32, fmt) if w < 32 else m32
+        wb = w - 1
+        m32 = pair_to_int32(y)
+        if wb >= 32:
+            return m32
+        return m32 & _I32((1 << wb) - 1)
+    if omode == OverflowMode.WRP_TCPL_SAT:
+        return pair_to_int32(y)  # caller proved it fits (stub = identity)
+    raise AssertionError(omode)

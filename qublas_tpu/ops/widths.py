@@ -1,0 +1,166 @@
+"""Static width inference: prove intermediates fit TPU integer lanes.
+
+The reference guarantees exactness by widening every intermediate to a big
+enough ``ArbiInt`` at compile time (its ``operator*`` returns ``ArbiInt<N+M>``
+etc., QuBLAS.h:914-1979).  On TPU we instead *prove*, per op configuration,
+which lane strategy preserves exactness:
+
+* ``i32``  — every intermediate fits a single int32 lane (fastest),
+* ``pair`` — fits 64 bits: use the (hi, lo) emulation in :mod:`.wideint`,
+* ``host`` — wider than 64 bits (reference tests go to 200-bit formats):
+  fall back to the exact Python-int golden model.
+
+The proof is exact interval arithmetic over Python ints.  Raw values are
+assumed to lie within their format's storage range — the same assumption the
+reference makes ("the overflow is algorithmically handled and will not happen
+in practice", QuBLAS.h:341); ``from_raw`` can violate it, which is the
+documented ``fill(int)`` wart.
+
+All of this happens at trace time (formats are static), so the choice is
+free at runtime.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..qformat import OverflowMode, QFormat, RoundMode
+
+I32_MIN, I32_MAX = -(1 << 31), (1 << 31) - 1
+# one spare value on the negative side so pair negation (for TRN_SMGN) can
+# never overflow the 64-bit emulation
+I64_MIN, I64_MAX = -(1 << 63) + 1, (1 << 63) - 1
+
+
+@dataclass(frozen=True)
+class Interval:
+    lo: int
+    hi: int
+
+    def __mul__(self, o: "Interval"):
+        c = (self.lo * o.lo, self.lo * o.hi, self.hi * o.lo, self.hi * o.hi)
+        return Interval(min(c), max(c))
+
+    def __add__(self, o: "Interval"):
+        return Interval(self.lo + o.lo, self.hi + o.hi)
+
+    def __sub__(self, o: "Interval"):
+        return Interval(self.lo - o.hi, self.hi - o.lo)
+
+    def __lshift__(self, s: int):
+        return Interval(self.lo << s, self.hi << s)
+
+    def fits(self, lo: int, hi: int) -> bool:
+        return self.lo >= lo and self.hi <= hi
+
+    @property
+    def fits32(self):
+        return self.fits(I32_MIN, I32_MAX)
+
+    @property
+    def fits64(self):
+        return self.fits(I64_MIN, I64_MAX)
+
+
+def fmt_interval(fmt: QFormat) -> Interval:
+    """Raw-value interval of a format's physical storage."""
+    return Interval(fmt.raw_min, fmt.raw_max)
+
+
+def rounded_interval(iv: Interval, from_frac: int, fmt: QFormat):
+    """Interval after frac_convert (conservative but tight) plus the list of
+    intermediate intervals that must also fit the lane."""
+    d = from_frac - fmt.frac_bits
+    if d <= 0:
+        out = iv << (-d)
+        return out, [out]
+    # right shift with worst-case +1 carry
+    out = Interval(iv.lo >> d, (iv.hi >> d) + 1)
+    return out, [iv, out]
+
+
+def requant_out_interval(iv: Interval, from_frac: int, fmt: QFormat):
+    """Interval after the full requantize (round + overflow)."""
+    rounded, intermediates = rounded_interval(iv, from_frac, fmt)
+    if fmt.overflow_mode == OverflowMode.WRP_TCPL_SAT:
+        out = rounded  # reference stub: identity, unbounded
+    else:
+        out = Interval(max(rounded.lo, fmt.raw_min), min(rounded.hi, fmt.raw_max))
+        if fmt.overflow_mode != OverflowMode.WRP_TCPL and not fmt.signed:
+            out = Interval(max(out.lo, 0), max(out.hi, 0))
+    return out, intermediates
+
+
+def _shift_ok(from_frac: int, fmt: QFormat, limit: int) -> bool:
+    d = from_frac - fmt.frac_bits
+    return d <= limit
+
+
+def route_requant(iv: Interval, from_frac: int, fmt: QFormat) -> str:
+    """Pick the lane strategy for a requantize of values in ``iv``."""
+    out, inters = requant_out_interval(iv, from_frac, fmt)
+    all_iv = inters + [out]
+    if all(v.fits32 for v in all_iv) and _shift_ok(from_frac, fmt, 31):
+        return "i32"
+    if all(v.fits64 for v in all_iv) and _shift_ok(from_frac, fmt, 63) and out.fits32:
+        return "pair"
+    return "host"
+
+
+def route_mul(fa: QFormat, fb: QFormat, out: QFormat):
+    """Route + product interval for a quantized multiply."""
+    prod = fmt_interval(fa) * fmt_interval(fb)
+    from_frac = fa.frac_bits + fb.frac_bits
+    r = route_requant(prod, from_frac, out)
+    if r == "i32" and not prod.fits32:
+        r = "pair"  # the product itself needs 64-bit even if the shift fits
+    if r == "pair" and not prod.fits64:
+        r = "host"
+    return r, prod, from_frac
+
+
+def route_addsub(fa: QFormat, fb: QFormat, out: QFormat, sub: bool):
+    f = max(fa.frac_bits, fb.frac_bits)
+    ia = fmt_interval(fa) << (f - fa.frac_bits)
+    ib = fmt_interval(fb) << (f - fb.frac_bits)
+    s = (ia - ib) if sub else (ia + ib)
+    r = route_requant(s, f, out)
+    for iv in (ia, ib, s):
+        if r == "i32" and not iv.fits32:
+            r = "pair"
+    for iv in (ia, ib, s):
+        if r == "pair" and not iv.fits64:
+            r = "host"
+    return r, s, f
+
+
+def route_div(fa: QFormat, fb: QFormat, out: QFormat):
+    """Division only has an i32 device path (no 64-bit divider on the VPU
+    emulation); wider goes to host."""
+    shift_a = max(fb.frac_bits - fa.frac_bits, 0)
+    shift_b = max(fa.frac_bits - fb.frac_bits, 0)
+    num = fmt_interval(fa) << (shift_a + max(out.frac_bits, 0))
+    den = fmt_interval(fb) << shift_b
+    # quotient magnitude is bounded by the numerator's
+    if out.frac_bits < 0:
+        return "host", num, 0
+    quot = Interval(-max(abs(num.lo), abs(num.hi)), max(abs(num.lo), abs(num.hi)))
+    ok32 = num.fits32 and den.fits32 and quot.fits32
+    out_iv, _ = requant_out_interval(quot, out.frac_bits, out)
+    if ok32 and out_iv.fits32:
+        return "i32", num, 0
+    return "host", num, 0
+
+
+def dtype_for(fmt: QFormat):
+    """Smallest device dtype holding the format's storage; None -> host."""
+    import jax.numpy as jnp
+
+    s = fmt.storage_bits
+    if s <= 8:
+        return jnp.int8
+    if s <= 16:
+        return jnp.int16
+    if s <= 32:
+        return jnp.int32
+    return None

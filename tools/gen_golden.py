@@ -1,0 +1,410 @@
+#!/usr/bin/env python3
+"""Generate bit-exact golden vectors by compiling and running the reference
+C++ simulator (expected at /root/reference; override with QUBLAS_REF).
+
+The emitted goldens are checked into ``tests/golden_data/`` so the test suite
+never needs the reference or a C++ toolchain.  No reference code is copied —
+this tool *links against* the reference header the way any user program
+would, purely as a test oracle.
+
+Usage:  python tools/gen_golden.py [outdir]
+"""
+
+import json
+import pathlib
+import random
+import subprocess
+import sys
+import tempfile
+
+REF = pathlib.Path(__import__("os").environ.get("QUBLAS_REF", "/root/reference"))
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+OUT = pathlib.Path(sys.argv[1]) if len(sys.argv) > 1 else ROOT / "tests" / "golden_data"
+
+RMODES = {
+    "RND::POS_INF": 0, "RND::NEG_INF": 1, "RND::ZERO": 2,
+    "RND::INF": 3, "RND::CONV": 4, "TRN::TCPL": 5, "TRN::SMGN": 6,
+}
+OMODES = {
+    "SAT::TCPL": 0, "SAT::ZERO": 1, "SAT::SMGN": 2, "WRP::TCPL": 3,
+}
+
+rng = random.Random(20260816)
+
+
+def qu(i, f, s=True, rm="TRN::TCPL", om="SAT::TCPL"):
+    return (f"Qu<intBits<{i}>, fracBits<{f}>, isSigned<{str(s).lower()}>, "
+            f"QuMode<{rm}>, OfMode<{om}>>")
+
+
+def fmt_json(i, f, s, rm, om):
+    return [i, f, 1 if s else 0, RMODES[rm], OMODES[om]]
+
+
+def raw_range(i, f):
+    w = 1 + i + f
+    return -(1 << (w - 1)), (1 << (w - 1)) - 1
+
+
+def sample_raws(i, f, n=64, exhaustive_limit=10):
+    lo, hi = raw_range(i, f)
+    w = 1 + i + f
+    if w <= exhaustive_limit:
+        return list(range(lo, hi + 1))
+    vals = {lo, lo + 1, -1, 0, 1, hi - 1, hi, lo // 2, hi // 2}
+    while len(vals) < n:
+        vals.add(rng.randint(lo, hi))
+    return sorted(vals)
+
+
+chunks = []   # C++ statements
+records = {}  # file -> list of record dicts (filled at runtime by parsing)
+uid = 0
+
+
+def emit(code):
+    chunks.append(code)
+
+
+def arr(vals):
+    return "{" + ",".join(str(v) + "LL" for v in vals) + "}"
+
+
+# ---------------------------------------------------------------- requant
+requant_configs = []
+# exhaustive over source storage for every mode combo
+for rm in RMODES:
+    for om in OMODES:
+        requant_configs.append(((4, 4, True), (2, 1, True, rm, om)))
+        requant_configs.append(((4, 4, True), (1, 2, False, rm, om)))
+# widening, negative frac/int bits, asymmetric
+for rm in RMODES:
+    requant_configs.append(((3, 2, True), (6, 7, True, rm, "SAT::TCPL")))
+    requant_configs.append(((6, -3, True), (2, 1, True, rm, "SAT::ZERO")))
+    requant_configs.append(((-2, 6, True), (-1, 3, True, rm, "SAT::TCPL")))
+    requant_configs.append(((8, 8, True), (4, 2, True, rm, "WRP::TCPL")))
+    requant_configs.append(((10, 10, True), (3, 3, False, rm, "SAT::ZERO")))
+    requant_configs.append(((12, 0, True), (4, 4, True, rm, "SAT::SMGN")))
+
+for (fi, ff, fs), to in requant_configs:
+    ti, tf, ts, rm, om = to
+    uid += 1
+    vals = sample_raws(fi, ff)
+    emit(f"""
+{{
+    using From = {qu(fi, ff, fs)};
+    using To = {qu(ti, tf, ts, rm, om)};
+    static const long long vals[] = {arr(vals)};
+    out << "{{\\"kind\\":\\"requant\\",\\"from\\":{json.dumps(fmt_json(fi, ff, fs, 'TRN::TCPL', 'SAT::TCPL'))},"
+        << "\\"to\\":{json.dumps(fmt_json(ti, tf, ts, rm, om))},\\"in\\":[";
+    for (size_t k = 0; k < {len(vals)}; ++k) out << vals[k] << (k + 1 < {len(vals)} ? "," : "");
+    out << "],\\"out\\":[";
+    for (size_t k = 0; k < {len(vals)}; ++k) {{
+        From a; a.fill((int)vals[k]);
+        To b = a;
+        out << b.data.toString() << (k + 1 < {len(vals)} ? "," : "");
+    }}
+    out << "]}}\\n";
+}}""")
+
+# ---------------------------------------------------------------- binary ops
+op_configs = []
+for op in ("mul", "add", "sub", "div"):
+    # same fmt, default merger
+    op_configs.append((op, (4, 4, True), (4, 4, True), None))
+    op_configs.append((op, (3, 2, True), (5, 6, True), None))
+    op_configs.append((op, (4, 4, False), (4, 4, True), None))
+    # explicit narrow output with each mode family
+    for rm in ("TRN::TCPL", "RND::CONV", "RND::INF", "TRN::SMGN"):
+        for om in ("SAT::TCPL", "SAT::ZERO", "WRP::TCPL"):
+            op_configs.append((op, (4, 4, True), (4, 4, True),
+                               (3, 2, True, rm, om)))
+    op_configs.append((op, (6, -2, True), (3, 3, True),
+                       (4, 1, True, "RND::POS_INF", "SAT::TCPL")))
+
+OPNAME = {"mul": "Qmul", "add": "Qadd", "sub": "Qsub", "div": "Qdiv"}
+for op, (i1, f1, s1), (i2, f2, s2), to in op_configs:
+    uid += 1
+    n = 48
+    a_vals = sample_raws(i1, f1, n, exhaustive_limit=0)[:n]
+    b_vals = sample_raws(i2, f2, n, exhaustive_limit=0)[:n]
+    rng.shuffle(b_vals)
+    tostr = "" if to is None else "<" + qu(*to) + ">"
+    tojson = "null" if to is None else json.dumps(fmt_json(*to))
+    emit(f"""
+{{
+    using A = {qu(i1, f1, s1)};
+    using B = {qu(i2, f2, s2)};
+    static const long long av[] = {arr(a_vals)};
+    static const long long bv[] = {arr(b_vals)};
+    out << "{{\\"kind\\":\\"{op}\\",\\"a\\":{json.dumps(fmt_json(i1, f1, s1, 'TRN::TCPL', 'SAT::TCPL'))},"
+        << "\\"b\\":{json.dumps(fmt_json(i2, f2, s2, 'TRN::TCPL', 'SAT::TCPL'))},\\"to\\":{tojson},\\"ina\\":[";
+    for (size_t k = 0; k < {len(a_vals)}; ++k) out << av[k] << (k + 1 < {len(a_vals)} ? "," : "");
+    out << "],\\"inb\\":[";
+    for (size_t k = 0; k < {len(b_vals)}; ++k) out << bv[k] << (k + 1 < {len(b_vals)} ? "," : "");
+    out << "],\\"out\\":[";
+    bool first = true;
+    for (size_t k = 0; k < {len(a_vals)}; ++k) {{
+        A a; a.fill((int)av[k]);
+        B b; b.fill((int)bv[k]);
+        auto c = {OPNAME[op]}{tostr}(a, b);
+        if (!first) out << ","; first = false;
+        out << c.data.toString();
+    }}
+    using ResT = decltype({OPNAME[op]}{tostr}(A(), B()));
+    out << "],\\"res_fmt\\":[" << ResT::intB << "," << ResT::fracB << ","
+        << (ResT::isS ? 1 : 0) << "," << ResT::QuM << "," << ResT::OfM << "]}}\\n";
+}}""")
+
+# ---------------------------------------------------------------- reduce
+reduce_configs = []
+for n in (2, 3, 4, 5, 6, 7, 8, 9):
+    reduce_configs.append((n, (4, 4, True), []))                   # no types
+    reduce_configs.append((n, (4, 4, True), [(4, 2, True, "TRN::TCPL", "SAT::TCPL")]))
+    reduce_configs.append((n, (4, 4, True),
+                           [(5, 3, True, "RND::CONV", "SAT::ZERO"),
+                            (4, 1, True, "TRN::TCPL", "SAT::TCPL")]))
+    reduce_configs.append((n, (3, 0, True), [(3, 0, True, "TRN::TCPL", "SAT::TCPL")]))
+
+for n, (i, f, s), layers in reduce_configs:
+    uid += 1
+    vals = [rng.randint(*raw_range(i, f)) for _ in range(n)]
+    tl = ("" if not layers
+          else "TypeList<" + ", ".join(qu(*l) for l in layers) + ">")
+    tlj = json.dumps([fmt_json(*l) for l in layers])
+    for variant in ("vec", "args"):
+        if variant == "vec":
+            fill = "".join(f"t[{k}].fill((int){v}); " for k, v in enumerate(vals))
+            call = f"Qreduce<{tl}>(t)" if layers else "Qreduce(t)"
+            setup = f"Qu<dim<{n}>, E> t; {fill}"
+        else:
+            decls = "".join(
+                f"E e{k}; e{k}.fill((int){v}); " for k, v in enumerate(vals))
+            argl = ", ".join(f"e{k}" for k in range(n))
+            call = f"Qreduce<{tl}>({argl})" if layers else f"Qreduce({argl})"
+            setup = decls
+        emit(f"""
+{{
+    using E = {qu(i, f, s)};
+    {setup}
+    auto r = {call};
+    using ResT = decltype(r);
+    out << "{{\\"kind\\":\\"reduce\\",\\"variant\\":\\"{variant}\\",\\"elem\\":{json.dumps(fmt_json(i, f, s, 'TRN::TCPL', 'SAT::TCPL'))},"
+        << "\\"layers\\":{tlj},\\"in\\":{json.dumps(vals)},\\"out\\":" << r.data.toString()
+        << ",\\"res_fmt\\":[" << ResT::intB << "," << ResT::fracB << ","
+        << (ResT::isS ? 1 : 0) << "," << ResT::QuM << "," << ResT::OfM << "]}}\\n";
+}}""")
+
+# ---------------------------------------------------------------- complex mul
+cplx_configs = [
+    # (algorithm, re fmt, im fmt, tag fmt or None)
+    ("default", (4, 4, True), (4, 4, True), None),
+    ("basic", (4, 4, True), (3, 5, True), (4, 3, True, "RND::CONV", "SAT::ZERO")),
+    ("tf", (4, 4, True), (4, 4, True), None),
+    ("tf", (4, 4, True), (3, 5, True), (5, 3, True, "TRN::TCPL", "SAT::TCPL")),
+    ("tf_ba_quirk", (4, 4, True), (4, 4, True), (2, 2, True, "TRN::TCPL", "SAT::TCPL")),
+]
+for algo, re_f, im_f, tagf in cplx_configs:
+    uid += 1
+    a_re = [rng.randint(*raw_range(re_f[0], re_f[1])) for _ in range(16)]
+    a_im = [rng.randint(*raw_range(im_f[0], im_f[1])) for _ in range(16)]
+    b_re = [rng.randint(*raw_range(re_f[0], re_f[1])) for _ in range(16)]
+    b_im = [rng.randint(*raw_range(im_f[0], im_f[1])) for _ in range(16)]
+    if algo == "default":
+        callexpr, tagsj = "Qmul(c1, c2)", "null"
+    elif algo == "basic":
+        t = qu(*tagf)
+        callexpr = (f"Qmul<BasicComplexMul<acT<{t}>, bdT<{t}>, adT<{t}>, "
+                    f"bcT<{t}>, acbdT<{t}>, adbcT<{t}>>>(c1, c2)")
+        tagsj = json.dumps(fmt_json(*tagf))
+    elif algo == "tf" and tagf is None:
+        callexpr, tagsj = "Qmul<TFComplexMul<>>(c1, c2)", "null"
+    elif algo == "tf":
+        t = qu(*tagf)
+        callexpr = (f"Qmul<TFComplexMul<abT<{t}>, cdT<{t}>, abcT<{t}>, "
+                    f"cdbT<{t}>, badT<{t}>, ABT<{t}>, BCT<{t}>>>(c1, c2)")
+        tagsj = json.dumps(fmt_json(*tagf))
+    else:  # tf_ba_quirk: baT is passed but ignored by the reference
+        t = qu(*tagf)
+        callexpr = f"Qmul<TFComplexMul<baT<{t}>>>(c1, c2)"
+        tagsj = json.dumps(fmt_json(*tagf))
+    emit(f"""
+{{
+    using Re = {qu(*re_f)};
+    using Im = {qu(*im_f)};
+    using C = Qcomplex<Re, Im>;
+    static const long long are[] = {arr(a_re)}; static const long long aim[] = {arr(a_im)};
+    static const long long bre[] = {arr(b_re)}; static const long long bim[] = {arr(b_im)};
+    out << "{{\\"kind\\":\\"cmul\\",\\"algo\\":\\"{algo}\\",\\"re\\":{json.dumps(fmt_json(*re_f, 'TRN::TCPL', 'SAT::TCPL'))},"
+        << "\\"im\\":{json.dumps(fmt_json(*im_f, 'TRN::TCPL', 'SAT::TCPL'))},\\"tag\\":{tagsj},"
+        << "\\"are\\":{json.dumps(a_re)},\\"aim\\":{json.dumps(a_im)},\\"bre\\":{json.dumps(b_re)},\\"bim\\":{json.dumps(b_im)},"
+        << "\\"out_re\\":[";
+    std::string res_fmt;
+    for (int k = 0; k < 16; ++k) {{
+        C c1; c1.real.fill((int)are[k]); c1.imag.fill((int)aim[k]);
+        C c2; c2.real.fill((int)bre[k]); c2.imag.fill((int)bim[k]);
+        auto r = {callexpr};
+        out << r.real.data.toString() << (k < 15 ? "," : "");
+        if (k == 0) {{
+            using RR = decltype(r.real); using RI = decltype(r.imag);
+            res_fmt = "[[" + std::to_string(RR::intB) + "," + std::to_string(RR::fracB) + ","
+                + std::to_string(RR::isS ? 1 : 0) + "," + std::to_string(RR::QuM) + "," + std::to_string(RR::OfM) + "],["
+                + std::to_string(RI::intB) + "," + std::to_string(RI::fracB) + ","
+                + std::to_string(RI::isS ? 1 : 0) + "," + std::to_string(RI::QuM) + "," + std::to_string(RI::OfM) + "]]";
+        }}
+    }}
+    out << "],\\"out_im\\":[";
+    for (int k = 0; k < 16; ++k) {{
+        C c1; c1.real.fill((int)are[k]); c1.imag.fill((int)aim[k]);
+        C c2; c2.real.fill((int)bre[k]); c2.imag.fill((int)bim[k]);
+        auto r = {callexpr};
+        out << r.imag.data.toString() << (k < 15 ? "," : "");
+    }}
+    out << "],\\"res_fmt\\":" << res_fmt << "}}\\n";
+}}""")
+
+# ---------------------------------------------------------------- double->fixed
+dbl_configs = [
+    (8, 8, True, "TRN::TCPL", "SAT::TCPL"),
+    (8, 8, True, "RND::CONV", "SAT::ZERO"),
+    (70, 70, True, "TRN::TCPL", "SAT::TCPL"),
+    (70, 70, True, "RND::INF", "SAT::TCPL"),
+    (6, -3, True, "TRN::TCPL", "SAT::TCPL"),
+    (-2, 6, True, "RND::POS_INF", "SAT::TCPL"),
+    (3, 5, False, "RND::ZERO", "SAT::ZERO"),
+    (1, 1, True, "RND::NEG_INF", "SAT::TCPL"),
+    (30, 30, True, "TRN::SMGN", "SAT::TCPL"),
+]
+doubles = [0.0, 1.0, -1.0, 1.25, -1.25, 0.1, -0.1, 3.14159265358979,
+           -2.718281828, 1e-8, -1e-8, 123456.789, -123456.789, 1.5, -1.5,
+           0.015625, -0.015625, 255.9999, -256.0, 1e20, -1e20, 16.0,
+           0.09375, 1.59375, 1.625, 1.375, 1.65625]
+for cfg in dbl_configs:
+    uid += 1
+    emit(f"""
+{{
+    using T = {qu(*cfg)};
+    static const double dv[] = {{{",".join(repr(d) for d in doubles)}}};
+    out << "{{\\"kind\\":\\"dbl\\",\\"fmt\\":{json.dumps(fmt_json(*cfg))},\\"in\\":{json.dumps([repr(d) for d in doubles])},\\"out\\":[";
+    for (size_t k = 0; k < {len(doubles)}; ++k) {{
+        T a = dv[k];
+        out << "\\"" << a.data.toString() << "\\"" << (k + 1 < {len(doubles)} ? "," : "");
+    }}
+    out << "]}}\\n";
+}}""")
+
+# ---------------------------------------------------------------- bitstream
+emit("""
+{
+    // main.cpp demo: 2x3 Qu<5,0> tensor -> BitStream<r2l<1>, l2r> -> parse as
+    // complex 3-vector (reference main.cpp:8-18)
+    using fixed_type = Qu<intBits<5>, fracBits<0>>;
+    using vec_type = Qu<dim<2, 3>, fixed_type>;
+    using complex_vec_type = Qu<dim<3>, Qcomplex<fixed_type, fixed_type>>;
+    vec_type v = {1, 2, 3, 4, 5, 6};
+    std::string v_res = BitStream<r2l<1>, l2r>(v);
+    auto z = BitStream<complex_vec_type, l2r, l2r>(v_res);
+    out << "{\\"kind\\":\\"bitstream_demo\\",\\"str\\":\\"" << v_res << "\\",\\"parsed\\":[";
+    for (int k = 0; k < 3; ++k) {
+        out << "[" << z[k].real.data.toString() << "," << z[k].imag.data.toString() << "]" << (k < 2 ? "," : "");
+    }
+    out << "]}\\n";
+}
+{
+    // readme.md:111-123 style: width-10 elements, r2l<3> tensor, r2l<2> elem
+    using t1 = Qu<intBits<6>, fracBits<3>, isSigned<true>, OfMode<SAT::ZERO>>;
+    using vec_t = Qu<dim<6>, t1>;
+    vec_t v;
+    static const int raws[] = {17, -250, 511, -512, 0, 303};
+    for (int k = 0; k < 6; ++k) v[k].fill(raws[k]);
+    std::string s = BitStream<r2l<3>, r2l<2>>(v);
+    auto back = BitStream<vec_t, r2l<3>, r2l<2>>(s);
+    out << "{\\"kind\\":\\"bitstream_r2l\\",\\"raws\\":[17,-250,511,-512,0,303],\\"str\\":\\"" << s << "\\",\\"back\\":[";
+    for (int k = 0; k < 6; ++k) out << back[k].data.toString() << (k < 5 ? "," : "");
+    out << "]}\\n";
+}
+{
+    // scalar bitstream, l2r and r2l<1>
+    using t1 = Qu<intBits<4>, fracBits<3>, isSigned<true>>;
+    t1 a; a.fill(-37);
+    out << "{\\"kind\\":\\"bitstream_scalar\\",\\"raw\\":-37,\\"l2r\\":\\"" << BitStream<l2r>(a)
+        << "\\",\\"r2l1\\":\\"" << BitStream<r2l<1>>(a) << "\\"}\\n";
+}
+{
+    // complex tensor serialization includes the "(re, im)" decoration
+    using t1 = Qu<intBits<3>, fracBits<2>, isSigned<true>>;
+    using cv = Qu<dim<2>, Qcomplex<t1, t1>>;
+    cv v;
+    v[0].real.fill(5); v[0].imag.fill(-3); v[1].real.fill(-32); v[1].imag.fill(31);
+    out << "{\\"kind\\":\\"bitstream_complex\\",\\"str\\":\\"" << BitStream<l2r, l2r>(v) << "\\"}\\n";
+}
+""")
+
+# ---------------------------------------------------------------- ANUS Qpoly / Qapprox
+emit("""
+{
+    using t = Qu<intBits<4>, fracBits<8>, isSigned<true>>;
+    // Qpoly<a0, a1, a2>(x) = a0 + x*(a1 + x*a2), each level quantized to the
+    // level's leading coefficient type (QuBLAS.h:4836-4851)
+    static constexpr t a0 = 0.5, a1 = -1.25, a2 = 0.75;
+    out << "{\\"kind\\":\\"qpoly\\",\\"fmt\\":[4,8,1,5,0],\\"coeffs\\":[";
+    out << a0.data.toString() << "," << a1.data.toString() << "," << a2.data.toString() << "],\\"in\\":[";
+    static const long long xs[] = {-1024,-513,-256,-100,-1,0,1,100,256,513,1023};
+    for (int k = 0; k < 11; ++k) out << xs[k] << (k < 10 ? "," : "");
+    out << "],\\"out\\":[";
+    for (int k = 0; k < 11; ++k) {
+        t x; x.fill((int)xs[k]);
+        auto r = ANUS::Qpoly<a0, a1, a2>(x);
+        out << r.data.toString() << (k < 10 ? "," : "");
+    }
+    out << "]}\\n";
+}
+{
+    using t = Qu<intBits<4>, fracBits<8>, isSigned<true>>;
+    static constexpr t c0 = 1.0, c1 = 0.5, d0 = -1.0, d1 = 2.0;
+    out << "{\\"kind\\":\\"qapprox\\",\\"fmt\\":[4,8,1,5,0],\\"in\\":[";
+    static const long long xs[] = {-1024,-512,-256,-128,0,127,255,256,511,1023};
+    for (int k = 0; k < 10; ++k) out << xs[k] << (k < 9 ? "," : "");
+    out << "],\\"out\\":[";
+    for (int k = 0; k < 10; ++k) {
+        t x; x.fill((int)xs[k]);
+        auto r = ANUS::Qapprox<ANUS::Segment<0.0, c0, c1>, ANUS::Segment<1.0, d0, d1>>(x);
+        out << r.data.toString() << (k < 9 ? "," : "");
+    }
+    out << "]}\\n";
+}
+""")
+
+# ---------------------------------------------------------------- build & run
+cpp = (
+    "#include \"QuBLAS.h\"\n#include <iostream>\n#include <fstream>\n"
+    "#include <string>\nusing namespace QuBLAS;\n"
+    "int main(int argc, char** argv) {\n"
+    "    std::ofstream out(argv[1]);\n"
+    + "\n".join(chunks)
+    + "\n    return 0;\n}\n"
+)
+
+with tempfile.TemporaryDirectory() as td:
+    src = pathlib.Path(td) / "golden.cpp"
+    src.write_text(cpp)
+    exe = pathlib.Path(td) / "golden"
+    print(f"compiling {len(cpp)} bytes of generated C++ ...")
+    subprocess.run(
+        ["g++", "-std=c++23", f"-I{REF}/include", "-O1",
+         "-fsanitize=address,undefined", str(src), "-o", str(exe)],
+        check=True,
+    )
+    raw_out = pathlib.Path(td) / "golden.jsonl"
+    subprocess.run([str(exe), str(raw_out)], check=True)
+    lines = raw_out.read_text().strip().split("\n")
+
+OUT.mkdir(parents=True, exist_ok=True)
+by_kind = {}
+for line in lines:
+    rec = json.loads(line)
+    by_kind.setdefault(rec["kind"], []).append(rec)
+for kind, recs in by_kind.items():
+    path = OUT / f"{kind}.json"
+    path.write_text(json.dumps(recs))
+    print(f"wrote {path} ({len(recs)} records)")
