@@ -32,11 +32,40 @@ __all__ = [
 ]
 
 
+_LAZY = {
+    # tensors
+    "QTensor": "qtensor", "from_float": "qtensor", "from_raw": "qtensor",
+    "zeros": "qtensor", "random_fill": "qtensor", "scalar": "qtensor",
+    "from_double": "qtensor",
+    # elementwise ops
+    "qmul": "ops.elementwise", "qadd": "ops.elementwise",
+    "qsub": "ops.elementwise", "qdiv": "ops.elementwise",
+    "qabs": "ops.elementwise", "qneg": "ops.elementwise",
+    "qcmp": "ops.elementwise", "qeq": "ops.elementwise",
+    "qcast": "ops.elementwise",
+    # reductions / GEMM
+    "qreduce": "ops.reduce", "qgemul": "ops.gemm", "qgemv": "ops.gemm",
+    # complex
+    "QComplexTensor": "complex", "complex_from_parts": "complex",
+    "complex_from_float": "complex", "complex_from_raw": "complex",
+    "complex_zeros": "complex", "cmul": "complex", "cmul_tf": "complex",
+    "cadd": "complex", "csub": "complex", "cneg": "complex", "ceq": "complex",
+    # serialization
+    "to_bits": "bitstream", "from_bits": "bitstream", "l2r": "bitstream",
+    "r2l": "bitstream",
+    # nonlinear
+    "qpoly": "anus", "qapprox": "anus", "Segment": "anus",
+    "qtable": "anus", "QTable": "anus", "build_table": "anus",
+    "rsqrt_func": "anus", "reciprocal_func": "anus", "sqrt_func": "anus",
+}
+
+
 def __getattr__(name):
     # Lazy imports keep `import qublas_tpu` light (no jax import cost for
     # host-only users such as the golden-model oracle tooling).
-    if name in ("QTensor", "from_float", "from_raw", "zeros", "random_fill"):
-        from . import qtensor
+    mod = _LAZY.get(name)
+    if mod is not None:
+        import importlib
 
-        return getattr(qtensor, name)
+        return getattr(importlib.import_module(f".{mod}", __name__), name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

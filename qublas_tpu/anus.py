@@ -1,0 +1,215 @@
+"""ANUS — Advanced Nonlinear Universal Subprograms.
+
+TPU-native re-design of the reference's ``ANUS`` namespace ("the operations
+like lookup table, linear/polynomial fitting, etc. used to implement the
+non-linear operation in asic", reference ``include/QuBLAS.h:4829-4897``)
+plus the readme-documented LUTs (``readme.md:66-78`` — absent from the header
+at this snapshot; see SURVEY.md §0/§2.15).
+
+* :func:`qpoly` — Horner-form polynomial where **each level's add and
+  multiply quantize to that level's leading coefficient format**
+  (``Qadd<decltype(a0)>(a0, Qmul<decltype(a0)>(x, Qpoly<a1,...>(x)))``,
+  QuBLAS.h:4836-4851).
+* :func:`qapprox` — segmented polynomial fit: segment selected by comparing
+  the input's *double* value against breakpoints, result requantized into
+  the input's format (``decltype(x){...}`` converting ctor,
+  QuBLAS.h:4854-4884).  The double compare is resolved exactly on integer
+  raws via a host-side rational threshold, so the device path is a chain of
+  integer selects — no floats touch the TPU.
+* :func:`qtable` / :class:`QTable` — exact LUTs: every input bit pattern maps
+  through a Python-double function and requantizes into the output format —
+  precisely what an ASIC ROM does.  Tables are built host-side with the
+  exact conversion pipeline and applied on device as a VMEM-resident gather.
+  Predefined functions: :data:`rsqrt_func`, :data:`reciprocal_func`,
+  :data:`sqrt_func` (``readme.md:66-75``); non-finite outputs store 0,
+  matching ``loadFromDouble``'s non-finite handling (QuBLAS.h:451-455).
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+from . import hostint, hostops
+from .qformat import QFormat
+from .qtensor import QTensor, from_raw
+from .ops import elementwise as ew
+from .ops.widths import dtype_for
+
+__all__ = [
+    "qpoly", "qapprox", "Segment", "qtable", "QTable", "build_table",
+    "rsqrt_func", "reciprocal_func", "sqrt_func",
+]
+
+
+# ---------------------------------------------------------------------------
+# Polynomial fitting
+# ---------------------------------------------------------------------------
+
+def qpoly(x: QTensor, coeffs: Sequence[QTensor]) -> QTensor:
+    """Horner evaluation ``a0 + x*(a1 + x*(a2 + ...))`` with per-level
+    quantization typed by each level's leading coefficient
+    (QuBLAS.h:4836-4851).
+
+    ``coeffs`` are scalar QTensors ``[a0, a1, ..., an]`` (build with
+    :func:`qublas_tpu.qtensor.scalar`).  Each level computes
+    ``qadd(a_i, qmul(x, inner, to=a_i.fmt), to=a_i.fmt)``.
+    """
+    coeffs = list(coeffs)
+    if not coeffs:
+        raise ValueError("qpoly needs at least one coefficient")
+    acc = coeffs[-1]
+    for a in reversed(coeffs[:-1]):
+        acc = ew.qadd(a, ew.qmul(x, acc, to=a.fmt), to=a.fmt)
+    return acc
+
+
+class Segment:
+    """A breakpoint + polynomial coefficients (reference ``ANUS::Segment``,
+    QuBLAS.h:4855-4866): applies while ``x.toDouble() < breakpoint``; the
+    last segment also covers everything above its breakpoint."""
+
+    def __init__(self, breakpoint: float, coeffs: Sequence[QTensor]):
+        self.breakpoint = float(breakpoint)
+        self.coeffs = list(coeffs)
+
+
+def _raw_threshold(breakpoint: float, frac_bits: int) -> int:
+    """Largest raw r with r * 2^-frac < breakpoint, computed exactly
+    (floats are binary rationals, so Fraction is lossless)."""
+    bp = Fraction(breakpoint) * (Fraction(2) ** frac_bits)
+    fl = math.floor(bp)
+    return fl - 1 if bp == fl else fl
+
+
+def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
+    """Segmented polynomial fit (reference ``ANUS::Qapprox``,
+    QuBLAS.h:4868-4884).
+
+    Per element: the first segment whose breakpoint exceeds the value
+    applies (the last segment catches the rest), and the segment's
+    :func:`qpoly` result is requantized into **x's format** (the
+    ``decltype(x){...}`` converting construction).
+    """
+    import jax.numpy as jnp
+
+    segments = list(segments)
+    if not segments:
+        raise ValueError("qapprox needs at least one segment")
+    # evaluate every segment's polynomial requantized into x's format
+    branches = [ew.qcast(qpoly(x, s.coeffs), x.fmt) for s in segments]
+    if x.is_host:
+        raws = np.asarray(x.raw(), dtype=object).reshape(-1)
+        out = []
+        for i, r in enumerate(raws):
+            val = hostint.raw_to_double(int(r), x.fmt)
+            for s, br in zip(segments, branches):
+                if val < s.breakpoint:
+                    out.append(int(np.asarray(br.raw(), dtype=object).reshape(-1)[i]))
+                    break
+            else:
+                out.append(int(np.asarray(branches[-1].raw(), dtype=object).reshape(-1)[i]))
+        return from_raw(np.array(out, dtype=object).reshape(x.shape), x.fmt)
+
+    result = branches[-1].data
+    # walk breakpoints from the last-but-one down, selecting earlier segments
+    for s, br in zip(reversed(segments[:-1]), reversed(branches[:-1])):
+        thr = _raw_threshold(s.breakpoint, x.fmt.frac_bits)
+        take = x.data.astype(jnp.int32) <= jnp.int32(
+            max(min(thr, 2**31 - 1), -(2**31)))
+        result = jnp.where(take, br.data, result)
+    return QTensor(result, x.fmt)
+
+
+# ---------------------------------------------------------------------------
+# Lookup tables (ASIC ROMs)
+# ---------------------------------------------------------------------------
+
+def rsqrt_func(v: float) -> float:
+    """1/sqrt(x) (readme.md:68)."""
+    return 1.0 / math.sqrt(v) if v > 0 else math.inf if v == 0 else math.nan
+
+
+def reciprocal_func(v: float) -> float:
+    """1/x (readme.md:71)."""
+    return 1.0 / v if v != 0 else math.inf
+
+
+def sqrt_func(v: float) -> float:
+    """sqrt(x) (readme.md:74)."""
+    return math.sqrt(v) if v >= 0 else math.nan
+
+
+MAX_TABLE_BITS = 20  # 1M int32 entries = 4 MB — fits VMEM-adjacent budgets
+
+
+class QTable:
+    """A precomputed exact LUT: input bit pattern -> output raw value.
+
+    ``table[p]`` holds the output for the input whose **logical-width bit
+    pattern** is ``p``: the pattern is sign-interpreted per the input format
+    (two's complement when signed), mapped through ``func`` in double, and
+    converted with the output format's exact pipeline (non-finite -> 0).
+    """
+
+    def __init__(self, func: Callable[[float], float], in_fmt: QFormat,
+                 out_fmt: Optional[QFormat] = None):
+        self.func = func
+        self.in_fmt = in_fmt
+        self.out_fmt = out_fmt or in_fmt
+        w = in_fmt.width
+        if w > MAX_TABLE_BITS:
+            raise ValueError(
+                f"LUT over a {w}-bit input needs 2^{w} entries; cap is "
+                f"2^{MAX_TABLE_BITS}.  Use qapprox for wide formats.")
+        n = 1 << max(w, 0)
+        raws = []
+        for p in range(n):
+            raw_in = p - (1 << w) if (in_fmt.signed and w > 0
+                                      and p >= (1 << (w - 1))) else p
+            val = hostint.raw_to_double(raw_in, in_fmt)
+            try:
+                out_val = float(func(val))
+            except (ValueError, ZeroDivisionError, OverflowError):
+                out_val = math.nan
+            raws.append(hostint.double_to_raw(out_val, self.out_fmt))
+        self._raws = raws
+        self._mask = (1 << w) - 1 if w > 0 else 0
+        dt = dtype_for(self.out_fmt)
+        self._device_table = None
+        if dt is not None:
+            self._np_table = np.array(raws, dtype=np.int32)
+
+    def table_array(self):
+        import jax.numpy as jnp
+
+        if self._device_table is None:
+            self._device_table = jnp.asarray(self._np_table)
+        return self._device_table
+
+    def __call__(self, x: QTensor) -> QTensor:
+        if x.fmt.width != self.in_fmt.width or x.fmt.frac_bits != self.in_fmt.frac_bits:
+            raise ValueError(f"QTable built for {self.in_fmt}, got {x.fmt}")
+        if x.is_host or dtype_for(self.out_fmt) is None:
+            raws = [self._raws[int(r) & self._mask]
+                    for r in np.asarray(x.raw(), dtype=object).reshape(-1)]
+            return from_raw(np.array(raws, dtype=object).reshape(x.shape),
+                            self.out_fmt)
+        import jax.numpy as jnp
+
+        idx = x.data.astype(jnp.int32) & jnp.int32(self._mask)
+        raw = jnp.take(self.table_array(), idx, axis=0)
+        return QTensor(raw.astype(dtype_for(self.out_fmt)), self.out_fmt)
+
+
+def build_table(func, in_fmt: QFormat, out_fmt: Optional[QFormat] = None) -> QTable:
+    return QTable(func, in_fmt, out_fmt)
+
+
+def qtable(x: QTensor, func, out_fmt: Optional[QFormat] = None) -> QTensor:
+    """One-shot LUT application (reference ``ANUS::Qtable<func>(q)``,
+    readme.md:66-78).  For repeated use build a :class:`QTable` once."""
+    return QTable(func, x.fmt, out_fmt)(x)

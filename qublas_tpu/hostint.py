@@ -142,6 +142,40 @@ def double_to_raw(x: float, fmt: QFormat) -> int:
     )
 
 
+def reference_double_ctor_defect(x: float, fmt: QFormat) -> bool:
+    """True when the reference's ``Qu_s(double)`` ctor hits a documented
+    defect class for this input (REFERENCE_DEFECTS.md D2/D3), so its output
+    is width-dependent garbage our exact implementation deliberately does
+    not replicate.
+
+    * D2 — RND::CONV on the multiword guard path corrupts every negative
+      value (even exact ones — the floor computed through the mismatched
+      mask loses the sign), positive exact ties, and any value that would
+      need clamping (the wrap happens *before* the saturation compare, so
+      e.g. ``Qu<8,8,RND::CONV>(123456.789)`` yields the rounded value
+      mod 2^16 instead of saturating).
+    * D3 — saturating conversions whose pre-clamp magnitude is ≥ 2^63 can
+      fail the multiword bounds comparison.
+    """
+    if x == 0.0 or math.isnan(x) or math.isinf(x):
+        return False
+    guard = 1200
+    m, e = math.frexp(x)
+    mant = int(m * (1 << 53))
+    shift = e - 53 + guard + fmt.frac_bits
+    wide = mant << shift if shift >= 0 else mant >> (-shift)
+    rounded = frac_convert(wide, guard + fmt.frac_bits, fmt.frac_bits,
+                           fmt.round_mode)
+    if fmt.round_mode == RoundMode.RND_CONV:
+        dropped = wide & ((1 << guard) - 1)
+        tie = dropped == (1 << (guard - 1))
+        if wide < 0 or tie or int_convert(rounded, fmt) != rounded:
+            return True
+    if abs(rounded) >= (1 << 63) and int_convert(rounded, fmt) != rounded:
+        return True
+    return False
+
+
 def raw_to_double(raw: int, fmt: QFormat) -> float:
     """Raw integer → double: ``raw / 2^frac_bits`` (QuBLAS.h:2413-2416)."""
     try:

@@ -231,22 +231,54 @@ def _maybe_transpose(rows, t: bool):
 # --------------------------------------------------------------------------
 
 def complex_add(a, b, real_to=None, imag_to=None):
-    """Complex add with optional per-part output formats (QuBLAS.h:3549-3568)."""
+    """Complex add with optional per-part output formats (QuBLAS.h:3549-3562).
+    realT/imagT use the same extraction pattern as the multiply algorithms,
+    so :func:`single_tag_default` propagation applies: supplying exactly one
+    part's format applies it to both parts."""
+    fb = single_tag_default(real_to, imag_to)
+    real_to = real_to if real_to is not None else fb
+    imag_to = imag_to if imag_to is not None else fb
     (ar, ai), (br, bi) = a, b
     return (qadd(ar, br, to=real_to), qadd(ai, bi, to=imag_to))
 
 
 def complex_sub(a, b, real_to=None, imag_to=None):
-    """Complex sub (QuBLAS.h:3570-3589)."""
+    """Complex sub (QuBLAS.h:3570-3584); same tag-default propagation as
+    :func:`complex_add`."""
+    fb = single_tag_default(real_to, imag_to)
+    real_to = real_to if real_to is not None else fb
+    imag_to = imag_to if imag_to is not None else fb
     (ar, ai), (br, bi) = a, b
     return (qsub(ar, br, to=real_to), qsub(ai, bi, to=imag_to))
+
+
+def single_tag_default(*specs):
+    """The reference's tag-default propagation quirk.
+
+    Each per-step type is extracted as ``tagExtractor<Tag<toArgs...>,
+    toArgs...>::type::list``: when ``Tag`` is absent from the pack, the
+    default is ``Tag<toArgs...>`` — and tagExtractor's single-payload default
+    specialization **strips the outer template** (QuBLAS.h:157-161,
+    ``tagExtractor<Tag<T>> { using type = T; }`` wins partial ordering over
+    the pack version when the pack has exactly one element).  Net effect:
+    with exactly ONE tag supplied, every omitted step resolves to that tag's
+    payload; with zero or ≥2 tags supplied, omitted steps resolve to default
+    merger inference.  Verified against the compiled reference
+    (tests/golden_data/cmul.json "tf_ba_quirk").
+    """
+    given = [s for s in specs if s is not None]
+    return given[0] if len(given) == 1 else None
 
 
 def complex_mul_basic(a, b, ac=None, bd=None, ad=None, bc=None,
                       acbd=None, adbc=None):
     """4-mul/2-add complex multiply: (ac-bd) + (ad+bc)i, each intermediate op
     independently quantized (reference BasicComplexMul, QuBLAS.h:3376-3446).
-    This is the default for complex ``Qmul`` with no algorithm tag."""
+    This is the default for complex ``Qmul`` with no algorithm tag.
+    Omitted step formats follow :func:`single_tag_default`."""
+    fb = single_tag_default(ac, bd, ad, bc, acbd, adbc)
+    ac, bd, ad, bc, acbd, adbc = (x if x is not None else fb
+                                  for x in (ac, bd, ad, bc, acbd, adbc))
     (f1r, f1i), (f2r, f2i) = a, b
     real = qsub(qmul(f1r, f2r, to=ac), qmul(f1i, f2i, to=bd), to=acbd)
     imag = qadd(qmul(f1r, f2i, to=ad), qmul(f1i, f2r, to=bc), to=adbc)
@@ -262,7 +294,21 @@ def complex_mul_tf(a, b, ab=None, cd=None, ba=None, abc=None, cdb=None,
         re = A - B,  im = B - C
 
     with eight optional per-step quantization formats.
+
+    Parity quirks, verified against the compiled reference
+    (tests/golden_data/cmul.json "tf_ba_quirk" + probe programs):
+
+    * Omitted step tags follow :func:`single_tag_default` propagation.
+    * ``baT`` is extracted without ``::list`` (QuBLAS.h:3515).  When
+      *supplied* with a single format, tagExtractor's single-param match
+      unwraps the payload, so ``ba`` applies to its own (b-a) step normally;
+      when *absent*, the wrapped default survives un-expanded and the step
+      always uses default AddMerger inference — it never inherits the
+      single-tag fallback the ``::list`` steps get.
     """
+    fb = single_tag_default(ab, cd, ba, abc, cdb, bad, AB, BC)
+    ab, cd, abc, cdb, bad, AB, BC = (x if x is not None else fb
+                                     for x in (ab, cd, abc, cdb, bad, AB, BC))
     (f1r, f1i), (f2r, f2i) = a, b
     A = qmul(qadd(f1r, f1i, to=ab), f2r, to=abc)
     B = qmul(qadd(f2r, f2i, to=cd), f1i, to=bad)

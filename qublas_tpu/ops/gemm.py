@@ -1,0 +1,262 @@
+"""Quantized GEMM / GEMV (Qgemul / Qgemv) — the centerpiece op.
+
+The reference documents this API in its readme only (``readme.md:80-87``,
+absent from the header at this snapshot — see SURVEY.md §0/§2.14): each
+scalar product is quantized per ``QgemulMulArgs``, each dot product
+accumulates through the Qreduce *vector-path* tree with per-layer
+``QgemulAddArgs`` formats, and the result requantizes into C's element type
+(a converting assignment).  The semantic oracle is
+:func:`qublas_tpu.hostops.qgemul`.
+
+TPU-native design — two device strategies chosen by a static exactness
+proof (trace time, free at runtime):
+
+* **MXU fast path.**  If every step of the product-quantize + tree-accumulate
+  pipeline is provably lossless (no rounding: fractional precision never
+  drops; no saturation: exact interval arithmetic keeps every intermediate
+  inside its format's identity range), then *any* association order yields
+  identical bits, so the whole dot collapses to an integer
+  ``lax.dot_general`` with int32 MXU accumulation plus ONE fused
+  shift-round-saturate epilogue (``requantize_i32``).  This covers the
+  headline INT8 config (BASELINE.json config 1) and every FullPrec-style
+  config — the ones that matter for throughput.  For large operands on TPU
+  the matmul runs as a Pallas kernel with the epilogue fused in VMEM
+  (:mod:`.pallas_gemm`).
+
+* **General tree path.**  When intermediate layers round or saturate, the
+  result is association-order-sensitive; we replicate the exact balanced-tree
+  pairing incl. the odd-tail converting assignment (QuBLAS.h:4977-4980) as a
+  log-depth vectorized program: quantized outer products ``[..., m, k, n]``
+  reduced over ``k`` by :func:`qublas_tpu.ops.reduce.qreduce`.
+
+Formats too wide for device lanes fall back to the exact host golden model.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from .. import hostops
+from ..qformat import OverflowMode, QFormat, add_merge, mul_merge
+from ..qtensor import QTensor, from_raw
+from . import elementwise as ew
+from . import wideint as W
+from .reduce import layer_format, qreduce
+from .widths import Interval, dtype_for, fmt_interval, route_requant
+
+__all__ = ["qgemul", "qgemv", "exact_plan", "ExactPlan"]
+
+
+# ---------------------------------------------------------------------------
+# Exactness proof
+# ---------------------------------------------------------------------------
+
+def _identity_range(fmt: QFormat):
+    """Raw interval on which ``int_convert`` is the identity, or None when it
+    always is (the WRP_TCPL_SAT stub, QuBLAS.h:2336-2344)."""
+    if fmt.overflow_mode == OverflowMode.WRP_TCPL_SAT:
+        return None
+    hi = fmt.raw_max
+    if not fmt.signed:
+        lo = 0
+    elif fmt.overflow_mode == OverflowMode.SAT_SMGN:
+        lo = fmt.raw_min + 1
+    else:
+        lo = fmt.raw_min
+    return lo, hi
+
+
+def _lossless_requant(iv: Interval, from_frac: int, fmt: QFormat):
+    """Interval after a provably-lossless requantize into ``fmt``; None if
+    the requantize can round (frac drops) or saturate/wrap (leaves the
+    identity range)."""
+    d = fmt.frac_bits - from_frac
+    if d < 0:
+        return None  # precision drops -> rounding may occur
+    out = iv << d
+    rng = _identity_range(fmt)
+    if rng is not None and not (out.lo >= rng[0] and out.hi <= rng[1]):
+        return None
+    return out
+
+
+@dataclass(frozen=True)
+class ExactPlan:
+    """Proof artifact: the dot is lossless, so int32 MXU accumulation at the
+    product's fractional scale + one epilogue reproduces the tree bit-exactly."""
+
+    prod_frac: int        # fa.frac + fb.frac — scale of the raw dot product
+    final_fmt: QFormat    # format of the tree's final value
+    dot_interval: Interval  # bound on every partial sum of raw products
+
+
+def exact_plan(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
+               k: int) -> Optional[ExactPlan]:
+    """Prove the product-quantize + tree-accumulate pipeline lossless.
+
+    Walks the exact layer structure of the vector-path reducer
+    (QuBLAS.h:4960-4990) with interval arithmetic over Python ints.  Returns
+    an :class:`ExactPlan` when every product requantization and every layer
+    add (incl. odd-tail pass-through conversions) provably neither rounds nor
+    saturates — in that regime integer addition is associative, so
+    ``lax.dot_general`` int32 accumulation is bit-identical to the tree.
+    """
+    pf = fa.frac_bits + fb.frac_bits
+    prod_iv = fmt_interval(fa) * fmt_interval(fb)
+    iv = _lossless_requant(prod_iv, pf, mul_fmt)
+    if iv is None:
+        return None
+    cur_fmt, cur_frac = mul_fmt, mul_fmt.frac_bits
+    n, layer = k, 0
+    while n > 1:
+        lf = layer_format(add_formats, layer)
+        if lf is None:
+            lf = add_merge(cur_fmt, cur_fmt)
+        pair = _lossless_requant(iv + iv, cur_frac, lf)
+        if pair is None:
+            return None
+        if n % 2:
+            tail = _lossless_requant(iv, cur_frac, lf)
+            if tail is None:
+                return None
+            iv = Interval(min(pair.lo, tail.lo), max(pair.hi, tail.hi))
+        else:
+            iv = pair
+        cur_fmt, cur_frac = lf, lf.frac_bits
+        n = (n + 1) // 2
+        layer += 1
+
+    # bound on every partial sum of raw products (at prod_frac scale):
+    # s_j = sum of j in 1..k products, each in prod_iv
+    lo, hi = prod_iv.lo, prod_iv.hi
+    dot_iv = Interval(min(k * lo, lo), max(k * hi, hi))
+    return ExactPlan(pf, cur_fmt, dot_iv)
+
+
+# ---------------------------------------------------------------------------
+# Public API
+# ---------------------------------------------------------------------------
+
+def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
+           add_formats=(), transpose_a: bool = False,
+           transpose_b: bool = False, mul_full_prec: bool = False,
+           use_pallas: Optional[bool] = None) -> QTensor:
+    """C = op(A) @ op(B) with per-product and per-layer quantization.
+
+    Readme-parity API (``readme.md:80-87``): ``mul_to`` ~ QgemulMulArgs,
+    ``add_formats`` ~ QgemulAddArgs TypeList, ``transpose_a/b`` ~
+    QgemulTransposedA/B.  Leading batch dimensions broadcast (an extension —
+    the reference has no batching).  ``use_pallas`` forces/disables the
+    Pallas MXU kernel on the fast path (default: auto — on for TPU-backed
+    arrays with tile-friendly shapes).
+    """
+    if isinstance(add_formats, QFormat):
+        add_formats = (add_formats,)
+    add_formats = tuple(add_formats)
+    a = _transpose(a, transpose_a)
+    b = _transpose(b, transpose_b)
+    if a.shape[-1] != b.shape[-2]:
+        raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
+    k = a.shape[-1]
+    mul_fmt = mul_merge(a.fmt, b.fmt, mul_to, mul_full_prec)
+
+    if a.is_host or b.is_host:
+        return _host_gemm(a, b, out_fmt, mul_to, add_formats, mul_full_prec)
+
+    plan = exact_plan(a.fmt, b.fmt, mul_fmt, add_formats, k)
+    if plan is not None and _device_epilogue_ok(plan, out_fmt):
+        return _fast_gemm(a, b, out_fmt, plan, use_pallas)
+
+    # general path: quantized products + explicit tree
+    prod = ew.qmul(QTensor(a.data[..., :, :, None], a.fmt),
+                   QTensor(b.data[..., None, :, :], b.fmt),
+                   to=mul_to, full_prec=mul_full_prec)
+    if prod.is_host:
+        return _host_gemm(a, b, out_fmt, mul_to, add_formats, mul_full_prec)
+    acc = qreduce(prod, add_formats, axis=-2)
+    return ew.qcast(acc, out_fmt)
+
+
+def qgemv(a: QTensor, x: QTensor, out_fmt: QFormat, mul_to=None,
+          add_formats=(), transpose_a: bool = False,
+          mul_full_prec: bool = False) -> QTensor:
+    """y = op(A) @ x — matrix-vector case (BASELINE.json north star names
+    Qgemv alongside Qgemul)."""
+    col = QTensor(x.data[..., :, None], x.fmt)
+    y = qgemul(a, col, out_fmt, mul_to, add_formats,
+               transpose_a=transpose_a, mul_full_prec=mul_full_prec)
+    return QTensor(y.data[..., 0], y.fmt)
+
+
+# ---------------------------------------------------------------------------
+# Strategies
+# ---------------------------------------------------------------------------
+
+def _transpose(t: QTensor, flag: bool) -> QTensor:
+    if not flag:
+        return t
+    if t.ndim < 2:
+        raise ValueError("transpose flag needs a >=2-D operand")
+    return QTensor(np.swapaxes(t.data, -1, -2) if t.is_host
+                   else t.data.swapaxes(-1, -2), t.fmt)
+
+
+def _device_epilogue_ok(plan: ExactPlan, out_fmt: QFormat) -> bool:
+    if dtype_for(out_fmt) is None:
+        return False
+    if not plan.dot_interval.fits32:
+        return False
+    return route_requant(plan.dot_interval, plan.prod_frac, out_fmt) == "i32"
+
+
+def _fast_gemm(a: QTensor, b: QTensor, out_fmt: QFormat, plan: ExactPlan,
+               use_pallas: Optional[bool]) -> QTensor:
+    """Lossless-accumulation path: integer matmul on the MXU + one fused
+    requantize epilogue.  Bit-exact by :func:`exact_plan`'s proof."""
+    import jax.numpy as jnp
+
+    if use_pallas is None:
+        from . import pallas_gemm
+
+        use_pallas = pallas_gemm.should_use_pallas(a, b, out_fmt)
+    if use_pallas:
+        from . import pallas_gemm
+
+        return pallas_gemm.qgemul_fast(a, b, out_fmt, plan)
+
+    x, y = a.data, b.data
+    if x.dtype != jnp.int8 or y.dtype != jnp.int8:
+        # non-int8 inputs still accumulate exactly in int32 (proof holds)
+        x = x.astype(jnp.int32)
+        y = y.astype(jnp.int32)
+    dot = jnp.matmul(x, y, preferred_element_type=jnp.int32)
+    raw = W.requantize_i32(dot, plan.prod_frac, out_fmt)
+    return QTensor(raw.astype(dtype_for(out_fmt)), out_fmt)
+
+
+def _host_gemm(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to, add_formats,
+               mul_full_prec) -> QTensor:
+    """Exact host golden model, batched over leading dims."""
+    A = np.asarray(a.raw(), dtype=object)
+    B = np.asarray(b.raw(), dtype=object)
+    batch = np.broadcast_shapes(A.shape[:-2], B.shape[:-2])
+    A = np.broadcast_to(A, batch + A.shape[-2:])
+    B = np.broadcast_to(B, batch + B.shape[-2:])
+    m, k = A.shape[-2:]
+    _, n = B.shape[-2:]
+    out = np.empty(batch + (m, n), dtype=object)
+    for idx in np.ndindex(*batch) if batch else [()]:
+        a_rows = [[(int(A[idx + (i, p)]), a.fmt) for p in range(k)]
+                  for i in range(m)]
+        b_rows = [[(int(B[idx + (p, j)]), b.fmt) for j in range(n)]
+                  for p in range(k)]
+        c = hostops.qgemul(a_rows, b_rows, out_fmt, mul_to, add_formats,
+                           mul_full_prec=mul_full_prec)
+        for i in range(m):
+            for j in range(n):
+                out[idx + (i, j)] = c[i][j][0]
+    return from_raw(out, out_fmt)

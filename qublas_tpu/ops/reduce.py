@@ -1,0 +1,118 @@
+"""Device tree reduction with per-layer requantization (Qreduce).
+
+TPU-native re-design of the reference's ``Reducer`` (reference
+``include/QuBLAS.h:4899-5018``): "tree-based reduction is a common operation
+in asic design" (:4901).  The reference's recursion over static vector types
+becomes a trace-time Python loop over jnp slices — depth ⌈log₂ n⌉, each layer
+one fused elementwise add + requantize over the whole remaining vector, so
+XLA sees a static log-depth DAG it can fuse and tile onto the VPU.
+
+Semantics replicated exactly:
+
+* Per layer, elements (2i, 2i+1) combine via ``Qadd`` quantized to the
+  layer's format — ``TypeAt<min(layer, len(formats)-1)>`` (:4906-4921); with
+  no formats the layer vector keeps the input element type (:4963-4966) and
+  the add uses default AddMerger inference (identity for equal formats).
+* An odd tail element is *copied* into the next layer — a converting
+  assignment (= requantize) into the layer vector's element type
+  (:4977-4980).
+* N-D tensors reduce over their row-major flattening (:4992-5001).
+* The reference's variadic entry point deviates for odd counts (tail added
+  to the *final* result, :4943-4949); that form is host-only —
+  :func:`qublas_tpu.hostops.qreduce_args`.  This module implements the
+  vector path, which is also what Qgemul's dot products use.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import hostops
+from ..qformat import QFormat
+from ..qtensor import QTensor, from_raw
+from . import elementwise as ew
+
+__all__ = ["qreduce", "layer_format"]
+
+
+def layer_format(layer_formats, layer: int):
+    """Per-layer output format: ``TypeAt<min(layer, len-1)>``
+    (QuBLAS.h:4913)."""
+    if not layer_formats:
+        return None
+    return layer_formats[min(layer, len(layer_formats) - 1)]
+
+
+def _normalize(layer_formats):
+    if layer_formats is None:
+        return ()
+    if isinstance(layer_formats, QFormat):
+        return (layer_formats,)
+    return tuple(layer_formats)
+
+
+def qreduce(x: QTensor, layer_formats=(), axis=None) -> QTensor:
+    """Tree-reduce a QTensor with per-layer requantization.
+
+    ``axis=None`` reduces the row-major flattening to a scalar (the reference
+    entry point, QuBLAS.h:4992-5001).  An integer ``axis`` reduces along that
+    axis only — a batched extension the reference cannot express (its tensors
+    reduce whole); this is what the GEMM path uses for dot products.
+    """
+    layer_formats = _normalize(layer_formats)
+    if axis is None:
+        x = QTensor(x.data.reshape(-1), x.fmt)
+        axis = 0
+    axis = axis % max(x.ndim, 1)
+    n = x.shape[axis]
+    if n == 0:
+        raise ValueError("qreduce of empty axis")
+
+    if x.is_host:
+        return _qreduce_host(x, layer_formats, axis)
+
+    # move the reduction axis to the front; everything after is batch
+    cur = QTensor(_moveaxis(x.data, axis, 0), x.fmt)
+    layer = 0
+    while cur.shape[0] > 1:
+        m = cur.shape[0]
+        fmt = layer_format(layer_formats, layer)
+        a = cur[0 : (m // 2) * 2 : 2]
+        b = cur[1 : (m // 2) * 2 : 2]
+        s = ew.qadd(a, b, to=fmt)
+        if m % 2:
+            tail = cur[m - 1 : m]
+            # converting assignment into the layer vector's element type
+            tail = ew.qcast(tail, s.fmt)
+            s = QTensor(_concat([s.data, tail.data]), s.fmt)
+        cur = s
+        layer += 1
+    out = QTensor(cur.data[0], cur.fmt)
+    return out
+
+
+def _moveaxis(arr, src, dst):
+    import jax.numpy as jnp
+
+    return jnp.moveaxis(arr, src, dst)
+
+
+def _concat(parts):
+    import jax.numpy as jnp
+
+    return jnp.concatenate(parts, axis=0)
+
+
+def _qreduce_host(x: QTensor, layer_formats, axis: int) -> QTensor:
+    """Exact host path for wide formats: per-lane golden-model reduction."""
+    arr = np.asarray(x.raw(), dtype=object)
+    arr = np.moveaxis(arr, axis, -1)
+    batch_shape = arr.shape[:-1]
+    flat = arr.reshape(-1, arr.shape[-1])
+    out_raws, out_fmt = [], None
+    for lane in flat:
+        r, out_fmt = hostops.qreduce_list(
+            [(int(v), x.fmt) for v in lane], layer_formats)
+        out_raws.append(r)
+    return from_raw(np.array(out_raws, dtype=object).reshape(batch_shape),
+                    out_fmt)

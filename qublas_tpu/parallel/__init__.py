@@ -1,0 +1,21 @@
+"""Multi-chip / multi-host parallelism (Mesh + shard_map + ICI collectives).
+
+The reference has no distribution (SURVEY.md §2.19); this package provides
+the BASELINE-mandated sharded GEMM strategies.
+"""
+
+from .sharding import (
+    make_mesh,
+    shard_qgemul,
+    sharded_qgemul_dp,
+    sharded_qgemul_k,
+    sharded_qgemul_mn,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_qgemul",
+    "sharded_qgemul_dp",
+    "sharded_qgemul_k",
+    "sharded_qgemul_mn",
+]

@@ -1,0 +1,276 @@
+"""Δ=0 bit-exactness vs golden vectors from the compiled C++ reference.
+
+``tools/gen_golden.py`` compiles the reference header (as any user program
+would) and records op traces to ``tests/golden_data/*.json``.  Every record
+pins BOTH the host golden model and the device (jnp/pair) paths word-for-word
+— the BASELINE.json accuracy bar.
+"""
+
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+from qublas_tpu import hostops
+from qublas_tpu.hostint import double_to_raw
+from qublas_tpu.ops import elementwise as ew
+from qublas_tpu.qformat import OverflowMode, QFormat, RoundMode
+from qublas_tpu.qtensor import from_raw
+
+DATA = pathlib.Path(__file__).parent / "golden_data"
+
+pytestmark = pytest.mark.skipif(
+    not DATA.exists(), reason="golden_data not generated "
+    "(run tools/gen_golden.py against /root/reference)")
+
+
+def load(kind):
+    p = DATA / f"{kind}.json"
+    if not p.exists():
+        pytest.skip(f"no goldens for {kind}")
+    return json.loads(p.read_text())
+
+
+def fmt(js) -> QFormat:
+    i, f, s, rm, om = js
+    return QFormat(i, f, bool(s), RoundMode(rm), OverflowMode(om))
+
+
+# ---------------------------------------------------------------------------
+# requantize (converting ctor)
+# ---------------------------------------------------------------------------
+
+def test_requant_golden_host_and_device():
+    recs = load("requant")
+    assert recs
+    for rec in recs:
+        src = fmt(rec["from"])
+        dst = fmt(rec["to"])
+        ins = rec["in"]
+        outs = [int(v) for v in rec["out"]]
+        # host model
+        for x, want in zip(ins, outs):
+            got, _ = hostops.convert((int(x), src), dst)
+            assert got == want, (src, dst, x, got, want)
+        # device path
+        dev = ew.qcast(from_raw(np.array(ins, dtype=object), src), dst)
+        got_dev = [int(v) for v in np.asarray(dev.raw(), dtype=object).reshape(-1)]
+        assert got_dev == outs, (src, dst)
+
+
+# ---------------------------------------------------------------------------
+# binary ops
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("kind", ["mul", "add", "sub", "div"])
+def test_binary_op_golden(kind):
+    recs = load(kind)
+    assert recs
+    host_fn = {"mul": hostops.qmul, "add": hostops.qadd,
+               "sub": hostops.qsub, "div": hostops.qdiv}[kind]
+    dev_fn = {"mul": ew.qmul, "add": ew.qadd,
+              "sub": ew.qsub, "div": ew.qdiv}[kind]
+    for rec in recs:
+        fa, fb = fmt(rec["a"]), fmt(rec["b"])
+        to = None if rec["to"] is None else fmt(rec["to"])
+        res_fmt = fmt(rec["res_fmt"])
+        ina, inb = rec["ina"], rec["inb"]
+        outs = [int(v) for v in rec["out"]]
+        for x, y, want in zip(ina, inb, outs):
+            got, gf = host_fn((int(x), fa), (int(y), fb), to=to)
+            assert got == want, (kind, fa, fb, to, x, y, got, want)
+            assert gf == res_fmt, (kind, gf, res_fmt)
+        dev = dev_fn(from_raw(np.array(ina, dtype=object), fa),
+                     from_raw(np.array(inb, dtype=object), fb), to=to)
+        got_dev = [int(v) for v in np.asarray(dev.raw(), dtype=object).reshape(-1)]
+        assert got_dev == outs, (kind, fa, fb, to)
+        assert dev.fmt == res_fmt
+
+
+# ---------------------------------------------------------------------------
+# reduce
+# ---------------------------------------------------------------------------
+
+def test_reduce_golden():
+    recs = load("reduce")
+    assert recs
+    from qublas_tpu.ops.reduce import qreduce
+
+    for rec in recs:
+        elem = fmt(rec["elem"])
+        layers = tuple(fmt(l) for l in rec["layers"])
+        vals = rec["in"]
+        want = int(rec["out"])
+        res_fmt = fmt(rec["res_fmt"])
+        pairs = [(int(v), elem) for v in vals]
+        if rec["variant"] == "vec":
+            got, gf = hostops.qreduce_list(pairs, layers)
+            dev = qreduce(from_raw(np.array(vals, dtype=object), elem), layers)
+            assert int(np.asarray(dev.raw(), dtype=object)) == want, rec
+            assert dev.fmt == res_fmt
+        else:
+            got, gf = hostops.qreduce_args(pairs, layers)
+        assert got == want, rec
+        assert gf == res_fmt, rec
+
+
+# ---------------------------------------------------------------------------
+# complex multiply
+# ---------------------------------------------------------------------------
+
+def test_cmul_golden():
+    recs = load("cmul")
+    assert recs
+    from qublas_tpu.complex import cmul, cmul_tf, complex_from_raw
+
+    for rec in recs:
+        fr, fi = fmt(rec["re"]), fmt(rec["im"])
+        tag = None if rec["tag"] is None else fmt(rec["tag"])
+        rf_re, rf_im = fmt(rec["res_fmt"][0]), fmt(rec["res_fmt"][1])
+        a = complex_from_raw(np.array(rec["are"], dtype=object),
+                             np.array(rec["aim"], dtype=object), fr, fi)
+        b = complex_from_raw(np.array(rec["bre"], dtype=object),
+                             np.array(rec["bim"], dtype=object), fr, fi)
+        algo = rec["algo"]
+        if algo == "default":
+            dev = cmul(a, b)
+        elif algo == "basic":
+            dev = cmul(a, b, ac=tag, bd=tag, ad=tag, bc=tag, acbd=tag,
+                       adbc=tag)
+        elif algo == "tf" and tag is None:
+            dev = cmul_tf(a, b)
+        elif algo == "tf":
+            dev = cmul_tf(a, b, ab=tag, cd=tag, abc=tag, cdb=tag, bad=tag,
+                          AB=tag, BC=tag)
+        elif algo == "tf_ba_quirk":
+            dev = cmul_tf(a, b, ba=tag)
+        else:  # tf_two
+            dev = cmul_tf(a, b, ab=tag, AB=tag)
+        got_re = [int(v) for v in np.asarray(dev.real.raw(), dtype=object)]
+        got_im = [int(v) for v in np.asarray(dev.imag.raw(), dtype=object)]
+        assert got_re == [int(v) for v in rec["out_re"]], algo
+        assert got_im == [int(v) for v in rec["out_im"]], algo
+        assert dev.real.fmt == rf_re and dev.imag.fmt == rf_im, algo
+
+
+# ---------------------------------------------------------------------------
+# double -> fixed
+# ---------------------------------------------------------------------------
+
+def test_double_to_fixed_golden():
+    recs = load("dbl")
+    assert recs
+    from qublas_tpu.hostint import reference_double_ctor_defect
+
+    checked = skipped = 0
+    for rec in recs:
+        f = fmt(rec["fmt"])
+        for dstr, want in zip(rec["in"], rec["out"]):
+            x = float(dstr)
+            if reference_double_ctor_defect(x, f):
+                # documented reference defect (REFERENCE_DEFECTS.md D2/D3):
+                # we implement the exact intent, the reference emits garbage
+                skipped += 1
+                continue
+            got = double_to_raw(x, f)
+            assert got == int(want), (f, dstr, got, want)
+            checked += 1
+    # the defect classes must stay a small minority of the corpus
+    assert checked > 3 * skipped, (checked, skipped)
+
+
+# ---------------------------------------------------------------------------
+# bitstream
+# ---------------------------------------------------------------------------
+
+def test_bitstream_demo_golden():
+    recs = load("bitstream_demo")
+    from qublas_tpu import bitstream as bs
+    from qublas_tpu.qformat import qformat
+
+    rec = recs[0]
+    f = qformat(5, 0)
+    t = from_raw(np.array([1, 2, 3, 4, 5, 6], dtype=object).reshape(2, 3), f)
+    s = bs.to_bits(t, bs.r2l(1), None)
+    assert s == rec["str"]
+    z = bs.from_bits_complex(s, f, f, (3,))
+    got = [[int(r), int(i)] for r, i in zip(z.real.raw(), z.imag.raw())]
+    assert got == rec["parsed"]
+
+
+def test_bitstream_r2l_golden():
+    recs = load("bitstream_r2l")
+    from qublas_tpu import bitstream as bs
+    from qublas_tpu.qformat import qformat
+
+    rec = recs[0]
+    f = qformat(6, 3, overflow_mode=OverflowMode.SAT_ZERO)
+    t = from_raw(np.array(rec["raws"], dtype=object), f)
+    s = bs.to_bits(t, bs.r2l(3), bs.r2l(2))
+    assert s == rec["str"]
+    back = bs.from_bits(s, f, (6,), bs.r2l(3), bs.r2l(2))
+    assert [int(v) for v in back.raw()] == [int(v) for v in rec["back"]]
+
+
+def test_bitstream_scalar_golden():
+    recs = load("bitstream_scalar")
+    from qublas_tpu import bitstream as bs
+    from qublas_tpu.qformat import qformat
+
+    rec = recs[0]
+    f = qformat(4, 3)
+    t = from_raw(np.array(rec["raw"], dtype=object), f)
+    assert bs.to_bits(t) == rec["l2r"]
+    assert bs.to_bits(t, elem_order=bs.r2l(1)) == rec["r2l1"]
+
+
+def test_bitstream_complex_golden():
+    recs = load("bitstream_complex")
+    from qublas_tpu import bitstream as bs
+    from qublas_tpu.complex import complex_from_raw
+    from qublas_tpu.qformat import qformat
+
+    rec = recs[0]
+    f = qformat(3, 2)
+    c = complex_from_raw(np.array([5, -32], dtype=object),
+                         np.array([-3, 31], dtype=object), f, f)
+    got = bs.to_bits_complex(c)
+    # the reference's complex tensor stream inserts no separators either
+    assert got == "".join(ch for ch in rec["str"] if ch in "01")
+
+
+# ---------------------------------------------------------------------------
+# ANUS
+# ---------------------------------------------------------------------------
+
+def test_qpoly_golden():
+    recs = load("qpoly")
+    from qublas_tpu import anus
+    from qublas_tpu.qtensor import QTensor
+
+    for rec in recs:
+        f = fmt(rec["fmt"])
+        coeffs = [from_raw(np.array(int(c), dtype=object), f)
+                  for c in rec["coeffs"]]
+        x = from_raw(np.array(rec["in"], dtype=object), f)
+        dev = anus.qpoly(x, coeffs)
+        got = [int(v) for v in np.asarray(dev.raw(), dtype=object).reshape(-1)]
+        assert got == [int(v) for v in rec["out"]]
+
+
+def test_qapprox_golden():
+    recs = load("qapprox")
+    from qublas_tpu import anus
+    from qublas_tpu.qtensor import scalar
+
+    for rec in recs:
+        f = fmt(rec["fmt"])
+        segs = [
+            anus.Segment(0.0, [scalar(1.0, f), scalar(0.5, f)]),
+            anus.Segment(1.0, [scalar(-1.0, f), scalar(2.0, f)]),
+        ]
+        x = from_raw(np.array(rec["in"], dtype=object), f)
+        dev = anus.qapprox(x, segs)
+        got = [int(v) for v in np.asarray(dev.raw(), dtype=object).reshape(-1)]
+        assert got == [int(v) for v in rec["out"]]
