@@ -29,20 +29,29 @@ from qublas_tpu.qformat import OverflowMode, qformat  # noqa: E402
 from qublas_tpu.qtensor import QTensor  # noqa: E402
 
 M = N = K = 4096
-ITERS = 20
+ITERS = 128
 
 FA = qformat(3, 4)  # int8 storage: the INT8 Qgemul config
 WIDE = qformat(20, 8)  # lossless int32 accumulation (proof-checked below)
 OUT = qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO)
 
 
-def _time(fn, *args, iters=ITERS):
-    out = fn(*args)
-    jax.block_until_ready(out)
+def _time(fn, a, b, iters=ITERS):
+    """Time with a data dependency chaining iterations (the output feeds the
+    next call's LHS) and a small *array* fetch at the end.
+
+    On the tunneled TPU backend ``block_until_ready`` returns before the
+    device work completes and scalar-returning programs hang, so the only
+    honest synchronization is materializing a slice of the final chained
+    output; the fixed round-trip cost (~25 ms) amortizes over ``iters``.
+    """
+    out = fn(a, b)
+    np.asarray(out[:8, :128])  # warm-up + sync
     t0 = time.perf_counter()
+    x = a
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        x = fn(x, b)
+    np.asarray(x[:8, :128])
     return (time.perf_counter() - t0) / iters
 
 
@@ -67,7 +76,9 @@ def main():
 
     @jax.jit
     def roofline(a_data, b_data):
-        return jnp.matmul(a_data, b_data, preferred_element_type=jnp.int32)
+        # minimal int8 epilogue so the output can chain back as the next LHS
+        return jnp.matmul(a_data, b_data,
+                          preferred_element_type=jnp.int32).astype(jnp.int8)
 
     t_q = _time(quantized, a_raw, b_raw)
     t_r = _time(roofline, a_raw, b_raw)

@@ -1,0 +1,281 @@
+// Native host engine: exact fixed-point kernels for <=64-bit storage formats.
+//
+// This is the C++ runtime component of qublas_tpu: the TPU compute path is
+// JAX/Pallas, but host-side work — exact double<->fixed conversion, golden
+// elementwise ops, BitStream pack/unpack — runs here at C speed for formats
+// whose intermediates fit 128 bits (the reference's own tests go to 200-bit
+// formats; those stay on the exact Python-int path).
+//
+// Semantics are the reference's 3-stage pipeline (widen-exact -> round ->
+// saturate); every function is differentially tested against the pure-Python
+// golden model (qublas_tpu/hostint.py, hostops.py), which in turn is pinned
+// to the compiled C++ reference by tests/golden_data.  Rounding modes mirror
+// reference fracConvert (QuBLAS.h:2002-2204), overflow modes intConvert
+// (QuBLAS.h:2227-2344).
+//
+// Build: g++ -O2 -shared -fPIC -o libqublas_host.so qublas_host.cpp
+// ABI: plain C, int64 raw values (callers guarantee storage <= 64 bits and
+// intermediate widths <= 127 bits via the same width proofs the device
+// paths use).
+
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <cstddef>
+
+typedef __int128 i128;
+
+namespace {
+
+// rounding modes (match qublas_tpu.qformat.RoundMode)
+enum { RND_POS_INF = 0, RND_NEG_INF = 1, RND_ZERO = 2, RND_INF = 3,
+       RND_CONV = 4, TRN_TCPL = 5, TRN_SMGN = 6 };
+// overflow modes (match qublas_tpu.qformat.OverflowMode)
+enum { SAT_TCPL = 0, SAT_ZERO = 1, SAT_SMGN = 2, WRP_TCPL = 3,
+       WRP_TCPL_SAT = 4 };
+
+struct Fmt {
+    int32_t int_bits;
+    int32_t frac_bits;
+    int32_t is_signed;
+    int32_t round_mode;
+    int32_t overflow_mode;
+};
+
+inline i128 frac_convert(i128 val, int d, int mode) {
+    // d = from_frac - to_frac
+    if (d <= 0) return val << (-d);
+    i128 xh = val >> d;               // arithmetic shift (floor)
+    i128 xl = val & ((i128(1) << d) - 1);
+    i128 t = i128(1) << (d - 1);
+    bool carry;
+    switch (mode) {
+    case TRN_TCPL: return xh;
+    case TRN_SMGN: return val < 0 ? -((-val) >> d) : xh;
+    case RND_POS_INF: carry = xl >= t; break;
+    case RND_NEG_INF: carry = xl > t; break;
+    case RND_ZERO:    carry = xl > t || (xl == t && val < 0); break;
+    case RND_INF:     carry = xl > t || (xl == t && val > 0); break;
+    case RND_CONV:    carry = xl > t || (xl == t && (xh & 1)); break;
+    default:          return xh;
+    }
+    return xh + (carry ? 1 : 0);
+}
+
+inline i128 int_convert(i128 val, const Fmt &f) {
+    int w = 1 + f.int_bits + f.frac_bits;  // physical storage width
+    i128 hi = (i128(1) << (w - 1)) - 1;
+    switch (f.overflow_mode) {
+    case SAT_TCPL: {
+        i128 lo = f.is_signed ? -(i128(1) << (w - 1)) : i128(0);
+        return val > hi ? hi : val < lo ? lo : val;
+    }
+    case SAT_ZERO: {
+        i128 lo = f.is_signed ? -(i128(1) << (w - 1)) : i128(0);
+        return (val > hi || val < lo) ? 0 : val;
+    }
+    case SAT_SMGN: {
+        i128 lo = f.is_signed ? (-(i128(1) << (w - 1)) + 1) : i128(0);
+        return val > hi ? hi : val < lo ? lo : val;
+    }
+    case WRP_TCPL: {
+        if (f.is_signed) {
+            i128 m = val & ((i128(1) << w) - 1);
+            return (m >> (w - 1)) & 1 ? m - (i128(1) << w) : m;
+        }
+        // unsigned wrap masks to int_bits + frac_bits (QuBLAS.h:2329-2331)
+        return val & ((i128(1) << (w - 1)) - 1);
+    }
+    default:  // WRP_TCPL_SAT: reference stub = identity (QuBLAS.h:2336-2344)
+        return val;
+    }
+}
+
+inline i128 requantize(i128 val, int from_frac, const Fmt &f) {
+    return int_convert(frac_convert(val, from_frac - f.frac_bits,
+                                    f.round_mode), f);
+}
+
+}  // namespace
+
+extern "C" {
+
+// --------------------------------------------------------------------------
+// requantize / cross-format conversion
+// --------------------------------------------------------------------------
+
+void qh_requantize(const int64_t *in, int64_t *out, size_t n,
+                   int32_t from_frac, const Fmt *to) {
+    for (size_t i = 0; i < n; ++i)
+        out[i] = (int64_t)requantize((i128)in[i], from_frac, *to);
+}
+
+// --------------------------------------------------------------------------
+// exact double -> fixed (reference 2400-bit ctor intent, QuBLAS.h:2387-2393)
+// --------------------------------------------------------------------------
+
+void qh_double_to_raw(const double *in, int64_t *out, size_t n,
+                      const Fmt *f) {
+    int w = 1 + f->int_bits + f->frac_bits;
+    for (size_t i = 0; i < n; ++i) {
+        double x = in[i];
+        if (x == 0.0 || !std::isfinite(x)) { out[i] = 0; continue; }
+        int e;
+        double m = std::frexp(x, &e);               // x = m * 2^e
+        i128 mant = (i128)(int64_t)std::ldexp(m, 53);  // exact 53-bit mantissa
+        int shift = e - 53 + f->frac_bits;          // mant * 2^shift = raw
+        i128 val;
+        int from_d;                                  // extra frac bits held
+        if (shift >= 0) {
+            if (shift + 54 > 126) {
+                // |raw| >= 2^72 > any 64-bit storage: saturate directly
+                Fmt g = *f;
+                i128 big = (x > 0) ? ((i128(1) << 126) - 1)
+                                   : -(i128(1) << 126);
+                out[i] = (int64_t)int_convert(big, g);
+                continue;
+            }
+            val = mant << shift;
+            from_d = 0;
+        } else {
+            val = mant;
+            from_d = -shift;                         // val has from_d extra bits
+            if (from_d > 120) {                      // underflows to |v| < ulp/2^60
+                val = (x > 0) ? 1 : -1;              // sign epsilon
+                from_d = 120;
+            }
+        }
+        i128 rounded = frac_convert(val, from_d, f->round_mode);
+        out[i] = (int64_t)int_convert(rounded, *f);
+    }
+    (void)w;
+}
+
+// --------------------------------------------------------------------------
+// elementwise binary ops (reference Qmul/Qadd/Qsub/Qdiv, QuBLAS.h:3142-3266)
+// --------------------------------------------------------------------------
+
+void qh_mul(const int64_t *a, const int64_t *b, int64_t *out, size_t n,
+            int32_t fa_frac, int32_t fb_frac, const Fmt *to) {
+    int from = fa_frac + fb_frac;
+    for (size_t i = 0; i < n; ++i)
+        out[i] = (int64_t)requantize((i128)a[i] * (i128)b[i], from, *to);
+}
+
+void qh_addsub(const int64_t *a, const int64_t *b, int64_t *out, size_t n,
+               int32_t fa_frac, int32_t fb_frac, int32_t sub, const Fmt *to) {
+    int f = fa_frac > fb_frac ? fa_frac : fb_frac;
+    int sa = f - fa_frac, sb = f - fb_frac;
+    for (size_t i = 0; i < n; ++i) {
+        i128 x = (i128)a[i] << sa;
+        i128 y = (i128)b[i] << sb;
+        out[i] = (int64_t)requantize(sub ? x - y : x + y, f, *to);
+    }
+}
+
+void qh_div(const int64_t *a, const int64_t *b, int64_t *out, size_t n,
+            int32_t fa_frac, int32_t fb_frac, const Fmt *to) {
+    // reference warts (QuBLAS.h:3241-3266): div-by-zero -> 0; quotient
+    // truncates toward zero; overflow stage only (no rounding stage)
+    int sa = fb_frac > fa_frac ? fb_frac - fa_frac : 0;
+    int sb = fa_frac > fb_frac ? fa_frac - fb_frac : 0;
+    int s = sa + to->frac_bits;
+    for (size_t i = 0; i < n; ++i) {
+        if (b[i] == 0) { out[i] = 0; continue; }
+        i128 num = s >= 0 ? ((i128)a[i] << s) : ((i128)a[i] >> (-s));
+        i128 den = (i128)b[i] << sb;
+        i128 q = num / den;  // C++ division truncates toward zero
+        out[i] = (int64_t)int_convert(q, *to);
+    }
+}
+
+// --------------------------------------------------------------------------
+// streaming tree GEMM (vector-path reducer semantics, QuBLAS.h:4960-4990)
+// --------------------------------------------------------------------------
+
+// C = A[m,k] @ B[k,n]; per-product requant to mul_fmt; binary-carry tree
+// with per-level merge formats; final requant into out_fmt.
+// level_fmts has (levels+1) entries, merge_fmts has (levels).
+// drain_ops: pairs (op, level): 0=seed, 1=convert, 2=add.
+void qh_tree_gemm(const int64_t *A, const int64_t *B, int64_t *C,
+                  int64_t m, int64_t k, int64_t n,
+                  int32_t fa_frac, int32_t fb_frac,
+                  const Fmt *mul_fmt, const Fmt *level_fmts,
+                  const Fmt *merge_fmts, int32_t levels,
+                  const int32_t *drain_ops, int32_t n_drain,
+                  const Fmt *out_fmt) {
+    int pf = fa_frac + fb_frac;
+    i128 *slots = new i128[levels];
+    for (int64_t i = 0; i < m; ++i) {
+        for (int64_t j = 0; j < n; ++j) {
+            for (int64_t t = 0; t < k; ++t) {
+                i128 v = requantize((i128)A[i * k + t] * (i128)B[t * n + j],
+                                    pf, *mul_fmt);
+                int64_t tt = t;
+                int lvl = 0;
+                while (tt & 1) {
+                    v = requantize(slots[lvl] + v,
+                                   level_fmts[lvl].frac_bits,
+                                   merge_fmts[lvl]);
+                    tt >>= 1;
+                    ++lvl;
+                }
+                slots[lvl] = v;
+            }
+            i128 carry = 0;
+            for (int32_t d = 0; d < n_drain; ++d) {
+                int op = drain_ops[2 * d], l = drain_ops[2 * d + 1];
+                if (op == 0) carry = slots[l];
+                else if (op == 1)
+                    carry = requantize(carry, level_fmts[l].frac_bits,
+                                       merge_fmts[l]);
+                else
+                    carry = requantize(slots[l] + carry,
+                                       level_fmts[l].frac_bits,
+                                       merge_fmts[l]);
+            }
+            // caller applies the final converting assignment via qh_cast
+            C[i * n + j] = (int64_t)carry;
+        }
+    }
+    delete[] slots;
+}
+
+// final cast applied separately so the caller controls the source format
+void qh_cast(const int64_t *in, int64_t *out, size_t n, int32_t from_frac,
+             const Fmt *to) {
+    qh_requantize(in, out, n, from_frac, to);
+}
+
+// --------------------------------------------------------------------------
+// BitStream pack/unpack (QuBLAS.h:4531-4827)
+// --------------------------------------------------------------------------
+
+// raw values -> '0'/'1' chars; width bits per element, MSB first
+void qh_pack_bits(const int64_t *in, char *out, size_t n, int32_t width) {
+    for (size_t i = 0; i < n; ++i) {
+        uint64_t v = (uint64_t)in[i];
+        for (int b = 0; b < width; ++b)
+            out[i * width + b] = ((v >> (width - 1 - b)) & 1) ? '1' : '0';
+    }
+}
+
+// '0'/'1' chars -> raw values; unsigned parse by default (reference stoi
+// semantics, QuBLAS.h:4699); twos_complement=1 sign-extends the MSB
+void qh_unpack_bits(const char *in, int64_t *out, size_t n, int32_t width,
+                    int32_t twos_complement) {
+    for (size_t i = 0; i < n; ++i) {
+        uint64_t v = 0;
+        for (int b = 0; b < width; ++b)
+            v = (v << 1) | (in[i * width + b] == '1' ? 1u : 0u);
+        int64_t r = (int64_t)v;
+        if (twos_complement && width > 0 && width < 64 &&
+            (v >> (width - 1)) & 1)
+            r -= (int64_t)1 << width;
+        out[i] = r;
+    }
+}
+
+int32_t qh_abi_version(void) { return 1; }
+
+}  // extern "C"

@@ -96,9 +96,20 @@ def to_bits(qtensor, tensor_order=None, elem_order=None) -> str:
 
     Reference entry points ``BitStream<procT>(scalar)`` and
     ``BitStream<tensorOrd, elemOrd>(tensor)`` (QuBLAS.h:4812-4827).
+    Packing runs in the native host engine when the width fits 64 bits.
     """
     width = qtensor.fmt.width
-    strs = [elem_bits(r, width) for r in _flat_raws(qtensor)]
+    raws = _flat_raws(qtensor)
+    strs = None
+    if 0 < width <= 64 and all(-(1 << 63) <= r < (1 << 63) for r in raws):
+        from . import native
+
+        packed = native.pack_bits(raws, width)
+        if packed is not None:
+            strs = [packed[i * width:(i + 1) * width]
+                    for i in range(len(raws))]
+    if strs is None:
+        strs = [elem_bits(r, width) for r in raws]
     strs = ["".join(_reorder(s, elem_order)) for s in strs]
     if qtensor.ndim == 0:
         # scalar path has no tensor-level ordering (QuBLAS.h:4800-4805)

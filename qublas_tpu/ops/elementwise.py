@@ -49,10 +49,25 @@ def _coerce_pair(a, b):
     return a, b
 
 
+_NATIVE_OPS = {"qmul": ("mul", mul_merge), "qadd": ("add", add_merge),
+               "qsub": ("sub", add_merge), "qdiv": ("div", add_merge)}
+
+
 def _host_binary(fn, a: QTensor, b: QTensor, **kw) -> QTensor:
+    fa, fb = a.fmt, b.fmt
+    nat = _NATIVE_OPS.get(fn.__name__)
+    if nat is not None:
+        # native C++ host engine fast path (bit-identical by differential
+        # tests); refuses and falls through when widths exceed its envelope
+        from .. import native
+
+        op, merger = nat
+        out_fmt = merger(fa, fb, kw.get("to"), kw.get("full_prec", False))
+        got = native.binary_op(op, a.raw(), b.raw(), fa, fb, out_fmt)
+        if got is not None:
+            return from_raw(got, out_fmt)
     A, B = np.broadcast_arrays(np.asarray(a.raw(), dtype=object),
                                np.asarray(b.raw(), dtype=object))
-    fa, fb = a.fmt, b.fmt
     out_raw, out_fmt = [], None
     for x, y in zip(A.reshape(-1), B.reshape(-1)):
         r, out_fmt = fn((int(x), fa), (int(y), fb), **kw)

@@ -171,7 +171,29 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
     if plan is not None and _device_epilogue_ok(plan, out_fmt):
         return _fast_gemm(a, b, out_fmt, plan, use_pallas)
 
-    # general path: quantized products + explicit tree
+    # general path: order-sensitive quantized accumulation.  Prefer the
+    # streaming binary-carry evaluation (no [m, k, n] intermediate); the
+    # Pallas variant keeps the slot stack in VMEM on TPU.
+    from . import tree_gemm
+
+    tplan = tree_gemm.plan_tree(a.fmt, b.fmt, mul_fmt, add_formats, k,
+                                out_fmt)
+    if tplan is not None:
+        import jax
+
+        m, n = a.shape[-2], b.shape[-1]
+        if use_pallas is None:
+            use_pallas = (jax.default_backend() == "tpu"
+                          and tree_gemm.pallas_tree_ok(m, n, k, tplan,
+                                                       a.ndim, b.ndim))
+        if use_pallas and tree_gemm.pallas_tree_ok(m, n, k, tplan, a.ndim,
+                                                   b.ndim):
+            raw = tree_gemm.tree_gemm_pallas(a.data, b.data, tplan, out_fmt)
+        else:
+            raw = tree_gemm.tree_gemm_scan(a.data, b.data, tplan, out_fmt)
+        return QTensor(raw, out_fmt)
+
+    # layered fallback: materialized quantized products + explicit tree
     prod = ew.qmul(QTensor(a.data[..., :, :, None], a.fmt),
                    QTensor(b.data[..., None, :, :], b.fmt),
                    to=mul_to, full_prec=mul_full_prec)

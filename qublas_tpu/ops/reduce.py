@@ -80,6 +80,11 @@ def qreduce(x: QTensor, layer_formats=(), axis=None) -> QTensor:
         a = cur[0 : (m // 2) * 2 : 2]
         b = cur[1 : (m // 2) * 2 : 2]
         s = ew.qadd(a, b, to=fmt)
+        if s.is_host:
+            # a layer outgrew the device lanes: finish exactly on the host,
+            # continuing from the current layer (formats already consumed
+            # stay consumed — TypeAt indexes the original layer number)
+            return _qreduce_host(cur, layer_formats, 0, first_layer=layer)
         if m % 2:
             tail = cur[m - 1 : m]
             # converting assignment into the layer vector's element type
@@ -103,8 +108,16 @@ def _concat(parts):
     return jnp.concatenate(parts, axis=0)
 
 
-def _qreduce_host(x: QTensor, layer_formats, axis: int) -> QTensor:
-    """Exact host path for wide formats: per-lane golden-model reduction."""
+def _qreduce_host(x: QTensor, layer_formats, axis: int,
+                  first_layer: int = 0) -> QTensor:
+    """Exact host path for wide formats: per-lane golden-model reduction.
+    ``first_layer`` offsets the layer index for TypeAt when resuming a
+    reduction the device path started."""
+    if first_layer:
+        layer_formats = tuple(
+            layer_format(layer_formats, first_layer + i)
+            for i in range(max(len(layer_formats) - first_layer, 1))
+        ) if layer_formats else ()
     arr = np.asarray(x.raw(), dtype=object)
     arr = np.moveaxis(arr, axis, -1)
     batch_shape = arr.shape[:-1]

@@ -1,0 +1,315 @@
+"""Streaming binary-carry evaluation of the order-sensitive quantized GEMM.
+
+The general Qgemul config (per-product requantization + per-layer quantized
+tree accumulation, e.g. the canonical ``Qu<8,8,TRN::TCPL,SAT::ZERO>`` GEMM)
+cannot use the MXU: every product must be individually requantized before it
+is summed, and every tree layer requantizes again, so the computation is a
+VPU elementwise program.  The naive implementation materializes the
+``[m, k, n]`` product tensor and reduces it layer by layer — O(log k) HBM
+round trips of O(mkn) data.
+
+This module evaluates the *exact same tree* as a single left-to-right stream
+over k using the classic binary-counter trick: keep one partial sum per tree
+level ("slots"); pushing product t merges it into slot 0, 1, … for each
+trailing one-bit of t, each merge being the reference's layer-l ``Qadd``
+requantized to that layer's format.  Because every merge combines two
+*adjacent complete subtrees* of equal span, the sequence of adds is exactly
+the balanced-tree pairing of the reference's vector-path reducer
+(QuBLAS.h:4960-4990), and the final drain reproduces the ragged right edge —
+including the odd-tail converting assignments (QuBLAS.h:4977-4980) — for any
+k, verified element-for-element against the host golden model.
+
+Two backends share the schedule:
+
+* :func:`tree_gemm_scan` — ``lax.scan`` over k, carry = the slot stack.
+  Portable (CPU/TPU), no [m,k,n] intermediate.
+* :func:`tree_gemm_pallas` — Pallas TPU kernel, grid over (M, N) tiles with
+  the whole K panel and the slot stack resident in VMEM: HBM traffic drops
+  to O(mk + kn + mn).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+from ..qformat import QFormat, add_merge
+from . import wideint as W
+from .reduce import layer_format
+from .widths import (
+    Interval,
+    dtype_for,
+    requant_out_interval,
+    route_mul,
+    route_requant,
+)
+
+__all__ = ["plan_tree", "TreePlan", "tree_gemm_scan", "tree_gemm_pallas"]
+
+
+@dataclass(frozen=True)
+class TreePlan:
+    """Static schedule for the streaming tree evaluation."""
+
+    k: int
+    prod_route: str          # "i32" | "pair" — exact product then requant
+    prod_frac: int
+    mul_fmt: QFormat
+    levels: int              # number of slot levels (floor(log2(k)) + 1)
+    level_fmts: Tuple[QFormat, ...]   # format of a value at each level
+    merge_fmts: Tuple[QFormat, ...]   # layer-l format (merge level l -> l+1)
+    drain: Tuple[Tuple[str, int], ...]  # ("seed"|"convert"|"add", level)
+    final_fmt: QFormat
+
+
+def plan_tree(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
+              k: int, out_fmt: QFormat) -> Optional[TreePlan]:
+    """Build the schedule and prove every step fits int32 lanes (products may
+    use the 64-bit pair path).  Returns None when any step would need the
+    host path."""
+    if k < 1:
+        return None
+    prod_route, prod_iv, prod_frac = route_mul(fa, fb, mul_fmt)
+    if prod_route == "host":
+        return None
+
+    def union(a: Interval, b: Interval) -> Interval:
+        return Interval(min(a.lo, b.lo), max(a.hi, b.hi))
+
+    levels = max(k.bit_length(), 1)
+    level_fmts = [mul_fmt]
+    merge_fmts = []
+    # track the actual value interval at each level (post-saturation), so the
+    # route proofs are tight rather than assuming full storage ranges
+    iv, _ = requant_out_interval(prod_iv, prod_frac, mul_fmt)
+    level_ivs = [iv]
+    for l in range(levels):
+        cur = level_fmts[l]
+        lf = layer_format(add_formats, l)
+        if lf is None:
+            lf = add_merge(cur, cur)
+        merge_fmts.append(lf)
+        level_fmts.append(lf)
+        s = level_ivs[l] + level_ivs[l]
+        if not s.fits32:
+            return None
+        if route_requant(s, cur.frac_bits, lf) != "i32":
+            return None
+        if route_requant(level_ivs[l], cur.frac_bits, lf) != "i32":
+            return None  # tail converting assignment at this layer
+        pair_iv, _ = requant_out_interval(s, cur.frac_bits, lf)
+        tail_iv, _ = requant_out_interval(level_ivs[l], cur.frac_bits, lf)
+        level_ivs.append(union(pair_iv, tail_iv))
+
+    # drain schedule: combine the leftover slots (binary repr of k),
+    # lowest level first, converting through layers passed without a merge.
+    # Invariant: a carry entering layer l always has format level_fmts[l].
+    drain = []
+    carry_active = False
+    carry_iv = None
+    occupied = [bool(k & (1 << l)) for l in range(levels)]
+    cur_fmt = level_fmts[0]
+    for l in range(levels):
+        remaining_above = any(occupied[l + 1:])
+        if occupied[l] and carry_active:
+            s = level_ivs[l] + carry_iv
+            if not s.fits32:
+                return None
+            if route_requant(s, level_fmts[l].frac_bits,
+                             merge_fmts[l]) != "i32":
+                return None
+            carry_iv, _ = requant_out_interval(s, level_fmts[l].frac_bits,
+                                               merge_fmts[l])
+            drain.append(("add", l))
+            cur_fmt = merge_fmts[l]
+        elif occupied[l] or carry_active:
+            if occupied[l]:
+                drain.append(("seed", l))
+                cur_fmt = level_fmts[l]
+                carry_iv = level_ivs[l]
+            if remaining_above:
+                if route_requant(carry_iv, cur_fmt.frac_bits,
+                                 merge_fmts[l]) != "i32":
+                    return None
+                carry_iv, _ = requant_out_interval(
+                    carry_iv, cur_fmt.frac_bits, merge_fmts[l])
+                drain.append(("convert", l))
+                cur_fmt = merge_fmts[l]
+            carry_active = True
+        if not remaining_above and carry_active:
+            break
+    final_fmt = cur_fmt
+    if route_requant(carry_iv, final_fmt.frac_bits, out_fmt) != "i32":
+        return None
+    if dtype_for(out_fmt) is None:
+        return None
+    return TreePlan(k, prod_route, prod_frac, mul_fmt, levels,
+                    tuple(level_fmts), tuple(merge_fmts), tuple(drain),
+                    final_fmt)
+
+
+def _merge_count(t: int, levels: int):
+    """Number of trailing one-bits of t (number of merges when pushing
+    product t), as a traced int32 computation."""
+    import jax.numpy as jnp
+
+    cnt = jnp.int32(0)
+    done = jnp.bool_(False)
+    for l in range(levels):
+        bit = ((t >> l) & 1) == 1
+        take = bit & ~done
+        cnt = cnt + take.astype(jnp.int32)
+        done = done | ~bit
+    return cnt
+
+
+def _product(plan: TreePlan, col, row):
+    """Requantized outer product (one level-0 value)."""
+    if plan.prod_route == "i32":
+        return W.requantize_i32(col * row, plan.prod_frac, plan.mul_fmt)
+    return W.requantize_pair(W.mul32_wide(col, row), plan.prod_frac,
+                             plan.mul_fmt)
+
+
+def _merge(plan: TreePlan, l: int, left, right):
+    """Layer-l Qadd: align (same format, no shift), add, requantize."""
+    lf = plan.merge_fmts[l]
+    cur = plan.level_fmts[l]
+    return W.requantize_i32(left + right, cur.frac_bits, lf)
+
+
+def _drain(plan: TreePlan, read_slot):
+    """Run the drain schedule; ``read_slot(l)`` yields slot l's array."""
+    carry = None
+    for op, l in plan.drain:
+        if op == "seed":
+            carry = read_slot(l)
+        elif op == "convert":
+            cur = plan.level_fmts[l]
+            carry = W.requantize_i32(carry, cur.frac_bits, plan.merge_fmts[l])
+        else:  # add: slot l is the earlier (left) operand
+            carry = _merge(plan, l, read_slot(l), carry)
+    return carry
+
+
+# ---------------------------------------------------------------------------
+# lax.scan backend
+# ---------------------------------------------------------------------------
+
+def tree_gemm_scan(a_data, b_data, plan: TreePlan, out_fmt: QFormat):
+    """[..., m, k] @ [..., k, n] via a scan over k.  Carry: slot stack
+    [levels, ..., m, n] int32 + validity mask handled by index arithmetic
+    (slot l is live iff bit l of the running count is set, so no mask array
+    is needed)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    a32 = a_data.astype(jnp.int32)
+    b32 = b_data.astype(jnp.int32)
+    batch = jnp.broadcast_shapes(a32.shape[:-2], b32.shape[:-2])
+    m, k = a32.shape[-2:]
+    _, n = b32.shape[-2:]
+    a32 = jnp.broadcast_to(a32, batch + (m, k))
+    b32 = jnp.broadcast_to(b32, batch + (k, n))
+    out_shape = batch + (m, n)
+
+    cols = jnp.moveaxis(a32, -1, 0)[..., :, None]   # [k, ..., m, 1]
+    rows = jnp.moveaxis(b32, -2, 0)[..., None, :]   # [k, ..., 1, n]
+    slots0 = jnp.zeros((plan.levels,) + out_shape, dtype=jnp.int32)
+
+    def step(carry, xs):
+        slots, t = carry
+        col, row = xs
+        v = _product(plan, col, row)
+        cnt = _merge_count(t, plan.levels)
+        for l in range(plan.levels):
+            do = l < cnt
+            merged = _merge(plan, l, slots[l], v)
+            v = jnp.where(do, merged, v)
+        # store v at slot[cnt]
+        onehot = (jnp.arange(plan.levels) == cnt)
+        oh = onehot.reshape((plan.levels,) + (1,) * len(out_shape))
+        slots = jnp.where(oh, v[None], slots)
+        return (slots, t + 1), None
+
+    (slots, _), _ = lax.scan(step, (slots0, jnp.int32(0)), (cols, rows))
+    result = _drain(plan, lambda l: slots[l])
+    raw = W.requantize_i32(result, plan.final_fmt.frac_bits, out_fmt)
+    return raw.astype(dtype_for(out_fmt))
+
+
+# ---------------------------------------------------------------------------
+# Pallas backend
+# ---------------------------------------------------------------------------
+
+_BM, _BN = 128, 128
+_VMEM_CAP = 12 * 1024 * 1024
+
+
+def pallas_tree_ok(m: int, n: int, k: int, plan: TreePlan,
+                   ndim_a: int, ndim_b: int) -> bool:
+    if ndim_a != 2 or ndim_b != 2:
+        return False
+    if m % _BM or n % _BN:
+        return False
+    # VMEM: A panel + B panel + slot stack + out tile (int32)
+    need = 4 * (_BM * k + k * _BN + plan.levels * _BM * _BN + _BM * _BN)
+    if plan.prod_route == "pair":
+        need += 4 * 2 * _BM * _BN
+    return need <= _VMEM_CAP
+
+
+def tree_gemm_pallas(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
+                     interpret: Optional[bool] = None):
+    """Pallas kernel: grid (M/BM, N/BN); each program streams its (BM, K) ×
+    (K, BN) panels through the slot stack entirely in VMEM."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, k = a_data.shape
+    _, n = b_data.shape
+    out_dtype = dtype_for(out_fmt)
+
+    def kernel(a_ref, b_ref, out_ref, slots_ref):
+        def step(t, _):
+            col = a_ref[:, t][:, None].astype(jnp.int32)
+            row = b_ref[t, :][None, :].astype(jnp.int32)
+            v = _product(plan, col, row)
+            cnt = _merge_count(t, plan.levels)
+            for l in range(plan.levels):
+                merged = _merge(plan, l, slots_ref[l], v)
+                v = jnp.where(l < cnt, merged, v)
+            slots_ref[pl.ds(cnt, 1)] = v[None]
+            return 0
+
+        lax.fori_loop(0, k, step, 0)
+        result = _drain(plan, lambda l: slots_ref[l])
+        raw = W.requantize_i32(result, plan.final_fmt.frac_bits, out_fmt)
+        out_ref[:] = raw.astype(out_dtype)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(m // _BM, n // _BN),
+        in_specs=[
+            pl.BlockSpec((_BM, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, _BN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_BM, _BN), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((plan.levels, _BM, _BN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(a_data, b_data)

@@ -205,9 +205,17 @@ def from_float(values: Any, fmt: QFormat) -> QTensor:
     """Exact double → fixed conversion, element-wise on the host.
 
     Matches the reference's 2400-bit-exact constructor path
-    (QuBLAS.h:2387-2393) for every element.
+    (QuBLAS.h:2387-2393) for every element.  Uses the native C++ host engine
+    when the format fits its 64-bit storage envelope (differentially tested
+    against the Python model); falls back to exact Python ints otherwise.
     """
     arr = np.asarray(values, dtype=np.float64)
+    if fmt.storage_bits <= 64:
+        from . import native
+
+        raws = native.double_to_raw(arr, fmt)
+        if raws is not None:
+            return from_raw(raws, fmt)
     flat = [hostint.double_to_raw(float(v), fmt) for v in arr.reshape(-1)]
     return from_raw(np.array(flat, dtype=object).reshape(arr.shape), fmt)
 

@@ -1,0 +1,127 @@
+"""Differential tests: native C++ host engine vs the exact Python model.
+
+The Python model (hostint/hostops) is the semantic source of truth (itself
+pinned to the compiled reference by tests/golden_data); the native engine
+must agree bit-for-bit on every input in its supported envelope.
+"""
+
+import itertools
+
+import numpy as np
+import pytest
+
+from qublas_tpu import hostint, hostops, native
+from qublas_tpu.qformat import OverflowMode, QFormat, RoundMode, qformat
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native engine unavailable (no g++)")
+
+rng = np.random.RandomState(123)
+
+ALL_RM = list(RoundMode)
+ALL_OM = list(OverflowMode)
+
+
+def sample(fmt, n=200):
+    return rng.randint(fmt.raw_min, fmt.raw_max + 1, size=n)
+
+
+@pytest.mark.parametrize("rm", ALL_RM)
+@pytest.mark.parametrize("om", ALL_OM)
+def test_requantize_all_modes(rm, om):
+    src = qformat(6, 6)
+    dst = qformat(3, 2, round_mode=rm, overflow_mode=om)
+    raws = sample(src)
+    got = native.requantize(raws, src, dst)
+    assert got is not None
+    want = [hostint.requantize(int(v), src.frac_bits, dst) for v in raws]
+    assert got.tolist() == want
+
+
+@pytest.mark.parametrize("src,dst", [
+    (qformat(4, 4), qformat(8, 9)),                 # widening
+    (qformat(6, -3), qformat(2, 1)),                # negative frac
+    (qformat(-2, 6), qformat(-1, 3)),               # negative int
+    (qformat(10, 10), qformat(3, 3, signed=False)), # unsigned target
+    (qformat(30, 30), qformat(8, 8)),               # wide-ish source
+])
+def test_requantize_shapes(src, dst):
+    raws = sample(src, 100)
+    got = native.requantize(raws, src, dst)
+    assert got is not None
+    want = [hostint.requantize(int(v), src.frac_bits, dst) for v in raws]
+    assert got.tolist() == want
+
+
+@pytest.mark.parametrize("rm", ALL_RM)
+def test_double_to_raw(rm):
+    for f in (qformat(8, 8, round_mode=rm),
+              qformat(6, -3, round_mode=rm),
+              qformat(-2, 6, round_mode=rm),
+              qformat(3, 5, signed=False, round_mode=rm,
+                      overflow_mode=OverflowMode.SAT_ZERO),
+              qformat(30, 30, round_mode=rm)):
+        vals = [0.0, 1.0, -1.0, 1.25, -1.25, 0.1, -0.1, 3.14159,
+                1e-8, -1e-8, 123456.789, -123456.789, 1e20, -1e20,
+                1e-300, -1e-300, 0.09375, 1.59375, float("nan"),
+                float("inf"), float("-inf"), 255.9999, -256.0]
+        got = native.double_to_raw(np.array(vals), f)
+        assert got is not None
+        want = [hostint.double_to_raw(v, f) for v in vals]
+        assert got.tolist() == want, (f, [
+            (v, g, w) for v, g, w in zip(vals, got.tolist(), want) if g != w])
+
+
+def test_double_to_raw_refuses_wrap_modes():
+    f = qformat(8, 8, overflow_mode=OverflowMode.WRP_TCPL)
+    assert native.double_to_raw(np.array([1.0]), f) is None
+
+
+@pytest.mark.parametrize("op", ["mul", "add", "sub", "div"])
+def test_binary_ops(op):
+    fa, fb = qformat(4, 4), qformat(3, 5)
+    host_fn = {"mul": hostops.qmul, "add": hostops.qadd,
+               "sub": hostops.qsub, "div": hostops.qdiv}[op]
+    for rm, om in itertools.product(
+            (RoundMode.TRN_TCPL, RoundMode.RND_CONV, RoundMode.RND_INF),
+            (OverflowMode.SAT_TCPL, OverflowMode.SAT_ZERO,
+             OverflowMode.WRP_TCPL)):
+        to = qformat(3, 2, round_mode=rm, overflow_mode=om)
+        a, b = sample(fa, 100), sample(fb, 100)
+        if op == "div":
+            b[b == 0] = 1
+            b[7] = 0  # keep one div-by-zero case
+        got = native.binary_op(op, a, b, fa, fb, to)
+        assert got is not None
+        want = [host_fn((int(x), fa), (int(y), fb), to=to)[0]
+                for x, y in zip(a, b)]
+        assert got.tolist() == want, (op, rm, om)
+
+
+def test_pack_unpack_bits():
+    f = qformat(6, 3)
+    raws = sample(f, 64)
+    s = native.pack_bits(raws, f.width)
+    assert s is not None
+    from qublas_tpu.bitstream import elem_bits
+
+    assert s == "".join(elem_bits(int(v), f.width) for v in raws)
+    back = native.unpack_bits(s, f.width, True)
+    assert back.tolist() == [int(v) for v in raws]
+    back_u = native.unpack_bits(s, f.width, False)
+    assert back_u.tolist() == [int(v) & ((1 << f.width) - 1) for v in raws]
+
+
+def test_from_float_uses_native_and_matches():
+    from qublas_tpu.qtensor import from_float
+
+    f = qformat(8, 8, round_mode=RoundMode.RND_POS_INF)
+    vals = rng.randn(1000) * 100
+    t = from_float(vals, f)
+    want = [hostint.double_to_raw(float(v), f) for v in vals]
+    assert [int(v) for v in np.asarray(t.raw()).reshape(-1)] == want
+
+
+def test_refuses_oversized_formats():
+    wide = qformat(40, 40)
+    assert native.requantize([1], wide, wide) is None

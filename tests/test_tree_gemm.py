@@ -1,0 +1,102 @@
+"""Streaming binary-carry tree GEMM vs the host golden model.
+
+The schedule must reproduce the reference's balanced-tree pairing and
+odd-tail converting assignments for every k (QuBLAS.h:4960-4990), so k
+values around powers of two are the interesting cases.
+"""
+
+import numpy as np
+import pytest
+
+from qublas_tpu import hostops
+from qublas_tpu.ops import tree_gemm
+from qublas_tpu.ops.gemm import qgemul
+from qublas_tpu.qformat import OverflowMode, RoundMode, mul_merge, qformat
+from qublas_tpu.qtensor import from_raw
+
+rng = np.random.RandomState(77)
+
+F88Z = qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO)
+F44 = qformat(4, 4)
+
+
+def host_ref(A, B, fa, fb, out, **kw):
+    m, k = A.shape
+    _, n = B.shape
+    ar = [[(int(A[i, p]), fa) for p in range(k)] for i in range(m)]
+    br = [[(int(B[p, j]), fb) for j in range(n)] for p in range(k)]
+    return np.array([[c[0] for c in row]
+                     for row in hostops.qgemul(ar, br, out, **kw)])
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4, 5, 7, 8, 9, 15, 16, 17, 33])
+def test_scan_matches_host_canonical(k):
+    A = rng.randint(F88Z.raw_min, F88Z.raw_max + 1, (3, k))
+    B = rng.randint(F88Z.raw_min, F88Z.raw_max + 1, (k, 4))
+    mf = mul_merge(F88Z, F88Z, None, False)
+    plan = tree_gemm.plan_tree(F88Z, F88Z, mf, (), k, F88Z)
+    assert plan is not None
+    got = np.asarray(tree_gemm.tree_gemm_scan(
+        from_raw(A, F88Z).data, from_raw(B, F88Z).data, plan, F88Z))
+    np.testing.assert_array_equal(got, host_ref(A, B, F88Z, F88Z, F88Z))
+
+
+@pytest.mark.parametrize("k", [3, 6, 11, 16])
+def test_scan_matches_host_layered(k):
+    mul_to = qformat(5, 5, overflow_mode=OverflowMode.SAT_ZERO)
+    layers = (qformat(6, 4, round_mode=RoundMode.RND_CONV), qformat(5, 2))
+    out = qformat(6, 3)
+    A = rng.randint(F44.raw_min, F44.raw_max + 1, (4, k))
+    B = rng.randint(F44.raw_min, F44.raw_max + 1, (k, 3))
+    mf = mul_merge(F44, F44, mul_to, False)
+    plan = tree_gemm.plan_tree(F44, F44, mf, layers, k, out)
+    assert plan is not None
+    got = np.asarray(tree_gemm.tree_gemm_scan(
+        from_raw(A, F44).data, from_raw(B, F44).data, plan, out))
+    np.testing.assert_array_equal(
+        got, host_ref(A, B, F44, F44, out, mul_to=mul_to, add_formats=layers))
+
+
+def test_qgemul_dispatches_tree_scan():
+    """qgemul's general path now uses the streaming evaluation — same bits
+    as the layered fallback and the host model."""
+    k = 13
+    A = rng.randint(F88Z.raw_min, F88Z.raw_max + 1, (5, k))
+    B = rng.randint(F88Z.raw_min, F88Z.raw_max + 1, (k, 6))
+    dev = qgemul(from_raw(A, F88Z), from_raw(B, F88Z), F88Z)
+    np.testing.assert_array_equal(
+        np.asarray(dev.raw(), dtype=np.int64),
+        host_ref(A, B, F88Z, F88Z, F88Z))
+
+
+def test_pallas_tree_matches_scan_interpret():
+    k = 24
+    A = rng.randint(F88Z.raw_min, F88Z.raw_max + 1, (128, k))
+    B = rng.randint(F88Z.raw_min, F88Z.raw_max + 1, (k, 128))
+    mf = mul_merge(F88Z, F88Z, None, False)
+    plan = tree_gemm.plan_tree(F88Z, F88Z, mf, (), k, F88Z)
+    a, b = from_raw(A, F88Z).data, from_raw(B, F88Z).data
+    scan = np.asarray(tree_gemm.tree_gemm_scan(a, b, plan, F88Z))
+    pal = np.asarray(tree_gemm.tree_gemm_pallas(a, b, plan, F88Z,
+                                                interpret=True))
+    np.testing.assert_array_equal(pal, scan)
+
+
+def test_plan_rejects_host_only_formats():
+    wide = qformat(40, 40)
+    assert tree_gemm.plan_tree(wide, wide, mul_merge(wide, wide),
+                               (), 4, wide) is None
+
+
+def test_batched_scan():
+    k = 9
+    A = rng.randint(F44.raw_min, F44.raw_max + 1, (2, 3, k))
+    B = rng.randint(F44.raw_min, F44.raw_max + 1, (2, k, 3))
+    out = qformat(5, 3)
+    mf = mul_merge(F44, F44, None, False)
+    plan = tree_gemm.plan_tree(F44, F44, mf, (), k, out)
+    got = np.asarray(tree_gemm.tree_gemm_scan(
+        from_raw(A, F44).data, from_raw(B, F44).data, plan, out))
+    for i in range(2):
+        np.testing.assert_array_equal(
+            got[i], host_ref(A[i], B[i], F44, F44, out))
