@@ -45,6 +45,7 @@ _LAZY = {
     "qcast": "ops.elementwise",
     # reductions / GEMM
     "qreduce": "ops.reduce", "qgemul": "ops.gemm", "qgemv": "ops.gemm",
+    "cgemul": "ops.cgemm", "cgemv": "ops.cgemm",
     # complex
     "QComplexTensor": "complex", "complex_from_parts": "complex",
     "complex_from_float": "complex", "complex_from_raw": "complex",
@@ -57,6 +58,10 @@ _LAZY = {
     "qpoly": "anus", "qapprox": "anus", "Segment": "anus",
     "qtable": "anus", "QTable": "anus", "build_table": "anus",
     "rsqrt_func": "anus", "reciprocal_func": "anus", "sqrt_func": "anus",
+    # diagnostics / persistence
+    "requant_stats": "diagnostics", "format_range_report": "diagnostics",
+    "save": "checkpoint", "load": "checkpoint",
+    "dumps_bits": "checkpoint", "loads_bits": "checkpoint",
 }
 
 

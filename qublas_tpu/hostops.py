@@ -270,6 +270,44 @@ def single_tag_default(*specs):
     return given[0] if len(given) == 1 else None
 
 
+def cgemul(a_rows, b_rows, out_fmts, algo="basic", add_formats=(),
+           **mul_tags):
+    """Complex GEMM golden model: per-product complex multiply (basic/TF)
+    + per-part vector-path tree accumulation + per-part converting
+    assignment.  ``a_rows``/``b_rows`` are nested lists of complex pairs
+    ``((re_raw, re_fmt), (im_raw, im_fmt))``; ``out_fmts`` a (real, imag)
+    format pair (single QFormat = both).  See ops/cgemm.py for the design
+    rationale (the reference defines the pieces, not the composition)."""
+    from .qformat import QFormat as _QF
+
+    if isinstance(out_fmts, _QF):
+        out_fmts = (out_fmts, out_fmts)
+    layers_r, layers_i = [], []
+    for spec in ((add_formats,) if isinstance(add_formats, _QF)
+                 else add_formats):
+        if isinstance(spec, _QF):
+            layers_r.append(spec)
+            layers_i.append(spec)
+        else:
+            layers_r.append(spec[0])
+            layers_i.append(spec[1])
+    mulfn = complex_mul_tf if algo == "tf" else complex_mul_basic
+    m, k = len(a_rows), len(a_rows[0])
+    n = len(b_rows[0])
+    out = []
+    for i in range(m):
+        row = []
+        for j in range(n):
+            prods = [mulfn(a_rows[i][p], b_rows[p][j], **mul_tags)
+                     for p in range(k)]
+            acc_r = qreduce_list([p[0] for p in prods], tuple(layers_r))
+            acc_i = qreduce_list([p[1] for p in prods], tuple(layers_i))
+            row.append((convert(acc_r, out_fmts[0]),
+                        convert(acc_i, out_fmts[1])))
+        out.append(row)
+    return out
+
+
 def complex_mul_basic(a, b, ac=None, bd=None, ad=None, bc=None,
                       acbd=None, adbc=None):
     """4-mul/2-add complex multiply: (ac-bd) + (ad+bc)i, each intermediate op

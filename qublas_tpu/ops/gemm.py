@@ -144,7 +144,8 @@ def exact_plan(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
 def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
            add_formats=(), transpose_a: bool = False,
            transpose_b: bool = False, mul_full_prec: bool = False,
-           use_pallas: Optional[bool] = None) -> QTensor:
+           use_pallas: Optional[bool] = None,
+           epilogue_lut=None) -> QTensor:
     """C = op(A) @ op(B) with per-product and per-layer quantization.
 
     Readme-parity API (``readme.md:80-87``): ``mul_to`` ~ QgemulMulArgs,
@@ -153,7 +154,17 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
     the reference has no batching).  ``use_pallas`` forces/disables the
     Pallas MXU kernel on the fast path (default: auto — on for TPU-backed
     arrays with tile-friendly shapes).
+
+    ``epilogue_lut`` fuses an ANUS ROM lookup into the GEMM epilogue
+    (BASELINE.json config 4): a :class:`~qublas_tpu.anus.QTable` built for
+    ``out_fmt`` maps every output element after the converting assignment —
+    bit-identical to ``table(qgemul(...))``, with the gather fused by XLA
+    into the epilogue on device.
     """
+    if epilogue_lut is not None:
+        c = qgemul(a, b, out_fmt, mul_to, add_formats, transpose_a,
+                   transpose_b, mul_full_prec, use_pallas)
+        return epilogue_lut(c)
     if isinstance(add_formats, QFormat):
         add_formats = (add_formats,)
     add_formats = tuple(add_formats)

@@ -216,7 +216,12 @@ def tree_gemm_scan(a_data, b_data, plan: TreePlan, out_fmt: QFormat):
 
     cols = jnp.moveaxis(a32, -1, 0)[..., :, None]   # [k, ..., m, 1]
     rows = jnp.moveaxis(b32, -2, 0)[..., None, :]   # [k, ..., 1, n]
-    slots0 = jnp.zeros((plan.levels,) + out_shape, dtype=jnp.int32)
+    # derive the initial carry from the operands so it inherits their
+    # varying-manual-axes type under shard_map (a plain jnp.zeros carry
+    # mismatches the loop output's vma and scan rejects it)
+    zero = (cols[0] * rows[0]) * 0
+    slots0 = (jnp.zeros((plan.levels,) + out_shape, dtype=jnp.int32)
+              + zero[None])
 
     def step(carry, xs):
         slots, t = carry
@@ -278,16 +283,24 @@ def tree_gemm_pallas(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
     _, n = b_data.shape
     out_dtype = dtype_for(out_fmt)
 
-    def kernel(a_ref, b_ref, out_ref, slots_ref):
+    def kernel(at_ref, b_ref, out_ref, slots_ref):
+        # A arrives transposed (k, BM): both k-indexed reads are then on the
+        # sublane dimension — dynamic lane-dim indexing is not supported by
+        # the Mosaic compiler
         def step(t, _):
-            col = a_ref[:, t][:, None].astype(jnp.int32)
+            col = at_ref[t, :][:, None].astype(jnp.int32)
             row = b_ref[t, :][None, :].astype(jnp.int32)
             v = _product(plan, col, row)
             cnt = _merge_count(t, plan.levels)
             for l in range(plan.levels):
                 merged = _merge(plan, l, slots_ref[l], v)
                 v = jnp.where(l < cnt, merged, v)
-            slots_ref[pl.ds(cnt, 1)] = v[None]
+            # static-index conditional stores (Mosaic rejects dynamic
+            # leading-dim scatter into VMEM scratch)
+            for l in range(plan.levels):
+                @pl.when(cnt == l)
+                def _store(l=l, v=v):
+                    slots_ref[l] = v
             return 0
 
         lax.fori_loop(0, k, step, 0)
@@ -299,7 +312,7 @@ def tree_gemm_pallas(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
         kernel,
         grid=(m // _BM, n // _BN),
         in_specs=[
-            pl.BlockSpec((_BM, k), lambda i, j: (i, 0),
+            pl.BlockSpec((k, _BM), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((k, _BN), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
@@ -312,4 +325,4 @@ def tree_gemm_pallas(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(a_data, b_data)
+    )(a_data.T, b_data)

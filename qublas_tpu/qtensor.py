@@ -141,6 +141,17 @@ class QTensor:
         """Slicing/views (replaces reference sr<>/SliceExpression, L7)."""
         return QTensor(self.data[idx], self.fmt)
 
+    def shuffle(self, seed: int = 1) -> "QTensor":
+        """Random permutation of the flattened elements (parity with the
+        reference tensor's ``shuffle()``, QuBLAS.h:2843-2850; deterministic
+        via ``seed`` like the fixed-seed global RNG, QuBLAS.h:30)."""
+        perm = np.random.RandomState(seed).permutation(int(self.size))
+        if self.is_host:
+            flat = self.data.reshape(-1)[perm]
+            return QTensor(flat.reshape(self.data.shape), self.fmt)
+        return QTensor(self.data.reshape(-1)[perm].reshape(self.shape),
+                       self.fmt)
+
     # --- operators (XLA-fused elementwise; replaces reference expression
     #     templates, L6 — laziness is the compiler's job) ---------------------
     def _ew(self, name, other):
