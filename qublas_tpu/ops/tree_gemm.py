@@ -196,11 +196,24 @@ def _drain(plan: TreePlan, read_slot):
 # lax.scan backend
 # ---------------------------------------------------------------------------
 
+def _block_size(k: int) -> int:
+    """Products per scan step: the largest power of two dividing k, capped.
+    The in-step tree handles the low ``log2(blk)`` levels vectorized; the
+    carry stack handles levels above."""
+    blk = k & (-k)  # largest power-of-two divisor
+    return min(blk, 64)
+
+
 def tree_gemm_scan(a_data, b_data, plan: TreePlan, out_fmt: QFormat):
-    """[..., m, k] @ [..., k, n] via a scan over k.  Carry: slot stack
-    [levels, ..., m, n] int32 + validity mask handled by index arithmetic
-    (slot l is live iff bit l of the running count is set, so no mask array
-    is needed)."""
+    """[..., m, k] @ [..., k, n] via a scan over k-blocks.
+
+    Each step computes ``blk`` quantized outer products, folds them with the
+    first ``log2(blk)`` tree layers vectorized in-step (shape
+    ``[..., blk/2^l, m, n]``), then pushes the block result into the
+    binary-carry slot stack; ``lax.switch`` over the trailing-ones count runs
+    exactly the merges this step needs.  Slot ``l`` is live iff bit ``l`` of
+    the running block count is set, so no mask array is needed.
+    """
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -214,32 +227,59 @@ def tree_gemm_scan(a_data, b_data, plan: TreePlan, out_fmt: QFormat):
     b32 = jnp.broadcast_to(b32, batch + (k, n))
     out_shape = batch + (m, n)
 
-    cols = jnp.moveaxis(a32, -1, 0)[..., :, None]   # [k, ..., m, 1]
-    rows = jnp.moveaxis(b32, -2, 0)[..., None, :]   # [k, ..., 1, n]
+    blk = _block_size(k)
+    inblk_levels = blk.bit_length() - 1          # layers folded in-step
+    nblocks = k // blk
+    top_levels = max(plan.levels - inblk_levels, 1)
+
+    # [nblocks, blk, ..., m, 1] / [nblocks, blk, ..., 1, n]
+    cols = jnp.moveaxis(a32, -1, 0).reshape(
+        (nblocks, blk) + batch + (m, 1))
+    rows = jnp.moveaxis(b32, -2, 0).reshape(
+        (nblocks, blk) + batch + (1, n))
+
+    def block_value(col, row):
+        """Fold one block of products through the in-step tree layers."""
+        v = _product(plan, col, row)                 # [blk, ..., m, n]
+        for l in range(inblk_levels):
+            v = _merge(plan, l, v[0::2], v[1::2])
+        return v[0]                                  # [..., m, n]
+
     # derive the initial carry from the operands so it inherits their
     # varying-manual-axes type under shard_map (a plain jnp.zeros carry
     # mismatches the loop output's vma and scan rejects it)
-    zero = (cols[0] * rows[0]) * 0
-    slots0 = (jnp.zeros((plan.levels,) + out_shape, dtype=jnp.int32)
+    zero = (cols[0, 0] * rows[0, 0]) * 0             # [..., m, n]
+    slots0 = (jnp.zeros((top_levels,) + out_shape, dtype=jnp.int32)
               + zero[None])
+
+    def make_branch(j):
+        # j carry-merges (tree levels inblk_levels .. inblk_levels+j-1),
+        # then store at slot j — all indices static
+        def br(slots, v):
+            for l in range(j):
+                v = _merge(plan, inblk_levels + l, slots[l], v)
+            return slots.at[j].set(v)
+        return br
+
+    branches = [make_branch(j) for j in range(top_levels)]
 
     def step(carry, xs):
         slots, t = carry
         col, row = xs
-        v = _product(plan, col, row)
-        cnt = _merge_count(t, plan.levels)
-        for l in range(plan.levels):
-            do = l < cnt
-            merged = _merge(plan, l, slots[l], v)
-            v = jnp.where(do, merged, v)
-        # store v at slot[cnt]
-        onehot = (jnp.arange(plan.levels) == cnt)
-        oh = onehot.reshape((plan.levels,) + (1,) * len(out_shape))
-        slots = jnp.where(oh, v[None], slots)
+        v = block_value(col, row)
+        cnt = _merge_count(t, top_levels)
+        slots = lax.switch(cnt, branches, slots, v)
         return (slots, t + 1), None
 
     (slots, _), _ = lax.scan(step, (slots0, jnp.int32(0)), (cols, rows))
-    result = _drain(plan, lambda l: slots[l])
+
+    def read_slot(l):
+        # slot level l (in product units) = carry level l - inblk_levels;
+        # levels below inblk_levels never survive (k % blk == 0)
+        assert l >= inblk_levels or nblocks == 1
+        return slots[max(l - inblk_levels, 0)]
+
+    result = _drain(plan, read_slot)
     raw = W.requantize_i32(result, plan.final_fmt.frac_bits, out_fmt)
     return raw.astype(dtype_for(out_fmt))
 
@@ -268,7 +308,13 @@ def pallas_tree_ok(m: int, n: int, k: int, plan: TreePlan,
 def tree_gemm_pallas(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
                      interpret: Optional[bool] = None):
     """Pallas kernel: grid (M/BM, N/BN); each program streams its (BM, K) ×
-    (K, BN) panels through the slot stack entirely in VMEM."""
+    (K, BN) panels through the slot stack entirely in VMEM.
+
+    Status: bit-exact in interpret mode; on real TPU the Mosaic compile of
+    the per-step conditional-store chain is currently impractically slow, so
+    :func:`qublas_tpu.ops.gemm.qgemul` uses :func:`tree_gemm_scan` (XLA)
+    which is verified on hardware.  Kept as the basis for a revised kernel
+    (vectorized in-block layers instead of per-product streaming)."""
     import functools
 
     import jax

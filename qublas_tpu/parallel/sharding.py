@@ -48,7 +48,29 @@ from ..qformat import QFormat, mul_merge
 from ..qtensor import QTensor
 
 __all__ = ["make_mesh", "shard_qgemul", "sharded_qgemul_k",
-           "sharded_qgemul_mn", "sharded_qgemul_dp"]
+           "sharded_qgemul_mn", "sharded_qgemul_dp", "init_distributed"]
+
+
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Initialize the multi-host JAX runtime (DCN side of the BASELINE
+    north star: "batched quantized GEMM streams continuously across hosts").
+
+    On a TPU pod slice with the standard launcher env (TPU_WORKER_HOSTNAMES
+    etc.) all arguments auto-detect; returns the global device count.  After
+    this, :func:`make_mesh` over ``jax.devices()`` spans hosts — dp across
+    DCN, tp across ICI — and the shard_map programs below run unchanged
+    (XLA routes collectives over the right fabric per the mesh layout).
+    """
+    import jax
+
+    if num_processes is not None and num_processes > 1 or \
+            coordinator_address is not None:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return len(jax.devices())
 
 
 def make_mesh(dp: int = 1, tp: Optional[int] = None,
