@@ -142,6 +142,31 @@ def double_to_raw(x: float, fmt: QFormat) -> int:
     )
 
 
+def reference_requant_defect(raw: int, src: QFormat, dst: QFormat) -> bool:
+    """True when the reference's fracConvert/intConvert on THIS input hits
+    the documented multiword defect classes (REFERENCE_DEFECTS.md D2/D3):
+
+    * D2 — ``fracConvert<RND::CONV>`` with a multiword operand (source
+      storage > 64 bits) corrupts negatives, exact ties, and values needing
+      clamping (mixed-width mask arithmetic, QuBLAS.h:2125-2159).  Verified:
+      ``Qu<70,70> raw=-2^31 → Qu<8,8,RND::CONV>`` yields 3 instead of 0.
+    * D3 — saturation comparisons against multiword intermediates with
+      pre-clamp magnitude ≥ 2^63 are unreliable.
+    """
+    if src.storage_bits <= 64:
+        return False
+    d = src.frac_bits - dst.frac_bits
+    rounded = frac_convert(raw, src.frac_bits, dst.frac_bits, dst.round_mode)
+    if dst.round_mode == RoundMode.RND_CONV and d > 0:
+        dropped = raw & ((1 << d) - 1)
+        tie = dropped == (1 << (d - 1))
+        if raw < 0 or tie or int_convert(rounded, dst) != rounded:
+            return True
+    if abs(rounded) >= (1 << 63) and int_convert(rounded, dst) != rounded:
+        return True
+    return False
+
+
 def reference_double_ctor_defect(x: float, fmt: QFormat) -> bool:
     """True when the reference's ``Qu_s(double)`` ctor hits a documented
     defect class for this input (REFERENCE_DEFECTS.md D2/D3), so its output

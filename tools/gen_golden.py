@@ -48,6 +48,10 @@ def raw_range(i, f):
 
 def sample_raws(i, f, n=64, exhaustive_limit=10):
     lo, hi = raw_range(i, f)
+    # Qu::fill(int) takes a C int, so sampled raws must fit 31 bits; wide
+    # formats still exercise the multiword limb machinery via their storage
+    lo = max(lo, -(1 << 31) + 1)
+    hi = min(hi, (1 << 31) - 1)
     w = 1 + i + f
     span = hi - lo + 1
     if w <= exhaustive_limit or span <= n:
@@ -86,6 +90,13 @@ for rm in RMODES:
     requant_configs.append(((8, 8, True), (4, 2, True, rm, "WRP::TCPL")))
     requant_configs.append(((10, 10, True), (3, 3, False, rm, "SAT::ZERO")))
     requant_configs.append(((12, 0, True), (4, 4, True, rm, "SAT::SMGN")))
+    # multiword (>64-bit storage) sources: exercises the reference's
+    # ArbiInt limb path (raws capped at +-2^52 — fill(int) routes through
+    # the exact double ctor).  The reference's own High/Mid/Low oracle
+    # tests cover the same territory (test/TRN, test/RND).
+    requant_configs.append(((70, 70, True), (8, 8, True, rm, "SAT::TCPL")))
+    requant_configs.append(((70, 70, True), (1, 1, True, rm, "SAT::TCPL")))
+    requant_configs.append(((30, 90, True), (10, 10, True, rm, "SAT::ZERO")))
 
 for (fi, ff, fs), to in requant_configs:
     ti, tf, ts, rm, om = to
