@@ -86,8 +86,14 @@ inline i128 int_convert(i128 val, const Fmt &f) {
         // unsigned wrap masks to int_bits + frac_bits (QuBLAS.h:2329-2331)
         return val & ((i128(1) << (w - 1)) - 1);
     }
-    default:  // WRP_TCPL_SAT: reference stub = identity (QuBLAS.h:2336-2344)
-        return val;
+    default: {
+        // WRP_TCPL_SAT: reference stub = identity (QuBLAS.h:2336-2344),
+        // then the store wraps to the storage machine word (int32 for
+        // w <= 32, int64 for w <= 64 — verified by probe)
+        int word = w <= 32 ? 32 : 64;
+        i128 m = val & ((i128(1) << word) - 1);
+        return (m >> (word - 1)) & 1 ? m - (i128(1) << word) : m;
+    }
     }
 }
 

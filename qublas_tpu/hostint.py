@@ -105,8 +105,20 @@ def int_convert(val: int, fmt: QFormat) -> int:
         # unsigned wrap masks to int_bits + frac_bits bits (QuBLAS.h:2329-2331)
         return val & ((1 << (w - 1)) - 1)
     if mode == OverflowMode.WRP_TCPL_SAT:
-        # reference stub: returns input unchanged (QuBLAS.h:2336-2344)
-        return val
+        # reference stub: intConvert returns the input unchanged
+        # (QuBLAS.h:2336-2344), but the subsequent store into the target
+        # ArbiInt wraps to its *machine word*: int32 for storage <= 32,
+        # int64 for <= 64, the low 64*ceil(w/64) bits beyond (verified by
+        # probe: Qmul<Qu<10,2,WRP::TCPL_SAT>> of a 61-bit product stores
+        # -1709030993 = product mod 2^32 as int32)
+        if w <= 32:
+            word = 32
+        elif w <= 64:
+            word = 64
+        else:
+            word = 64 * ((w + 63) // 64)
+        m = val & ((1 << word) - 1)
+        return m - (1 << word) if (m >> (word - 1)) & 1 else m
     raise ValueError(f"unknown overflow mode {mode}")  # pragma: no cover
 
 

@@ -309,5 +309,8 @@ def requantize_pair(p, from_frac: int, fmt: QFormat):
             return m32
         return m32 & _I32((1 << wb) - 1)
     if omode == OverflowMode.WRP_TCPL_SAT:
-        return pair_to_int32(y)  # caller proved it fits (stub = identity)
+        # identity stub + machine-word wrap at the store: truncating the
+        # pair to its low 32 bits IS the int32 wrap (storage > 32 routes to
+        # host before reaching here)
+        return pair_to_int32(y)
     raise AssertionError(omode)

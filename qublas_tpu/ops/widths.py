@@ -63,7 +63,18 @@ class Interval:
 
 
 def fmt_interval(fmt: QFormat) -> Interval:
-    """Raw-value interval of a format's physical storage."""
+    """Raw-value interval of a format's physical storage.
+
+    WRP_TCPL_SAT formats (the reference's identity stub) hold values wrapped
+    only to the storage *machine word* — int32 for storage <= 32 bits — so
+    their interval is the full word range, not the declared width.
+    """
+    if fmt.overflow_mode == OverflowMode.WRP_TCPL_SAT:
+        if fmt.storage_bits <= 32:
+            return Interval(I32_MIN, I32_MAX)
+        word = 64 if fmt.storage_bits <= 64 else \
+            64 * ((fmt.storage_bits + 63) // 64)
+        return Interval(-(1 << (word - 1)), (1 << (word - 1)) - 1)
     return Interval(fmt.raw_min, fmt.raw_max)
 
 
@@ -83,7 +94,10 @@ def requant_out_interval(iv: Interval, from_frac: int, fmt: QFormat):
     """Interval after the full requantize (round + overflow)."""
     rounded, intermediates = rounded_interval(iv, from_frac, fmt)
     if fmt.overflow_mode == OverflowMode.WRP_TCPL_SAT:
-        out = rounded  # reference stub: identity, unbounded
+        # identity stub + machine-word wrap at the store
+        word_iv = fmt_interval(fmt)
+        out = rounded if (rounded.lo >= word_iv.lo
+                          and rounded.hi <= word_iv.hi) else word_iv
     else:
         out = Interval(max(rounded.lo, fmt.raw_min), min(rounded.hi, fmt.raw_max))
         if fmt.overflow_mode != OverflowMode.WRP_TCPL and not fmt.signed:
@@ -153,10 +167,17 @@ def route_div(fa: QFormat, fb: QFormat, out: QFormat):
 
 
 def dtype_for(fmt: QFormat):
-    """Smallest device dtype holding the format's storage; None -> host."""
+    """Smallest device dtype holding the format's storage; None -> host.
+
+    WRP_TCPL_SAT formats wrap only at the int32 machine word, so their
+    device storage is always int32 (narrower dtypes would wrap too early);
+    storage beyond 32 bits wraps at int64/limb boundaries — host path.
+    """
     import jax.numpy as jnp
 
     s = fmt.storage_bits
+    if fmt.overflow_mode == OverflowMode.WRP_TCPL_SAT:
+        return jnp.int32 if s <= 32 else None
     if s <= 8:
         return jnp.int8
     if s <= 16:

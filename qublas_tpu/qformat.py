@@ -42,7 +42,11 @@ class OverflowMode(enum.IntEnum):
     SAT_ZERO = 1      # any overflow -> 0
     SAT_SMGN = 2      # clamp to [min+1, max] (symmetric)
     WRP_TCPL = 3      # wrap (mask + sign-extend)
-    WRP_TCPL_SAT = 4  # stub in the reference: identity (QuBLAS.h:2336-2344)
+    # Stub in the reference: intConvert is the identity (QuBLAS.h:2336-2344)
+    # and the subsequent ArbiInt store wraps to the storage *machine word*
+    # (int32 for storage <= 32 bits, int64 <= 64) — probed and pinned by
+    # goldens; see hostint.int_convert.
+    WRP_TCPL_SAT = 4
 
 
 DEFAULT_INT_BITS = 8

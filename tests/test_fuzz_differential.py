@@ -1,0 +1,121 @@
+"""Deterministic differential fuzz: random format/mode/op configurations,
+device paths vs the exact host golden model.
+
+The width-proof router (ops/widths.py) decides i32 / pair / host per config;
+this sweep hammers the decision boundaries with random widths (including
+negative int/frac bits) so no route disagrees with the oracle.
+"""
+
+import numpy as np
+import pytest
+
+from qublas_tpu import hostops
+from qublas_tpu.ops import elementwise as ew
+from qublas_tpu.ops.gemm import qgemul
+from qublas_tpu.ops.reduce import qreduce
+from qublas_tpu.qformat import OverflowMode, QFormat, RoundMode, qformat
+
+rng = np.random.RandomState(20260817)
+
+
+def reseed(name: str, trial: int):
+    global rng
+    import zlib
+
+    rng = np.random.RandomState(
+        zlib.crc32(f"{name}:{trial}".encode()) % (2**31))
+
+
+def rand_fmt(max_total=24):
+    while True:
+        i = int(rng.randint(-6, 20))
+        f = int(rng.randint(-6, 20))
+        if 0 <= i + f <= max_total:
+            break
+    return qformat(i, f, bool(rng.randint(0, 2)),
+                   RoundMode(rng.randint(0, 7)),
+                   OverflowMode(rng.randint(0, 5)))
+
+
+def rand_raws(fmt, n):
+    lo = max(fmt.raw_min, -(1 << 62))
+    hi = min(fmt.raw_max, (1 << 62) - 1)
+    return np.array([int(rng.randint(lo, hi + 1)) for _ in range(n)],
+                    dtype=object)
+
+
+@pytest.mark.parametrize("trial", range(60))
+def test_fuzz_binary_ops(trial):
+    reseed("test_fuzz_binary_ops", trial)
+    from qublas_tpu.qtensor import from_raw
+
+    fa, fb = rand_fmt(), rand_fmt()
+    to = None if rng.randint(0, 2) else rand_fmt()
+    op = ["qmul", "qadd", "qsub", "qdiv"][rng.randint(0, 4)]
+    n = 24
+    a_raws, b_raws = rand_raws(fa, n), rand_raws(fb, n)
+    if op == "qdiv":
+        b_raws = np.array([v if v else 1 for v in b_raws], dtype=object)
+        b_raws[3] = 0  # keep one div-by-zero
+    a, b = from_raw(a_raws, fa), from_raw(b_raws, fb)
+    dev = getattr(ew, op)(a, b, to=to)
+    host_fn = getattr(hostops, op)
+    for x, y, g in zip(a_raws, b_raws,
+                       np.asarray(dev.raw(), dtype=object).reshape(-1)):
+        want, wf = host_fn((int(x), fa), (int(y), fb), to=to)
+        assert int(g) == want, (op, fa, fb, to, int(x), int(y), int(g), want)
+        assert dev.fmt == wf
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_fuzz_qreduce(trial):
+    reseed("test_fuzz_qreduce", trial)
+    from qublas_tpu.qtensor import from_raw
+
+    fa = rand_fmt(16)
+    n = int(rng.randint(1, 20))
+    nlayers = rng.randint(0, 3)
+    layers = tuple(rand_fmt(20) for _ in range(nlayers))
+    raws = rand_raws(fa, n)
+    dev = qreduce(from_raw(raws, fa), layers)
+    want, wf = hostops.qreduce_list([(int(v), fa) for v in raws], layers)
+    assert int(np.asarray(dev.raw(), dtype=object)) == want, (fa, layers, n)
+    assert dev.fmt == wf
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_fuzz_qgemul(trial):
+    reseed("test_fuzz_qgemul", trial)
+    from qublas_tpu.qtensor import from_raw
+
+    fa, fb = rand_fmt(14), rand_fmt(14)
+    out = rand_fmt(16)
+    mul_to = None if rng.randint(0, 2) else rand_fmt(20)
+    nlayers = rng.randint(0, 3)
+    layers = tuple(rand_fmt(22) for _ in range(nlayers))
+    m, k, n = (int(rng.randint(1, 5)) for _ in range(3))
+    A = rand_raws(fa, m * k).reshape(m, k)
+    B = rand_raws(fb, k * n).reshape(k, n)
+    dev = qgemul(from_raw(A, fa), from_raw(B, fb), out, mul_to=mul_to,
+                 add_formats=layers)
+    ar = [[(int(A[i, p]), fa) for p in range(k)] for i in range(m)]
+    br = [[(int(B[p, j]), fb) for j in range(n)] for p in range(k)]
+    host = hostops.qgemul(ar, br, out, mul_to, layers)
+    got = np.asarray(dev.raw(), dtype=object)
+    for i in range(m):
+        for j in range(n):
+            assert int(got[i, j]) == host[i][j][0], (
+                fa, fb, out, mul_to, layers, (m, k, n), i, j)
+
+
+@pytest.mark.parametrize("trial", range(20))
+def test_fuzz_qcast(trial):
+    reseed("test_fuzz_qcast", trial)
+    from qublas_tpu.qtensor import from_raw
+
+    src, dst = rand_fmt(40), rand_fmt(40)
+    raws = rand_raws(src, 32)
+    dev = ew.qcast(from_raw(raws, src), dst)
+    for x, g in zip(raws, np.asarray(dev.raw(), dtype=object).reshape(-1)):
+        want, _ = hostops.convert((int(x), src), dst)
+        assert int(g) == want, (src, dst, int(x))

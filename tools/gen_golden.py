@@ -27,6 +27,7 @@ RMODES = {
 }
 OMODES = {
     "SAT::TCPL": 0, "SAT::ZERO": 1, "SAT::SMGN": 2, "WRP::TCPL": 3,
+    "WRP::TCPL_SAT<0>": 4,  # identity stub + machine-word wrap at the store
 }
 
 rng = random.Random(20260816)
@@ -82,6 +83,10 @@ for rm in RMODES:
     for om in OMODES:
         requant_configs.append(((4, 4, True), (2, 1, True, rm, om)))
         requant_configs.append(((4, 4, True), (1, 2, False, rm, om)))
+    # WRP::TCPL_SAT with values far beyond the target width: exercises the
+    # machine-word wrap at the store (int32 for storage <= 32)
+    requant_configs.append(((20, 10, True), (3, 2, True, rm,
+                                             "WRP::TCPL_SAT<0>")))
 # widening, negative frac/int bits, asymmetric
 for rm in RMODES:
     requant_configs.append(((3, 2, True), (6, 7, True, rm, "SAT::TCPL")))
