@@ -73,7 +73,8 @@ def bench_tree_gemm():
 
     @jax.jit
     def stream(a_data, b_data):
-        return tree_gemm.tree_gemm_scan(a_data, b_data, plan, f)
+        # public dispatch: blocked two-phase Pallas kernel on TPU
+        return qgemul(QTensor(a_data, f), QTensor(b_data, f), f).data
 
     @jax.jit
     def layered(a_data, b_data):

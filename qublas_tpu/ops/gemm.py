@@ -193,13 +193,12 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
         import jax
 
         m, n = a.shape[-2], b.shape[-1]
-        if use_pallas is None:
-            use_pallas = (jax.default_backend() == "tpu"
-                          and tree_gemm.pallas_tree_ok(m, n, k, tplan,
-                                                       a.ndim, b.ndim))
-        if use_pallas and tree_gemm.pallas_tree_ok(m, n, k, tplan, a.ndim,
-                                                   b.ndim):
-            raw = tree_gemm.tree_gemm_pallas(a.data, b.data, tplan, out_fmt)
+        blocked = (a.ndim == 2 and b.ndim == 2
+                   and jax.default_backend() == "tpu"
+                   and use_pallas is not False
+                   and tree_gemm.blocked_ok(m, n, k))
+        if blocked:
+            raw = tree_gemm.tree_gemm_blocked(a.data, b.data, tplan, out_fmt)
         else:
             raw = tree_gemm.tree_gemm_scan(a.data, b.data, tplan, out_fmt)
         return QTensor(raw, out_fmt)

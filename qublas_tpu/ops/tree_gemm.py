@@ -201,7 +201,7 @@ def _block_size(k: int) -> int:
     The in-step tree handles the low ``log2(blk)`` levels vectorized; the
     carry stack handles levels above."""
     blk = k & (-k)  # largest power-of-two divisor
-    return min(blk, 64)
+    return min(blk, 16)
 
 
 def tree_gemm_scan(a_data, b_data, plan: TreePlan, out_fmt: QFormat):
@@ -305,16 +305,101 @@ def pallas_tree_ok(m: int, n: int, k: int, plan: TreePlan,
     return need <= _VMEM_CAP
 
 
+def tree_gemm_blocked(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
+                      blk: int = 64, interpret: Optional[bool] = None):
+    """Two-phase blocked evaluation of the order-sensitive tree GEMM.
+
+    Phase 1 (Pallas, grid (nblocks, M/BM, N/BN)): each program computes its
+    block's ``blk`` quantized outer products and folds the low ``log2(blk)``
+    tree layers entirely in VMEM — products never touch HBM, only one
+    ``[BM, BN]`` level-c value per block is written.  No cross-step state,
+    so the kernel is a straight-line static loop (compiles fast, unlike the
+    earlier carry-stack kernel).
+
+    Phase 2 (jnp): the remaining ⌈log₂ nblocks⌉ layers pair block results
+    with the exact per-layer formats, including odd-tail converting
+    assignments — identical association order to the reference tree.
+
+    Requires ``k % blk == 0`` with ``blk`` a power of two; callers fall back
+    to :func:`tree_gemm_scan` otherwise.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    m, k = a_data.shape
+    _, n = b_data.shape
+    assert k % blk == 0 and (blk & (blk - 1)) == 0
+    c = blk.bit_length() - 1          # in-kernel fold levels
+    nblocks = k // blk
+
+    def kernel(at_ref, b_ref, out_ref):
+        # at_ref: (blk, BM) slice of A^T; b_ref: (blk, BN)
+        col = at_ref[...].astype(jnp.int32)[:, :, None]   # [blk, BM, 1]
+        row = b_ref[...].astype(jnp.int32)[:, None, :]    # [blk, 1, BN]
+        v = _product(plan, col, row)                      # [blk, BM, BN]
+        for l in range(c):
+            # reshape+static-index instead of strided slices (Mosaic only
+            # lowers 2D gathers)
+            half = v.shape[0] // 2
+            v2 = v.reshape(half, 2, v.shape[1], v.shape[2])
+            v = _merge(plan, l, v2[:, 0], v2[:, 1])
+        out_ref[...] = v[:1]
+
+    grid = (nblocks, m // _BM, n // _BN)
+    blocks = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((blk, _BM), lambda t, i, j: (t, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, _BN), lambda t, i, j: (t, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _BM, _BN), lambda t, i, j: (t, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks, m, n), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(a_data.T, b_data)
+
+    # phase 2: fold the remaining layers over the block axis
+    vals = blocks
+    level = c
+    while vals.shape[0] > 1:
+        nb = vals.shape[0]
+        pair = _merge(plan, level, vals[0 : (nb // 2) * 2 : 2],
+                      vals[1 : (nb // 2) * 2 : 2])
+        if nb % 2:
+            cur = plan.level_fmts[level]
+            tail = W.requantize_i32(vals[nb - 1 : nb], cur.frac_bits,
+                                    plan.merge_fmts[level])
+            pair = jnp.concatenate([pair, tail], axis=0)
+        vals = pair
+        level += 1
+    raw = W.requantize_i32(vals[0], plan.final_fmt.frac_bits, out_fmt)
+    return raw.astype(dtype_for(out_fmt))
+
+
+def blocked_ok(m: int, n: int, k: int, blk: int = 64) -> bool:
+    return (k % blk == 0 and (blk & (blk - 1)) == 0
+            and m % _BM == 0 and n % _BN == 0)
+
+
 def tree_gemm_pallas(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
                      interpret: Optional[bool] = None):
     """Pallas kernel: grid (M/BM, N/BN); each program streams its (BM, K) ×
     (K, BN) panels through the slot stack entirely in VMEM.
 
     Status: bit-exact in interpret mode; on real TPU the Mosaic compile of
-    the per-step conditional-store chain is currently impractically slow, so
-    :func:`qublas_tpu.ops.gemm.qgemul` uses :func:`tree_gemm_scan` (XLA)
-    which is verified on hardware.  Kept as the basis for a revised kernel
-    (vectorized in-block layers instead of per-product streaming)."""
+    the per-step conditional-store chain is currently impractically slow —
+    prefer :func:`tree_gemm_blocked` (straight-line kernel) or
+    :func:`tree_gemm_scan` (XLA, verified on hardware)."""
     import functools
 
     import jax
