@@ -32,7 +32,29 @@ from ..qformat import QFormat
 from ..qtensor import QTensor, from_raw
 from . import elementwise as ew
 
-__all__ = ["qreduce", "layer_format"]
+__all__ = ["qreduce", "qreduce_args", "layer_format"]
+
+
+def qreduce_args(values, layer_formats=()):
+    """Variadic-entry tree reduction over scalar QTensors (reference
+    ``Qreduce(q1, q2, ...)``, QuBLAS.h:4924-4957).
+
+    Deviates from the vector path for odd counts: the leftover element is
+    added to the *final* result with the current layer's format
+    (QuBLAS.h:4943-4949).  The reference restricts this form to scalars;
+    evaluation is host-side via the golden model (it is an init-time
+    convenience, not a hot path).
+    """
+    from ..qtensor import from_raw
+
+    pairs = []
+    for v in values:
+        if v.size != 1:
+            raise ValueError("qreduce_args takes scalar QTensors")
+        pairs.append((int(np.asarray(v.raw(), dtype=object).reshape(())),
+                      v.fmt))
+    raw, fmt = hostops.qreduce_args(pairs, layer_formats)
+    return from_raw(np.array(raw, dtype=object), fmt)
 
 
 def layer_format(layer_formats, layer: int):
