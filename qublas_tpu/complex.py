@@ -28,6 +28,7 @@ __all__ = [
     "complex_from_raw", "complex_zeros",
     "cmul", "cmul_tf", "cadd", "csub", "cneg", "ceq",
     "rc_mul", "cr_mul", "rc_add", "cr_add", "rc_sub", "cr_sub", "cr_div",
+    "cdiv", "rc_div",
 ]
 
 
@@ -121,6 +122,11 @@ class QComplexTensor:
 
     def __neg__(self):
         return cneg(self)
+
+    def __truediv__(self, other):
+        if isinstance(other, QComplexTensor):
+            return cdiv(self, other)  # raises, matching the reference
+        return cr_div(self, other)
 
 
 # ---------------------------------------------------------------------------
@@ -289,11 +295,21 @@ def cr_sub(c: QComplexTensor, r: QTensor, to=None) -> QComplexTensor:
 def cr_div(c: QComplexTensor, r: QTensor, real_to=None,
            imag_to=None) -> QComplexTensor:
     """complex / real: per-part divide (QuBLAS.h:3722-3736) with
-    :func:`_single_tag_default` propagation.  The reference has no
-    complex/complex or real/complex division — both throw
-    (QuBLAS.h:3591-3598, 3716-3720); we match by raising TypeError from the
-    absence of those functions."""
+    :func:`_single_tag_default` propagation."""
     fb = _single_tag_default(real_to, imag_to)
     return QComplexTensor(
         ew.qdiv(c.real, r, to=real_to if real_to is not None else fb),
         ew.qdiv(c.imag, r, to=imag_to if imag_to is not None else fb))
+
+
+def cdiv(a: QComplexTensor, b: QComplexTensor, *args, **kwargs):
+    """Complex / complex division: unsupported, matching the reference
+    which throws "Complex division is not supported yet."
+    (QuBLAS.h:3591-3598)."""
+    raise NotImplementedError("Complex division is not supported yet.")
+
+
+def rc_div(r: QTensor, c: QComplexTensor, *args, **kwargs):
+    """real / complex division: unsupported, matching the reference throw
+    (QuBLAS.h:3716-3720)."""
+    raise NotImplementedError("Real-Complex division is not supported yet.")

@@ -21,12 +21,195 @@ from __future__ import annotations
 
 from typing import Optional
 
-from ..qformat import QFormat
+from ..qformat import QFormat, add_merge, mul_merge
 from ..qtensor import QTensor
 from . import elementwise as ew
+from . import wideint as W
+from .gemm import _lossless_requant, dot_partial_interval, tree_exact
 from .reduce import qreduce
+from .widths import Interval, dtype_for, fmt_interval, route_requant
 
 __all__ = ["cgemul", "cgemv"]
+
+
+# ---------------------------------------------------------------------------
+# MXU fast path: when every per-product step and both accumulation trees are
+# provably lossless, the complex GEMM collapses to 4 (basic) or 3 (TF)
+# integer matmuls plus exact shift/combine epilogues.
+# ---------------------------------------------------------------------------
+
+class _Step:
+    """Lossless symbolic value: interval + format + proof flag."""
+
+    def __init__(self, iv: Interval, fmt: QFormat):
+        self.iv = iv
+        self.fmt = fmt
+
+
+def _s_mul(x: _Step, y: _Step, to) -> Optional[_Step]:
+    out = mul_merge(x.fmt, y.fmt, to)
+    iv = _lossless_requant(x.iv * y.iv, x.fmt.frac_bits + y.fmt.frac_bits,
+                           out)
+    return None if iv is None else _Step(iv, out)
+
+
+def _s_addsub(x: _Step, y: _Step, to, sub: bool) -> Optional[_Step]:
+    out = add_merge(x.fmt, y.fmt, to)
+    f = max(x.fmt.frac_bits, y.fmt.frac_bits)
+    xv = x.iv << (f - x.fmt.frac_bits)
+    yv = y.iv << (f - y.fmt.frac_bits)
+    iv = _lossless_requant(xv - yv if sub else xv + yv, f, out)
+    return None if iv is None else _Step(iv, out)
+
+
+def _single_default(*specs):
+    given = [s for s in specs if s is not None]
+    return given[0] if len(given) == 1 else None
+
+
+def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags):
+    """Return the fast-path result, or None when the proof fails."""
+    import jax.numpy as jnp
+
+    if a.real.ndim != 2 or b.real.ndim != 2:
+        return None
+    far, fai = a.real.fmt, a.imag.fmt
+    fbr, fbi = b.real.fmt, b.imag.fmt
+    if any(t.is_host for t in (a.real, a.imag, b.real, b.imag)):
+        return None
+    k = a.shape[-1]
+    ar = _Step(fmt_interval(far), far)
+    ai = _Step(fmt_interval(fai), fai)
+    br = _Step(fmt_interval(fbr), fbr)
+    bi = _Step(fmt_interval(fbi), fbi)
+
+    if algo == "tf":
+        t = {n: mul_tags.get(n) for n in
+             ("ab", "cd", "ba", "abc", "cdb", "bad", "AB", "BC")}
+        fb = _single_default(*t.values())
+        g = {n: (v if v is not None else fb) for n, v in t.items()}
+        g["ba"] = t["ba"]  # baT never inherits the fallback
+        s_ab = _s_addsub(ar, ai, g["ab"], sub=False)
+        s_cd = _s_addsub(br, bi, g["cd"], sub=False)
+        s_ba = _s_addsub(ai, ar, g["ba"], sub=True)
+        if None in (s_ab, s_cd, s_ba):
+            return None
+        A = _s_mul(s_ab, br, g["abc"])
+        B = _s_mul(s_cd, ai, g["bad"])
+        C = _s_mul(s_ba, bi, g["cdb"])
+        if None in (A, B, C):
+            return None
+        re_p = _s_addsub(A, B, g["AB"], sub=True)
+        im_p = _s_addsub(B, C, g["BC"], sub=True)
+    else:
+        t = {n: mul_tags.get(n) for n in
+             ("ac", "bd", "ad", "bc", "acbd", "adbc")}
+        fb = _single_default(*t.values())
+        g = {n: (v if v is not None else fb) for n, v in t.items()}
+        ac = _s_mul(ar, br, g["ac"])
+        bd = _s_mul(ai, bi, g["bd"])
+        ad = _s_mul(ar, bi, g["ad"])
+        bc = _s_mul(ai, br, g["bc"])
+        if None in (ac, bd, ad, bc):
+            return None
+        re_p = _s_addsub(ac, bd, g["acbd"], sub=True)
+        im_p = _s_addsub(ad, bc, g["adbc"], sub=False)
+    if re_p is None or im_p is None:
+        return None
+
+    fin_r = tree_exact(re_p.iv, re_p.fmt, r_layers, k)
+    fin_i = tree_exact(im_p.iv, im_p.fmt, i_layers, k)
+    if fin_r is None or fin_i is None:
+        return None
+    orf = orf or fin_r
+    oif = oif or fin_i
+    if dtype_for(orf) is None or dtype_for(oif) is None:
+        return None
+    re_tot = dot_partial_interval(re_p.iv, k)
+    im_tot = dot_partial_interval(im_p.iv, k)
+    # final values at tree frac: lossless layers only shift left
+    re_tot = re_tot << (fin_r.frac_bits - re_p.fmt.frac_bits)
+    im_tot = im_tot << (fin_i.frac_bits - im_p.fmt.frac_bits)
+    if not (re_tot.fits32 and im_tot.fits32):
+        return None
+    if route_requant(re_tot, fin_r.frac_bits, orf) != "i32":
+        return None
+    if route_requant(im_tot, fin_i.frac_bits, oif) != "i32":
+        return None
+
+    def shifted(x, pre_shift):
+        y = x.data.astype(jnp.int32)
+        return y << pre_shift if pre_shift else y
+
+    def dot(x, y, iv_x, iv_y, post_shift):
+        # every shifted dot term must itself fit int32, not just the
+        # combined difference
+        iv = dot_partial_interval(iv_x * iv_y, k)
+        if not iv.fits32 or not (iv << post_shift).fits32:
+            return None
+        xd, yd = x, y
+        if xd.dtype != jnp.int8 or yd.dtype != jnp.int8:
+            xd = xd.astype(jnp.int32)
+            yd = yd.astype(jnp.int32)
+        return jnp.matmul(xd, yd, preferred_element_type=jnp.int32)
+
+    from ..complex import QComplexTensor
+
+    if algo == "tf":
+        # precomputed elementwise operands must fit int32 lanes
+        if not (s_ab.iv.fits32 and s_cd.iv.fits32 and s_ba.iv.fits32):
+            return None
+        # precompute the lossless elementwise sums at their step formats
+        fal1 = max(far.frac_bits, fai.frac_bits)
+        w1 = s_ab.fmt.frac_bits - fal1
+        S1 = (shifted(a.real, fal1 - far.frac_bits + w1)
+              + shifted(a.imag, fal1 - fai.frac_bits + w1))
+        fal2 = max(fbr.frac_bits, fbi.frac_bits)
+        w2 = s_cd.fmt.frac_bits - fal2
+        S2 = (shifted(b.real, fal2 - fbr.frac_bits + w2)
+              + shifted(b.imag, fal2 - fbi.frac_bits + w2))
+        w3 = s_ba.fmt.frac_bits - fal1
+        S3 = (shifted(a.imag, fal1 - fai.frac_bits + w3)
+              - shifted(a.real, fal1 - far.frac_bits + w3))
+        fA = s_ab.fmt.frac_bits + fbr.frac_bits
+        fB = s_cd.fmt.frac_bits + fai.frac_bits
+        fC = s_ba.fmt.frac_bits + fbi.frac_bits
+        dA = dot(S1, b.real.data.astype(jnp.int32), s_ab.iv,
+                 fmt_interval(fbr), fin_r.frac_bits - fA)
+        dB = dot(a.imag.data.astype(jnp.int32), S2, fmt_interval(fai),
+                 s_cd.iv, max(fin_r.frac_bits, fin_i.frac_bits) - fB)
+        dC = dot(S3, b.imag.data.astype(jnp.int32), s_ba.iv,
+                 fmt_interval(fbi), fin_i.frac_bits - fC)
+        if dA is None or dB is None or dC is None:
+            return None
+        re = ((dA << (fin_r.frac_bits - fA))
+              - (dB << (fin_r.frac_bits - fB)))
+        im = ((dB << (fin_i.frac_bits - fB))
+              - (dC << (fin_i.frac_bits - fC)))
+    else:
+        dac = dot(a.real.data, b.real.data, fmt_interval(far),
+                  fmt_interval(fbr),
+                  fin_r.frac_bits - far.frac_bits - fbr.frac_bits)
+        dbd = dot(a.imag.data, b.imag.data, fmt_interval(fai),
+                  fmt_interval(fbi),
+                  fin_r.frac_bits - fai.frac_bits - fbi.frac_bits)
+        dad = dot(a.real.data, b.imag.data, fmt_interval(far),
+                  fmt_interval(fbi),
+                  fin_i.frac_bits - far.frac_bits - fbi.frac_bits)
+        dbc = dot(a.imag.data, b.real.data, fmt_interval(fai),
+                  fmt_interval(fbr),
+                  fin_i.frac_bits - fai.frac_bits - fbr.frac_bits)
+        if dac is None or dbd is None or dad is None or dbc is None:
+            return None
+        re = ((dac << (fin_r.frac_bits - far.frac_bits - fbr.frac_bits))
+              - (dbd << (fin_r.frac_bits - fai.frac_bits - fbi.frac_bits)))
+        im = ((dad << (fin_i.frac_bits - far.frac_bits - fbi.frac_bits))
+              + (dbc << (fin_i.frac_bits - fai.frac_bits - fbr.frac_bits)))
+
+    raw_r = W.requantize_i32(re, fin_r.frac_bits, orf)
+    raw_i = W.requantize_i32(im, fin_i.frac_bits, oif)
+    return QComplexTensor(QTensor(raw_r.astype(dtype_for(orf)), orf),
+                          QTensor(raw_i.astype(dtype_for(oif)), oif))
 
 
 def _part_formats(spec):
@@ -69,6 +252,10 @@ def cgemul(a, b, out_fmt, algo: str = "basic", add_formats=(),
         raise ValueError(f"inner dims mismatch: {a.shape} @ {b.shape}")
     orf, oif = _part_formats(out_fmt)
     r_layers, i_layers = _split_layers(add_formats)
+
+    fast = _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags)
+    if fast is not None:
+        return fast
 
     pa = QComplexTensor(QTensor(a.real.data[..., :, :, None], a.real.fmt),
                         QTensor(a.imag.data[..., :, :, None], a.imag.fmt))

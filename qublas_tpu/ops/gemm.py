@@ -94,23 +94,16 @@ class ExactPlan:
     dot_interval: Interval  # bound on every partial sum of raw products
 
 
-def exact_plan(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
-               k: int) -> Optional[ExactPlan]:
-    """Prove the product-quantize + tree-accumulate pipeline lossless.
+def tree_exact(value_iv: Interval, value_fmt: QFormat, add_formats,
+               k: int) -> Optional[QFormat]:
+    """Prove the tree accumulation of k per-product values lossless.
 
     Walks the exact layer structure of the vector-path reducer
-    (QuBLAS.h:4960-4990) with interval arithmetic over Python ints.  Returns
-    an :class:`ExactPlan` when every product requantization and every layer
-    add (incl. odd-tail pass-through conversions) provably neither rounds nor
-    saturates — in that regime integer addition is associative, so
-    ``lax.dot_general`` int32 accumulation is bit-identical to the tree.
+    (QuBLAS.h:4960-4990) with interval arithmetic: every layer add (incl.
+    odd-tail pass-through conversions) must neither round nor saturate.
+    Returns the tree's final format, or None.
     """
-    pf = fa.frac_bits + fb.frac_bits
-    prod_iv = fmt_interval(fa) * fmt_interval(fb)
-    iv = _lossless_requant(prod_iv, pf, mul_fmt)
-    if iv is None:
-        return None
-    cur_fmt, cur_frac = mul_fmt, mul_fmt.frac_bits
+    iv, cur_fmt, cur_frac = value_iv, value_fmt, value_fmt.frac_bits
     n, layer = k, 0
     while n > 1:
         lf = layer_format(add_formats, layer)
@@ -129,12 +122,32 @@ def exact_plan(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
         cur_fmt, cur_frac = lf, lf.frac_bits
         n = (n + 1) // 2
         layer += 1
+    return cur_fmt
 
-    # bound on every partial sum of raw products (at prod_frac scale):
-    # s_j = sum of j in 1..k products, each in prod_iv
+
+def dot_partial_interval(prod_iv: Interval, k: int) -> Interval:
+    """Bound on every partial sum of j in 1..k products, each in prod_iv."""
     lo, hi = prod_iv.lo, prod_iv.hi
-    dot_iv = Interval(min(k * lo, lo), max(k * hi, hi))
-    return ExactPlan(pf, cur_fmt, dot_iv)
+    return Interval(min(k * lo, lo), max(k * hi, hi))
+
+
+def exact_plan(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
+               k: int) -> Optional[ExactPlan]:
+    """Prove the product-quantize + tree-accumulate pipeline lossless.
+
+    When every step provably neither rounds nor saturates, integer addition
+    is associative and ``lax.dot_general`` int32 accumulation is
+    bit-identical to the tree.
+    """
+    pf = fa.frac_bits + fb.frac_bits
+    prod_iv = fmt_interval(fa) * fmt_interval(fb)
+    iv = _lossless_requant(prod_iv, pf, mul_fmt)
+    if iv is None:
+        return None
+    final_fmt = tree_exact(iv, mul_fmt, add_formats, k)
+    if final_fmt is None:
+        return None
+    return ExactPlan(pf, final_fmt, dot_partial_interval(prod_iv, k))
 
 
 # ---------------------------------------------------------------------------
