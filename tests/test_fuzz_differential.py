@@ -108,6 +108,65 @@ def test_fuzz_qgemul(trial):
                 fa, fb, out, mul_to, layers, (m, k, n), i, j)
 
 
+@pytest.mark.parametrize("trial", range(16))
+def test_fuzz_complex_mul(trial):
+    reseed("test_fuzz_complex_mul", trial)
+    from qublas_tpu import hostops
+    from qublas_tpu.complex import cmul, cmul_tf, complex_from_raw
+
+    fr, fi = rand_fmt(14), rand_fmt(14)
+    algo = "tf" if rng.randint(0, 2) else "basic"
+    names = (("ab", "cd", "ba", "abc", "cdb", "bad", "AB", "BC")
+             if algo == "tf" else
+             ("ac", "bd", "ad", "bc", "acbd", "adbc"))
+    kw = {n: (rand_fmt(18) if rng.randint(0, 2) else None) for n in names}
+    n = 12
+    a = complex_from_raw(rand_raws(fr, n), rand_raws(fi, n), fr, fi)
+    b = complex_from_raw(rand_raws(fr, n), rand_raws(fi, n), fr, fi)
+    dev = (cmul_tf if algo == "tf" else cmul)(a, b, **kw)
+    host_fn = (hostops.complex_mul_tf if algo == "tf"
+               else hostops.complex_mul_basic)
+    for i in range(n):
+        hp = host_fn(((int(a.real.raw()[i]), fr), (int(a.imag.raw()[i]), fi)),
+                     ((int(b.real.raw()[i]), fr), (int(b.imag.raw()[i]), fi)),
+                     **kw)
+        assert int(np.asarray(dev.real.raw(), dtype=object)[i]) == hp[0][0], \
+            (algo, kw, i)
+        assert int(np.asarray(dev.imag.raw(), dtype=object)[i]) == hp[1][0], \
+            (algo, kw, i)
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_fuzz_cgemul(trial):
+    reseed("test_fuzz_cgemul", trial)
+    from qublas_tpu import hostops
+    from qublas_tpu.complex import complex_from_raw
+    from qublas_tpu.ops.cgemm import cgemul
+
+    fr, fi = rand_fmt(10), rand_fmt(10)
+    out = (rand_fmt(16), rand_fmt(16))
+    layers = tuple(rand_fmt(20) for _ in range(rng.randint(0, 3)))
+    m, k, n = (int(rng.randint(1, 4)) for _ in range(3))
+    a = complex_from_raw(rand_raws(fr, m * k).reshape(m, k),
+                         rand_raws(fi, m * k).reshape(m, k), fr, fi)
+    b = complex_from_raw(rand_raws(fr, k * n).reshape(k, n),
+                         rand_raws(fi, k * n).reshape(k, n), fr, fi)
+    dev = cgemul(a, b, out, algo="basic", add_formats=layers)
+    ar = [[((int(np.asarray(a.real.raw(), dtype=object)[i, p]), fr),
+            (int(np.asarray(a.imag.raw(), dtype=object)[i, p]), fi))
+           for p in range(k)] for i in range(m)]
+    br = [[((int(np.asarray(b.real.raw(), dtype=object)[p, j]), fr),
+            (int(np.asarray(b.imag.raw(), dtype=object)[p, j]), fi))
+           for j in range(n)] for p in range(k)]
+    host = hostops.cgemul(ar, br, out, algo="basic", add_formats=layers)
+    for i in range(m):
+        for j in range(n):
+            assert int(np.asarray(dev.real.raw(), dtype=object)[i, j]) == \
+                host[i][j][0][0], (fr, fi, out, layers, i, j)
+            assert int(np.asarray(dev.imag.raw(), dtype=object)[i, j]) == \
+                host[i][j][1][0], (fr, fi, out, layers, i, j)
+
+
 @pytest.mark.parametrize("trial", range(20))
 def test_fuzz_qcast(trial):
     reseed("test_fuzz_qcast", trial)
