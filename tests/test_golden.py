@@ -166,6 +166,55 @@ def test_cmul_golden():
         assert dev.real.fmt == rf_re and dev.imag.fmt == rf_im, algo
 
 
+def test_caddsub_golden():
+    recs = load("caddsub")
+    from qublas_tpu.complex import cadd, complex_from_raw, csub
+    from qublas_tpu.qformat import qformat
+
+    rec = recs[0]
+    fr, fi = qformat(4, 4), qformat(3, 5)
+    t = qformat(3, 2, round_mode=RoundMode.RND_CONV,
+                overflow_mode=OverflowMode.SAT_ZERO)
+    u = qformat(5, 3)
+    a = complex_from_raw(np.array(rec["are"], dtype=object),
+                         np.array(rec["aim"], dtype=object), fr, fi)
+    b = complex_from_raw(np.array(rec["bre"], dtype=object),
+                         np.array(rec["bim"], dtype=object), fr, fi)
+    for dev, key in ((cadd(a, b, real_to=t, imag_to=u), "add_two"),
+                     (csub(a, b, real_to=t, imag_to=u), "sub_qu2"),
+                     (cadd(a, b), "add_none")):
+        want = rec[key]
+        got = [[int(r), int(i)] for r, i in
+               zip(np.asarray(dev.real.raw(), dtype=object),
+                   np.asarray(dev.imag.raw(), dtype=object))]
+        assert got == [[int(x), int(y)] for x, y in want], key
+
+
+def test_realcomplex_golden():
+    recs = load("realcomplex")
+    from qublas_tpu.complex import (complex_from_raw, cr_sub, rc_add, rc_mul,
+                                    rc_sub)
+    from qublas_tpu.qformat import qformat
+    from qublas_tpu.qtensor import from_raw
+
+    rec = recs[0]
+    fr, fi = qformat(4, 4), qformat(3, 5)
+    t = qformat(4, 3)
+    u = qformat(5, 2)
+    r = from_raw(np.array(rec["rv"], dtype=object), qformat(4, 4))
+    c = complex_from_raw(np.array(rec["cre"], dtype=object),
+                         np.array(rec["cim"], dtype=object), fr, fi)
+    for dev, key in ((rc_mul(r, c, real_to=t, imag_to=u), "mul_two"),
+                     (rc_add(r, c, to=t), "add"),
+                     (rc_sub(r, c, to=t), "sub_rc"),
+                     (cr_sub(c, r, to=t), "sub_cr")):
+        want = rec[key]
+        got = [[int(x), int(y)] for x, y in
+               zip(np.asarray(dev.real.raw(), dtype=object),
+                   np.asarray(dev.imag.raw(), dtype=object))]
+        assert got == [[int(x), int(y)] for x, y in want], key
+
+
 # ---------------------------------------------------------------------------
 # double -> fixed
 # ---------------------------------------------------------------------------

@@ -309,6 +309,94 @@ for algo, re_f, im_f, tagf in cplx_configs:
     out << "],\\"res_fmt\\":" << res_fmt << "}}\\n";
 }}""")
 
+# ---------------------------------------------------------------- complex add/sub + real-complex
+emit("""
+{
+    // complex add/sub realT/imagT tag semantics (QuBLAS.h:3549-3584).
+    // NOTE: ANY single realT<t>/imagT<t> is uninstantiable — the matched
+    // tag unwraps to the bare Qu_s which has no ::list (same D6 class as
+    // single complex-multiply tags); only >=2 tags, the TypeList<Qu1,Qu2>
+    // form, or no tags compile.
+    using Re = Qu<intBits<4>, fracBits<4>, isSigned<true>>;
+    using Im = Qu<intBits<3>, fracBits<5>, isSigned<true>>;
+    using C = Qcomplex<Re, Im>;
+    using t = Qu<intBits<3>, fracBits<2>, isSigned<true>, QuMode<RND::CONV>, OfMode<SAT::ZERO>>;
+    using u = Qu<intBits<5>, fracBits<3>, isSigned<true>>;
+    static const long long are[] = {100,-128,37,-1,0,127,-100,55};
+    static const long long aim[] = {-200,255,-256,1,0,-255,200,-17};
+    static const long long bre[] = {-50,100,-37,2,1,-127,99,-56};
+    static const long long bim[] = {150,-255,255,-2,-1,254,-199,18};
+    out << "{\\"kind\\":\\"caddsub\\",\\"are\\":[100,-128,37,-1,0,127,-100,55],\\"aim\\":[-200,255,-256,1,0,-255,200,-17],"
+        << "\\"bre\\":[-50,100,-37,2,1,-127,99,-56],\\"bim\\":[150,-255,255,-2,-1,254,-199,18],"
+        << "\\"add_two\\":[";
+    for (int k2 = 0; k2 < 8; ++k2) {
+        C c1; c1.real.fill((int)are[k2]); c1.imag.fill((int)aim[k2]);
+        C c2; c2.real.fill((int)bre[k2]); c2.imag.fill((int)bim[k2]);
+        auto s = Qadd<realT<t>, imagT<u>>(c1, c2);
+        out << "[" << s.real.data.toString() << "," << s.imag.data.toString() << "]" << (k2 < 7 ? "," : "");
+    }
+    out << "],\\"sub_qu2\\":[";
+    for (int k2 = 0; k2 < 8; ++k2) {
+        C c1; c1.real.fill((int)are[k2]); c1.imag.fill((int)aim[k2]);
+        C c2; c2.real.fill((int)bre[k2]); c2.imag.fill((int)bim[k2]);
+        auto s = Qsub<t, u>(c1, c2);              // TypeList<Qu1,Qu2> form
+        out << "[" << s.real.data.toString() << "," << s.imag.data.toString() << "]" << (k2 < 7 ? "," : "");
+    }
+    out << "],\\"add_none\\":[";
+    for (int k2 = 0; k2 < 8; ++k2) {
+        C c1; c1.real.fill((int)are[k2]); c1.imag.fill((int)aim[k2]);
+        C c2; c2.real.fill((int)bre[k2]); c2.imag.fill((int)bim[k2]);
+        auto s = Qadd(c1, c2);
+        out << "[" << s.real.data.toString() << "," << s.imag.data.toString() << "]" << (k2 < 7 ? "," : "");
+    }
+    out << "]}\\n";
+}
+{
+    // real x complex asymmetric quirks (QuBLAS.h:3600-3713): add passes the
+    // imag part through untouched; real-complex sub negates via (0 - imag)
+    using Rl = Qu<intBits<4>, fracBits<4>, isSigned<true>>;
+    using Re = Qu<intBits<4>, fracBits<4>, isSigned<true>>;
+    using Im = Qu<intBits<3>, fracBits<5>, isSigned<true>>;
+    using C = Qcomplex<Re, Im>;
+    using t = Qu<intBits<4>, fracBits<3>, isSigned<true>>;
+    using u = Qu<intBits<5>, fracBits<2>, isSigned<true>>;
+    static const long long rv[] = {100,-128,37,-1,0,127,-100,55};
+    static const long long cre[] = {-50,100,-37,2,1,-127,99,-56};
+    static const long long cim[] = {150,-255,255,-2,-1,254,-199,18};
+    out << "{\\"kind\\":\\"realcomplex\\",\\"rv\\":[100,-128,37,-1,0,127,-100,55],"
+        << "\\"cre\\":[-50,100,-37,2,1,-127,99,-56],\\"cim\\":[150,-255,255,-2,-1,254,-199,18],"
+        << "\\"mul_two\\":[";
+    for (int k2 = 0; k2 < 8; ++k2) {
+        Rl r; r.fill((int)rv[k2]);
+        C c; c.real.fill((int)cre[k2]); c.imag.fill((int)cim[k2]);
+        auto p = Qmul<realT<t>, imagT<u>>(r, c);
+        out << "[" << p.real.data.toString() << "," << p.imag.data.toString() << "]" << (k2 < 7 ? "," : "");
+    }
+    out << "],\\"add\\":[";
+    for (int k2 = 0; k2 < 8; ++k2) {
+        Rl r; r.fill((int)rv[k2]);
+        C c; c.real.fill((int)cre[k2]); c.imag.fill((int)cim[k2]);
+        auto p = Qadd<t>(r, c);
+        out << "[" << p.real.data.toString() << "," << p.imag.data.toString() << "]" << (k2 < 7 ? "," : "");
+    }
+    out << "],\\"sub_rc\\":[";
+    for (int k2 = 0; k2 < 8; ++k2) {
+        Rl r; r.fill((int)rv[k2]);
+        C c; c.real.fill((int)cre[k2]); c.imag.fill((int)cim[k2]);
+        auto p = Qsub<t>(r, c);
+        out << "[" << p.real.data.toString() << "," << p.imag.data.toString() << "]" << (k2 < 7 ? "," : "");
+    }
+    out << "],\\"sub_cr\\":[";
+    for (int k2 = 0; k2 < 8; ++k2) {
+        Rl r; r.fill((int)rv[k2]);
+        C c; c.real.fill((int)cre[k2]); c.imag.fill((int)cim[k2]);
+        auto p = Qsub<t>(c, r);
+        out << "[" << p.real.data.toString() << "," << p.imag.data.toString() << "]" << (k2 < 7 ? "," : "");
+    }
+    out << "]}\\n";
+}
+""")
+
 # ---------------------------------------------------------------- double->fixed
 dbl_configs = [
     (8, 8, True, "TRN::TCPL", "SAT::TCPL"),
