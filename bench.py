@@ -255,8 +255,9 @@ def main():
         return jnp.matmul(a_data, b_data,
                           preferred_element_type=jnp.int32).astype(jnp.int8)
 
-    t_q = _time(quantized, a_raw, b_raw)
-    t_r = _time(roofline, a_raw, b_raw)
+    # two passes each, best-of: tunnel latency noise only ever inflates time
+    t_q = min(_time(quantized, a_raw, b_raw) for _ in range(2))
+    t_r = min(_time(roofline, a_raw, b_raw) for _ in range(2))
 
     ops = 2.0 * M * N * K
     gops = ops / t_q / 1e9

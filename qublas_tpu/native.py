@@ -69,6 +69,14 @@ def _build() -> Optional[ctypes.CDLL]:
                               ctypes.c_int32, fp]
     lib.qh_div.argtypes = [i64p, i64p, i64p, ctypes.c_size_t,
                            ctypes.c_int32, ctypes.c_int32, fp]
+    lib.qh_tree_gemm.argtypes = [i64p, i64p, i64p,
+                                 ctypes.c_int64, ctypes.c_int64,
+                                 ctypes.c_int64,
+                                 ctypes.c_int32, ctypes.c_int32,
+                                 fp, fp, fp, ctypes.c_int32,
+                                 ctypes.POINTER(ctypes.c_int32),
+                                 ctypes.c_int32, fp]
+    lib.qh_cast.argtypes = [i64p, i64p, ctypes.c_size_t, ctypes.c_int32, fp]
     lib.qh_pack_bits.argtypes = [i64p, ctypes.c_char_p, ctypes.c_size_t,
                                  ctypes.c_int32]
     lib.qh_unpack_bits.argtypes = [ctypes.c_char_p, i64p, ctypes.c_size_t,
@@ -182,6 +190,63 @@ def binary_op(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
     else:
         raise ValueError(op)
     return out
+
+
+_OPCODES = {"seed": 0, "convert": 1, "add": 2}
+
+
+def tree_gemm_host(A, B, fa: QFormat, fb: QFormat, mul_fmt: QFormat,
+                   add_formats, out_fmt: QFormat) -> Optional[np.ndarray]:
+    """Exact host GEMM with per-product quantization and per-layer tree
+    accumulation, on the C++ engine (streaming binary-carry — same
+    association order as the reference's vector-path reducer; differential
+    tests pin it to hostops.qgemul).  Returns int64 [m, n] raws at
+    ``out_fmt``, or None outside the 64-bit envelope."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    from .ops.tree_gemm import drain_ops, level_formats
+
+    a = _i64(A)
+    b = _i64(B)
+    if a is None or b is None or a.ndim != 2 or b.ndim != 2:
+        return None
+    m, k = a.shape
+    _, n = b.shape
+    level_fmts, merge_fmts = level_formats(mul_fmt, add_formats, k)
+    for f in [fa, fb, mul_fmt, out_fmt] + level_fmts + merge_fmts:
+        if f.storage_bits > 64:
+            return None
+    if not _requant_fits(fa.storage_bits + fb.storage_bits,
+                         fa.frac_bits + fb.frac_bits, mul_fmt):
+        return None
+    for l, mf in enumerate(merge_fmts):
+        if not _requant_fits(level_fmts[l].storage_bits + 1,
+                             level_fmts[l].frac_bits, mf):
+            return None
+    drain = drain_ops(k, len(merge_fmts))
+    final_fmt = mul_fmt
+    for op, l in drain:
+        final_fmt = level_fmts[l] if op == "seed" else merge_fmts[l]
+    if not _requant_fits(final_fmt.storage_bits, final_fmt.frac_bits,
+                         out_fmt):
+        return None
+
+    ops = np.array([v for op, l in drain for v in (_OPCODES[op], l)],
+                   dtype=np.int32)
+    lf_arr = (_Fmt * len(level_fmts))(*[_fmt(f) for f in level_fmts])
+    mf_arr = (_Fmt * len(merge_fmts))(*[_fmt(f) for f in merge_fmts])
+    out = np.empty((m, n), dtype=np.int64)
+    lib.qh_tree_gemm(
+        _ptr(np.ascontiguousarray(a)), _ptr(np.ascontiguousarray(b)),
+        _ptr(out), m, k, n, fa.frac_bits, fb.frac_bits,
+        ctypes.byref(_fmt(mul_fmt)), lf_arr, mf_arr, len(merge_fmts),
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(drain),
+        ctypes.byref(_fmt(out_fmt)))
+    final = np.empty_like(out)
+    lib.qh_cast(_ptr(out), _ptr(final), out.size, final_fmt.frac_bits,
+                ctypes.byref(_fmt(out_fmt)))
+    return final
 
 
 def pack_bits(raws, width: int) -> Optional[str]:

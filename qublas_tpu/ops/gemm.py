@@ -285,7 +285,16 @@ def _fast_gemm(a: QTensor, b: QTensor, out_fmt: QFormat, plan: ExactPlan,
 
 def _host_gemm(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to, add_formats,
                mul_full_prec) -> QTensor:
-    """Exact host golden model, batched over leading dims."""
+    """Exact host golden model, batched over leading dims.  2-D cases go
+    through the native C++ engine when formats fit its 64-bit envelope."""
+    if a.ndim == 2 and b.ndim == 2:
+        from .. import native
+
+        mul_fmt = mul_merge(a.fmt, b.fmt, mul_to, mul_full_prec)
+        got = native.tree_gemm_host(a.raw(), b.raw(), a.fmt, b.fmt, mul_fmt,
+                                    tuple(add_formats), out_fmt)
+        if got is not None:
+            return from_raw(got, out_fmt)
     A = np.asarray(a.raw(), dtype=object)
     B = np.asarray(b.raw(), dtype=object)
     batch = np.broadcast_shapes(A.shape[:-2], B.shape[:-2])

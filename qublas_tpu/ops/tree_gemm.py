@@ -62,6 +62,42 @@ class TreePlan:
     final_fmt: QFormat
 
 
+def level_formats(value_fmt: QFormat, add_formats, k: int):
+    """Per-level (value_fmt list, merge_fmt list) of the reducer tree —
+    pure structure, no lane-route restrictions."""
+    levels = max(k.bit_length(), 1)
+    level_fmts = [value_fmt]
+    merge_fmts = []
+    for l in range(levels):
+        lf = layer_format(add_formats, l)
+        if lf is None:
+            lf = add_merge(level_fmts[l], level_fmts[l])
+        merge_fmts.append(lf)
+        level_fmts.append(lf)
+    return level_fmts, merge_fmts
+
+
+def drain_ops(k: int, levels: int):
+    """Drain schedule (binary-carry ragged edge) — ("seed"|"convert"|"add",
+    level) ops, independent of formats."""
+    drain = []
+    carry_active = False
+    occupied = [bool(k & (1 << l)) for l in range(levels)]
+    for l in range(levels):
+        remaining_above = any(occupied[l + 1:])
+        if occupied[l] and carry_active:
+            drain.append(("add", l))
+        elif occupied[l] or carry_active:
+            if occupied[l]:
+                drain.append(("seed", l))
+            if remaining_above:
+                drain.append(("convert", l))
+            carry_active = True
+        if not remaining_above and carry_active:
+            break
+    return drain
+
+
 def plan_tree(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
               k: int, out_fmt: QFormat) -> Optional[TreePlan]:
     """Build the schedule and prove every step fits int32 lanes (products may

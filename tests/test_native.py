@@ -125,3 +125,45 @@ def test_from_float_uses_native_and_matches():
 def test_refuses_oversized_formats():
     wide = qformat(40, 40)
     assert native.requantize([1], wide, wide) is None
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 5, 8, 13, 16, 33])
+def test_tree_gemm_host_matches_oracle(k):
+    from qublas_tpu.qformat import mul_merge
+
+    fa, fb = qformat(4, 4), qformat(3, 5)
+    mul_to = qformat(5, 5, overflow_mode=OverflowMode.SAT_ZERO)
+    layers = (qformat(6, 4, round_mode=RoundMode.RND_CONV), qformat(5, 2))
+    out = qformat(6, 3)
+    m, n = 3, 4
+    A = rng.randint(fa.raw_min, fa.raw_max + 1, (m, k))
+    B = rng.randint(fb.raw_min, fb.raw_max + 1, (k, n))
+    mul_fmt = mul_merge(fa, fb, mul_to, False)
+    got = native.tree_gemm_host(A, B, fa, fb, mul_fmt, layers, out)
+    assert got is not None
+    ar = [[(int(A[i, p]), fa) for p in range(k)] for i in range(m)]
+    br = [[(int(B[p, j]), fb) for j in range(n)] for p in range(k)]
+    want = np.array([[c[0] for c in row]
+                     for row in hostops.qgemul(ar, br, out, mul_to, layers)])
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tree_gemm_host_wide_formats_work():
+    """The whole point of the C++ engine: 64-bit-storage formats whose
+    intermediates exceed int32 still run natively (i128)."""
+    from qublas_tpu.qformat import mul_merge
+
+    f = qformat(12, 12)  # 25-bit storage; full-prec product = 49-bit
+    out = qformat(22, 18)
+    k = 6
+    A = rng.randint(f.raw_min, f.raw_max + 1, (2, k)).astype(object)
+    B = rng.randint(f.raw_min, f.raw_max + 1, (k, 2)).astype(object)
+    mul_fmt = mul_merge(f, f, None, True)  # full-prec product (40,40)
+    got = native.tree_gemm_host(A, B, f, f, mul_fmt, (mul_fmt,), out)
+    assert got is not None
+    ar = [[(int(A[i, p]), f) for p in range(k)] for i in range(2)]
+    br = [[(int(B[p, j]), f) for j in range(2)] for p in range(k)]
+    want = np.array([[c[0] for c in row]
+                     for row in hostops.qgemul(ar, br, out, None, (mul_fmt,),
+                                               mul_full_prec=True)])
+    np.testing.assert_array_equal(got, want)
