@@ -29,7 +29,7 @@ from qublas_tpu.qformat import OverflowMode, qformat  # noqa: E402
 from qublas_tpu.qtensor import QTensor  # noqa: E402
 
 M = N = K = 4096
-ITERS = 128
+ITERS = 64
 
 FA = qformat(3, 4)  # int8 storage: the INT8 Qgemul config
 WIDE = qformat(20, 8)  # lossless int32 accumulation (proof-checked below)
@@ -255,9 +255,15 @@ def main():
         return jnp.matmul(a_data, b_data,
                           preferred_element_type=jnp.int32).astype(jnp.int8)
 
-    # two passes each, best-of: tunnel latency noise only ever inflates time
-    t_q = min(_time(quantized, a_raw, b_raw) for _ in range(2))
-    t_r = min(_time(roofline, a_raw, b_raw) for _ in range(2))
+    # best-of passes: tunnel latency noise only ever inflates time.  The
+    # second round is skipped when the first already took long (a congested
+    # tunnel session costs ~90 s fixed before any measurement).
+    wall0 = time.perf_counter()
+    t_q = _time(quantized, a_raw, b_raw)
+    t_r = _time(roofline, a_raw, b_raw)
+    if time.perf_counter() - wall0 < 180:
+        t_q = min(t_q, _time(quantized, a_raw, b_raw))
+        t_r = min(t_r, _time(roofline, a_raw, b_raw))
 
     ops = 2.0 * M * N * K
     gops = ops / t_q / 1e9
