@@ -29,7 +29,9 @@ from qublas_tpu.qformat import OverflowMode, qformat  # noqa: E402
 from qublas_tpu.qtensor import QTensor  # noqa: E402
 
 M = N = K = 4096
-ITERS = 64
+# Device time is <1 ms/iteration; the ~25 ms tunnel round-trip per
+# measurement is fixed, so many chained iterations amortize it for free.
+ITERS = 256
 
 FA = qformat(3, 4)  # int8 storage: the INT8 Qgemul config
 WIDE = qformat(20, 8)  # lossless int32 accumulation (proof-checked below)
