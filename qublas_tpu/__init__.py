@@ -62,6 +62,9 @@ _LAZY = {
     "requant_stats": "diagnostics", "format_range_report": "diagnostics",
     "save": "checkpoint", "load": "checkpoint",
     "dumps_bits": "checkpoint", "loads_bits": "checkpoint",
+    # parallelism
+    "make_mesh": "parallel", "shard_qgemul": "parallel",
+    "init_distributed": "parallel",
 }
 
 

@@ -5,6 +5,7 @@ the BASELINE-mandated sharded GEMM strategies.
 """
 
 from .sharding import (
+    init_distributed,
     make_mesh,
     shard_qgemul,
     sharded_qgemul_dp,
@@ -13,6 +14,7 @@ from .sharding import (
 )
 
 __all__ = [
+    "init_distributed",
     "make_mesh",
     "shard_qgemul",
     "sharded_qgemul_dp",
