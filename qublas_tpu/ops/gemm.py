@@ -174,6 +174,10 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
     bit-identical to ``table(qgemul(...))``, with the gather fused by XLA
     into the epilogue on device.
     """
+    if isinstance(out_fmt, QTensor):
+        # readme-style call shape `Qgemul(C, A, B)`: C supplies the output
+        # element type (we return a new tensor — jax arrays are immutable)
+        out_fmt = out_fmt.fmt
     if epilogue_lut is not None:
         c = qgemul(a, b, out_fmt, mul_to, add_formats, transpose_a,
                    transpose_b, mul_full_prec, use_pallas)
