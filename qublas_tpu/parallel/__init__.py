@@ -10,6 +10,7 @@ from .sharding import (
     shard_qgemul,
     sharded_qgemul_dp,
     sharded_qgemul_k,
+    sharded_qgemul_k_pipelined,
     sharded_qgemul_mn,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "shard_qgemul",
     "sharded_qgemul_dp",
     "sharded_qgemul_k",
+    "sharded_qgemul_k_pipelined",
     "sharded_qgemul_mn",
 ]

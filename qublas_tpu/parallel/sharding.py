@@ -48,7 +48,8 @@ from ..qformat import QFormat, mul_merge
 from ..qtensor import QTensor
 
 __all__ = ["make_mesh", "shard_qgemul", "sharded_qgemul_k",
-           "sharded_qgemul_mn", "sharded_qgemul_dp", "init_distributed"]
+           "sharded_qgemul_k_pipelined", "sharded_qgemul_mn",
+           "sharded_qgemul_dp", "init_distributed"]
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -186,6 +187,61 @@ def sharded_qgemul_k(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
         else:
             dot = jax.lax.psum(partial_dot, "tp")
         raw = W.requantize_i32(dot, plan.prod_frac, out_fmt)
+        return raw.astype(out_dtype)
+
+    return QTensor(block(a.data, b.data), out_fmt)
+
+
+def sharded_qgemul_k_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
+                               mesh: Mesh, mul_to=None, add_formats=(),
+                               mul_full_prec=False) -> QTensor:
+    """K-sharded GEMM as a *decomposed reduce-scatter matmul*: the ICI
+    transfer overlaps the MXU compute (SURVEY.md §7 hard part 5).
+
+    Each of the ``tp`` steps computes one output N-block's partial dot while
+    the accumulator ring-rotates via ``ppermute`` — XLA schedules the async
+    collective-permute of step *i* concurrently with the matmul of step
+    *i+1*, hiding the interconnect latency instead of serializing a bulk
+    ``psum`` after all compute (the classic latency-hiding collective
+    matmul from the scaling playbook).  At step ``i`` device ``d`` computes
+    the block destined to land on device ``d`` after the remaining
+    ``tp-1-i`` rotations.
+
+    Output is N-sharded over ``tp`` (reduce-scatter layout).  Same
+    exactness-proof requirement as :func:`sharded_qgemul_k`.
+    """
+    k = a.shape[-1]
+    tp = mesh.shape["tp"]
+    n = b.shape[-1]
+    mul_fmt = mul_merge(a.fmt, b.fmt, mul_to, mul_full_prec)
+    plan = exact_plan(a.fmt, b.fmt, mul_fmt, add_formats, k)
+    if plan is None or not plan.dot_interval.fits32:
+        raise ValueError(
+            "pipelined K-sharding needs a lossless accumulation proof; "
+            "use strategy='mn' for order-sensitive configs")
+    if k % tp or n % tp:
+        raise ValueError(f"K={k} and N={n} must divide tp={tp}")
+    bn = n // tp
+    a = _device_put(a, mesh, P(None, "tp"))
+    b = _device_put(b, mesh, P("tp", None))
+    out_dtype = dtype_for(out_fmt)
+    perm = [(j, (j + 1) % tp) for j in range(tp)]
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, "tp"), P("tp", None)),
+             out_specs=P(None, "tp"))
+    def block(ad, bd):
+        x = ad if ad.dtype == jnp.int8 else ad.astype(jnp.int32)
+        y = bd if bd.dtype == jnp.int8 else bd.astype(jnp.int32)
+        idx = jax.lax.axis_index("tp")
+        m_loc = x.shape[0]
+        acc = jnp.zeros((m_loc, bn), dtype=jnp.int32)
+        for i in range(tp):
+            blk = (idx + tp - 1 - i) % tp
+            yb = jax.lax.dynamic_slice_in_dim(y, blk * bn, bn, axis=1)
+            p = jnp.matmul(x, yb, preferred_element_type=jnp.int32)
+            acc = jax.lax.ppermute(acc, "tp", perm) + p
+        raw = W.requantize_i32(acc, plan.prod_frac, out_fmt)
         return raw.astype(out_dtype)
 
     return QTensor(block(a.data, b.data), out_fmt)

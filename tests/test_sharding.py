@@ -54,6 +54,21 @@ def test_k_sharded_reduce_scatter_matches():
     np.testing.assert_array_equal(np.asarray(out.raw()), np.asarray(ref.raw()))
 
 
+def test_k_sharded_pipelined_matches_single_chip():
+    """Decomposed reduce-scatter matmul (ppermute-pipelined ICI overlap)
+    must be bit-identical to the single-chip result."""
+    from qublas_tpu.parallel import sharded_qgemul_k_pipelined
+
+    mesh = make_mesh(dp=1, tp=8)
+    m, k, n = 16, 64, 32
+    a = from_raw(rand(F34, (m, k)), F34)
+    b = from_raw(rand(F34, (k, n)), F34)
+    ref = qgemul(a, b, OUT, mul_to=WIDE, add_formats=(WIDE,))
+    out = sharded_qgemul_k_pipelined(a, b, OUT, mesh, mul_to=WIDE,
+                                     add_formats=(WIDE,))
+    np.testing.assert_array_equal(np.asarray(out.raw()), np.asarray(ref.raw()))
+
+
 def test_k_sharded_rejects_order_sensitive_config():
     mesh = make_mesh(dp=1, tp=8)
     a = from_raw(rand(F88Z, (4, 16)), F88Z)
