@@ -110,6 +110,9 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
     if strategy == "k":
         return sharded_qgemul_k(a, b, out_fmt, mesh, mul_to=mul_to,
                                 add_formats=add_formats, **kw)
+    if strategy == "k_pipelined":
+        return sharded_qgemul_k_pipelined(a, b, out_fmt, mesh, mul_to=mul_to,
+                                          add_formats=add_formats, **kw)
     if strategy == "mn":
         return sharded_qgemul_mn(a, b, out_fmt, mesh, mul_to=mul_to,
                                  add_formats=add_formats, **kw)
