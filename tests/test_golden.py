@@ -100,6 +100,42 @@ def test_binary_op_golden(kind):
         assert dev.fmt == res_fmt
 
 
+def test_unary_golden():
+    recs = load("unary")
+    assert recs
+    for rec in recs:
+        fa = fmt(rec["a"])
+        ins = [int(v) for v in rec["in"]]
+        t = from_raw(np.array(ins, dtype=object), fa)
+        dev_abs = ew.qabs(t)
+        dev_neg = ew.qneg(t)
+        got_abs = [int(v) for v in
+                   np.asarray(dev_abs.raw(), dtype=object).reshape(-1)]
+        got_neg = [int(v) for v in
+                   np.asarray(dev_neg.raw(), dtype=object).reshape(-1)]
+        assert got_abs == [int(v) for v in rec["abs"]], fa
+        assert got_neg == [int(v) for v in rec["neg"]], fa
+        assert dev_abs.fmt == fmt(rec["abs_fmt"]), fa
+        assert dev_neg.fmt == fmt(rec["neg_fmt"]), fa
+        for x, wa, wn in zip(ins, rec["abs"], rec["neg"]):
+            ha, _ = hostops.qabs((x, fa))
+            hn, _ = hostops.qneg((x, fa))
+            assert ha == int(wa) and hn == int(wn), (fa, x)
+
+
+def test_cmp_golden():
+    recs = load("cmp")
+    assert recs
+    for rec in recs:
+        fa, fb = fmt(rec["a"]), fmt(rec["b"])
+        a = from_raw(np.array([int(v) for v in rec["ina"]], dtype=object), fa)
+        b = from_raw(np.array([int(v) for v in rec["inb"]], dtype=object), fb)
+        got_cmp = [int(v) for v in np.asarray(ew.qcmp(a, b)).reshape(-1)]
+        got_eq = [int(bool(v)) for v in np.asarray(ew.qeq(a, b)).reshape(-1)]
+        assert got_cmp == [int(v) for v in rec["cmp"]], (fa, fb)
+        assert got_eq == [int(v) for v in rec["eq"]], (fa, fb)
+
+
 # ---------------------------------------------------------------------------
 # reduce
 # ---------------------------------------------------------------------------

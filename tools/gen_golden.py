@@ -188,6 +188,75 @@ for op, (i1, f1, s1), (i2, f2, s2), to in op_configs:
         << (ResT::isS ? 1 : 0) << "," << ResT::QuM << "," << ResT::OfM << "]}}\\n";
 }}""")
 
+# ---------------------------------------------------------------- unary / compare
+unary_configs = [(4, 4, True), (3, 5, True), (6, -2, True), (4, 4, False),
+                 (-2, 6, True)]
+for i1, f1, s1 in unary_configs:
+    uid += 1
+    vals = sample_raws(i1, f1, 32, exhaustive_limit=0)[:32]
+    emit(f"""
+{{
+    using A = {qu(i1, f1, s1)};
+    static const long long av[] = {arr(vals)};
+    out << "{{\\"kind\\":\\"unary\\",\\"a\\":{json.dumps(fmt_json(i1, f1, s1, 'TRN::TCPL', 'SAT::TCPL'))},\\"in\\":[";
+    for (size_t k = 0; k < {len(vals)}; ++k) out << av[k] << (k + 1 < {len(vals)} ? "," : "");
+    out << "],\\"abs\\":[";
+    for (size_t k = 0; k < {len(vals)}; ++k) {{
+        A a; a.fill((int)av[k]);
+        auto r = Qabs(a);
+        out << r.data.toString() << (k + 1 < {len(vals)} ? "," : "");
+    }}
+    {{
+        A a0; a0.fill((int)av[0]);
+        auto r0 = Qabs(a0); auto n0 = Qneg(a0);
+        using RA = decltype(r0); using RN = decltype(n0);
+        out << "],\\"abs_fmt\\":[" << RA::intB << "," << RA::fracB << "," << (RA::isS?1:0) << "," << RA::QuM << "," << RA::OfM << "]"
+            << ",\\"neg_fmt\\":[" << RN::intB << "," << RN::fracB << "," << (RN::isS?1:0) << "," << RN::QuM << "," << RN::OfM << "],\\"neg\\":[";
+    }}
+    for (size_t k = 0; k < {len(vals)}; ++k) {{
+        A a; a.fill((int)av[k]);
+        auto r = Qneg(a);
+        out << r.data.toString() << (k + 1 < {len(vals)} ? "," : "");
+    }}
+    out << "]}}\\n";
+}}""")
+
+cmp_configs = [((4, 4, True), (3, 6, True)), ((4, 4, True), (4, 4, True)),
+               ((6, -2, True), (2, 3, True))]
+for (i1, f1, s1), (i2, f2, s2) in cmp_configs:
+    uid += 1
+    a_vals = sample_raws(i1, f1, 24, exhaustive_limit=0)[:24]
+    b_vals = sample_raws(i2, f2, 24, exhaustive_limit=0)[:24]
+    n_c = min(len(a_vals), len(b_vals))
+    a_vals, b_vals = a_vals[:n_c], b_vals[:n_c]
+    emit(f"""
+{{
+    using A = {qu(i1, f1, s1)};
+    using B = {qu(i2, f2, s2)};
+    static const long long av[] = {arr(a_vals)};
+    static const long long bv[] = {arr(b_vals)};
+    out << "{{\\"kind\\":\\"cmp\\",\\"a\\":{json.dumps(fmt_json(i1, f1, s1, 'TRN::TCPL', 'SAT::TCPL'))},"
+        << "\\"b\\":{json.dumps(fmt_json(i2, f2, s2, 'TRN::TCPL', 'SAT::TCPL'))},\\"ina\\":[";
+    for (size_t k = 0; k < {n_c}; ++k) out << av[k] << (k + 1 < {n_c} ? "," : "");
+    out << "],\\"inb\\":[";
+    for (size_t k = 0; k < {n_c}; ++k) out << bv[k] << (k + 1 < {n_c} ? "," : "");
+    out << "],\\"cmp\\":[";
+    for (size_t k = 0; k < {n_c}; ++k) {{
+        A a; a.fill((int)av[k]);
+        B b; b.fill((int)bv[k]);
+        auto c = (a <=> b);
+        int v = c < 0 ? -1 : (c > 0 ? 1 : 0);
+        out << v << (k + 1 < {n_c} ? "," : "");
+    }}
+    out << "],\\"eq\\":[";
+    for (size_t k = 0; k < {n_c}; ++k) {{
+        A a; a.fill((int)av[k]);
+        B b; b.fill((int)bv[k]);
+        out << (Qeq(a, b) ? 1 : 0) << (k + 1 < {n_c} ? "," : "");
+    }}
+    out << "]}}\\n";
+}}""")
+
 # ---------------------------------------------------------------- reduce
 reduce_configs = []
 for n in (2, 3, 4, 5, 6, 7, 8, 9):
