@@ -99,6 +99,8 @@ def qmul(a, b, to=None, full_prec: bool = False) -> QTensor:
     y = b.data.astype(jnp.int32)
     if route == "i32":
         raw = W.requantize_i32(x * y, from_frac, out)
+    elif route == "split":
+        raw = W.requantize_split_mul(x, y, from_frac, out)
     else:
         raw = W.requantize_pair(W.mul32_wide(x, y), from_frac, out)
     return _finish(raw, out)

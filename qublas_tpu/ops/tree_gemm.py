@@ -203,6 +203,8 @@ def _product(plan: TreePlan, col, row):
     """Requantized outer product (one level-0 value)."""
     if plan.prod_route == "i32":
         return W.requantize_i32(col * row, plan.prod_frac, plan.mul_fmt)
+    if plan.prod_route == "split":
+        return W.requantize_split_mul(col, row, plan.prod_frac, plan.mul_fmt)
     return W.requantize_pair(W.mul32_wide(col, row), plan.prod_frac,
                              plan.mul_fmt)
 

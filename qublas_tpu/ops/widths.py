@@ -121,8 +121,34 @@ def route_requant(iv: Interval, from_frac: int, fmt: QFormat) -> str:
     return "host"
 
 
+def split_mul_ok(fa: QFormat, fb: QFormat, out: QFormat) -> bool:
+    """True when the split-B int32 product trick applies (see
+    ``wideint.requantize_split_mul``): the requantization drops d in [1, 30]
+    bits and a*(b & (2^d-1)), a*(b >> d), and the rounded value all fit
+    int32 lanes."""
+    d = fa.frac_bits + fb.frac_bits - out.frac_bits
+    if not 1 <= d <= 30:
+        return False
+    ia, ib = fmt_interval(fa), fmt_interval(fb)
+    bl = Interval(0, (1 << d) - 1)
+    bh = Interval(ib.lo >> d, ib.hi >> d)
+    albl = ia * bl
+    abh = ia * bh
+    if not (albl.fits32 and abh.fits32):
+        return False
+    # xh + rounding carry
+    prod = ia * ib
+    rounded = Interval((prod.lo >> d), (prod.hi >> d) + 1)
+    return (abh + Interval(albl.lo >> d, albl.hi >> d)).fits32 \
+        and rounded.fits32
+
+
 def route_mul(fa: QFormat, fb: QFormat, out: QFormat):
-    """Route + product interval for a quantized multiply."""
+    """Route + product interval for a quantized multiply.
+
+    Routes: "i32" (single lane), "split" (int32 split-B product — cheaper
+    than the 64-bit pair emulation), "pair", "host".
+    """
     prod = fmt_interval(fa) * fmt_interval(fb)
     from_frac = fa.frac_bits + fb.frac_bits
     r = route_requant(prod, from_frac, out)
@@ -130,6 +156,8 @@ def route_mul(fa: QFormat, fb: QFormat, out: QFormat):
         r = "pair"  # the product itself needs 64-bit even if the shift fits
     if r == "pair" and not prod.fits64:
         r = "host"
+    if r == "pair" and split_mul_ok(fa, fb, out):
+        r = "split"
     return r, prod, from_frac
 
 

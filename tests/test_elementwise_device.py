@@ -127,9 +127,14 @@ def test_wide_format_host_fallback():
 
 
 def test_routes_cover_all_paths():
-    # (8,8)x(8,8) default out: product is 33 bits -> pair
+    # (8,8)x(8,8) default out: product is 33 bits, requant drops 8 -> the
+    # int32 split-B product trick applies (cheaper than the 64-bit pair)
     r, _, _ = route_mul(QFormat(8, 8), QFormat(8, 8),
                         mul_merge(QFormat(8, 8), QFormat(8, 8)))
+    assert r == "split"
+    # same-frac output keeps every product bit (d=0, no split): the 33-bit
+    # product needs the 64-bit pair emulation
+    r, _, _ = route_mul(QFormat(8, 8), QFormat(8, 8), QFormat(14, 16))
     assert r == "pair"
     r, _, _ = route_mul(QFormat(4, 4), QFormat(4, 4),
                         mul_merge(QFormat(4, 4), QFormat(4, 4)))

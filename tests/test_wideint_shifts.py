@@ -97,6 +97,29 @@ def _wrap64(v):
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+@pytest.mark.parametrize("rm", list(__import__("qublas_tpu.qformat",
+                                               fromlist=["RoundMode"])
+                                    .RoundMode))
+def test_requantize_split_mul_matches_host(rm):
+    from qublas_tpu import hostint
+    from qublas_tpu.qformat import OverflowMode, qformat
+
+    fa = qformat(8, 8)
+    n = 2000
+    a = rng.randint(fa.raw_min, fa.raw_max + 1, n).astype(np.int32)
+    b = rng.randint(fa.raw_min, fa.raw_max + 1, n).astype(np.int32)
+    a[:8] = [fa.raw_min, fa.raw_max, 0, 0, 1, -1, fa.raw_min, fa.raw_max]
+    b[:8] = [fa.raw_min, fa.raw_max, 5, 0, -1, 1, fa.raw_max, fa.raw_min]
+    for om in (OverflowMode.SAT_TCPL, OverflowMode.SAT_ZERO,
+               OverflowMode.WRP_TCPL, OverflowMode.SAT_SMGN):
+        out = qformat(8, 8, round_mode=rm, overflow_mode=om)
+        got = np.asarray(W.requantize_split_mul(
+            jnp.asarray(a), jnp.asarray(b), 16, out))
+        want = np.array([hostint.requantize(int(x) * int(y), 16, out)
+                         for x, y in zip(a, b)])
+        np.testing.assert_array_equal(got, want, err_msg=f"{rm} {om}")
+
+
 def test_widen_roundtrip():
     vals = [-(1 << 31), -1, 0, 1, (1 << 31) - 1, 424242, -424242]
     x = jnp.asarray(np.array(vals, dtype=np.int32))
