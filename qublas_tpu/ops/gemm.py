@@ -210,12 +210,21 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
         import jax
 
         m, n = a.shape[-2], b.shape[-1]
-        blocked = (a.ndim == 2 and b.ndim == 2
-                   and jax.default_backend() == "tpu"
+        blocked = (jax.default_backend() == "tpu"
                    and use_pallas is not False
                    and tree_gemm.blocked_ok(m, n, k))
-        if blocked:
+        if blocked and a.ndim == 2 and b.ndim == 2:
             raw = tree_gemm.tree_gemm_blocked(a.data, b.data, tplan, out_fmt)
+        elif blocked and a.ndim == b.ndim and a.ndim > 2 \
+                and a.shape[:-2] == b.shape[:-2]:
+            # batched: flatten leading dims and vmap the kernel (Pallas lifts
+            # the batch into an extra grid dimension)
+            batch = a.shape[:-2]
+            ad = a.data.reshape((-1,) + a.shape[-2:])
+            bd = b.data.reshape((-1,) + b.shape[-2:])
+            raw = jax.vmap(lambda x, y: tree_gemm.tree_gemm_blocked(
+                x, y, tplan, out_fmt))(ad, bd)
+            raw = raw.reshape(batch + (m, n))
         else:
             raw = tree_gemm.tree_gemm_scan(a.data, b.data, tplan, out_fmt)
         return QTensor(raw, out_fmt)
