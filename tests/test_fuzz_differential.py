@@ -167,6 +167,30 @@ def test_fuzz_cgemul(trial):
                 host[i][j][1][0], (fr, fi, out, layers, i, j)
 
 
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_sharded_mn(trial):
+    """M/N sharding must be bit-exact for any (possibly order-sensitive)
+    config — each output element's full tree runs on one device."""
+    reseed("test_fuzz_sharded_mn", trial)
+    from qublas_tpu.parallel import make_mesh, sharded_qgemul_mn
+    from qublas_tpu.qtensor import from_raw
+
+    fa, fb = rand_fmt(12), rand_fmt(12)
+    out = rand_fmt(14)
+    layers = tuple(rand_fmt(18) for _ in range(rng.randint(0, 2)))
+    mesh = make_mesh(dp=2, tp=4)
+    m, k, n = 4, int(rng.randint(1, 6)), 8
+    A = rand_raws(fa, m * k).reshape(m, k)
+    B = rand_raws(fb, k * n).reshape(k, n)
+    a, b = from_raw(A, fa), from_raw(B, fb)
+    if a.is_host or b.is_host:
+        pytest.skip("host-path formats don't shard")
+    ref = qgemul(a, b, out, add_formats=layers)
+    got = sharded_qgemul_mn(a, b, out, mesh, add_formats=layers)
+    np.testing.assert_array_equal(np.asarray(got.raw()),
+                                  np.asarray(ref.raw()))
+
+
 @pytest.mark.parametrize("trial", range(20))
 def test_fuzz_qcast(trial):
     reseed("test_fuzz_qcast", trial)
