@@ -82,6 +82,33 @@ def test_pallas_tree_matches_scan_interpret():
     np.testing.assert_array_equal(pal, scan)
 
 
+@pytest.mark.parametrize("k", [64, 128, 320])
+def test_blocked_two_phase_matches_scan(k):
+    A = rng.randint(F88Z.raw_min, F88Z.raw_max + 1, (128, k))
+    B = rng.randint(F88Z.raw_min, F88Z.raw_max + 1, (k, 128))
+    mf = mul_merge(F88Z, F88Z, None, False)
+    plan = tree_gemm.plan_tree(F88Z, F88Z, mf, (), k, F88Z)
+    a, b = from_raw(A, F88Z).data, from_raw(B, F88Z).data
+    scan = np.asarray(tree_gemm.tree_gemm_scan(a, b, plan, F88Z))
+    blkd = np.asarray(tree_gemm.tree_gemm_blocked(a, b, plan, F88Z,
+                                                  interpret=True))
+    np.testing.assert_array_equal(blkd, scan)
+
+
+def test_blocked_layered_formats():
+    layers = (qformat(9, 6, round_mode=RoundMode.RND_CONV), qformat(10, 4))
+    k = 128
+    A = rng.randint(F88Z.raw_min, F88Z.raw_max + 1, (128, k))
+    B = rng.randint(F88Z.raw_min, F88Z.raw_max + 1, (k, 128))
+    mf = mul_merge(F88Z, F88Z, None, False)
+    plan = tree_gemm.plan_tree(F88Z, F88Z, mf, layers, k, F88Z)
+    a, b = from_raw(A, F88Z).data, from_raw(B, F88Z).data
+    scan = np.asarray(tree_gemm.tree_gemm_scan(a, b, plan, F88Z))
+    blkd = np.asarray(tree_gemm.tree_gemm_blocked(a, b, plan, F88Z,
+                                                  interpret=True))
+    np.testing.assert_array_equal(blkd, scan)
+
+
 def test_plan_rejects_host_only_formats():
     wide = qformat(40, 40)
     assert tree_gemm.plan_tree(wide, wide, mul_merge(wide, wide),
