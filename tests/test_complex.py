@@ -189,3 +189,19 @@ def test_operators():
     assert isinstance(a + b, QComplexTensor)
     assert isinstance(a - b, QComplexTensor)
     assert isinstance(-a, QComplexTensor)
+
+
+def test_unsupported_divisions_raise():
+    """Parity with the reference throws: complex/complex
+    (QuBLAS.h:3591-3598) and real/complex (QuBLAS.h:3716-3720)."""
+    from qublas_tpu.complex import cdiv, rc_div
+    from qublas_tpu.qtensor import from_raw
+
+    a, b = rand_c(F44, F44), rand_c(F44, F44)
+    r = from_raw(rng.randint(1, F44.raw_max, 8), F44)
+    with pytest.raises(NotImplementedError):
+        cdiv(a, b)
+    with pytest.raises(NotImplementedError):
+        a / b
+    with pytest.raises(NotImplementedError):
+        rc_div(r, a)
