@@ -23,6 +23,12 @@ Semantics replicated exactly from the reference:
   :func:`from_bits` for a sign-correct round-trip (an extension — the
   reference cannot do this).  Unlike the reference there is no 31-bit
   ``stoi`` limit (QuBLAS.h:4699): arbitrary widths parse exactly.
+* Round-trip guarantee (same as the reference's ``toString``): only the low
+  ``width`` bits serialize, so it holds exactly for raws representable in
+  ``width`` bits — signed two's complement with ``twos_complement=True``,
+  or ``[0, 2^width)`` unsigned.  Raw values outside that range (possible
+  via ``from_raw``'s unmasked fill wart, e.g. negative raws in an unsigned
+  format's physical storage) lose their high bits, as in the reference.
 * Complex elements serialize real bits then imag bits
   (``str2Qcomplex``, QuBLAS.h:4534-4543).
 """

@@ -112,6 +112,35 @@ def test_nonbinary_chars_filtered():
     assert [int(v) for v in back.raw()] == [0b0110, 0b1110]
 
 
+def test_fuzz_roundtrip_representable():
+    """Round-trip holds for any width-representable raws, random formats
+    (incl. negative int/frac bits) and chunk orders."""
+    from qublas_tpu.qformat import qformat as qf
+
+    r = np.random.RandomState(424242)
+    for _ in range(120):
+        i, f_ = int(r.randint(-4, 30)), int(r.randint(-4, 30))
+        if i + f_ < 1:
+            continue
+        fmt = qf(i, f_, bool(r.randint(0, 2)))
+        w = fmt.width
+        if w <= 0:
+            continue
+        lo, hi = ((-(1 << (w - 1)), (1 << (w - 1)) - 1) if fmt.signed
+                  else (0, (1 << w) - 1))
+        n = int(r.randint(1, 12))
+        raws = np.array([int(r.randint(lo, hi + 1)) for _ in range(n)],
+                        dtype=object)
+        x = from_raw(raws, fmt)
+        ct = int(r.choice([c for c in range(1, n + 1) if n % c == 0]))
+        ce = int(r.choice([c for c in range(1, w + 1) if w % c == 0]))
+        s = bs.to_bits(x, bs.r2l(ct), bs.r2l(ce))
+        back = bs.from_bits(s, fmt, (n,), bs.r2l(ct), bs.r2l(ce),
+                            twos_complement=fmt.signed)
+        assert [int(v) for v in back.raw()] == [int(v) for v in raws], \
+            (fmt, n, ct, ce)
+
+
 def test_qtensor_to_bits_method():
     f = qformat(6, 3)
     t = from_raw(rng.randint(f.raw_min, f.raw_max + 1, size=4), f)
