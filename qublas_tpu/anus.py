@@ -213,7 +213,15 @@ class QTable:
         return build(0, len(raws))
 
     def __call__(self, x: QTensor) -> QTensor:
-        if x.fmt.width != self.in_fmt.width or x.fmt.frac_bits != self.in_fmt.frac_bits:
+        # Full-format check: signedness (and int_bits) change how a bit
+        # pattern is *interpreted* — signed (3,4) and unsigned (4,4) share
+        # width 8 / frac 4 but fold the sign bit differently, so a table
+        # built for one would silently misread the other's patterns.
+        # Round/overflow modes don't affect interpretation, so they may vary.
+        f = x.fmt
+        t = self.in_fmt
+        if (f.int_bits, f.frac_bits, f.signed) != (t.int_bits, t.frac_bits,
+                                                   t.signed):
             raise ValueError(f"QTable built for {self.in_fmt}, got {x.fmt}")
         if x.is_host or dtype_for(self.out_fmt) is None:
             raws = [self._raws[int(r) & self._mask]

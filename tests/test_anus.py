@@ -133,3 +133,35 @@ def test_qtable_unsigned_format():
 def test_qtable_width_cap():
     with pytest.raises(ValueError):
         anus.build_table(anus.sqrt_func, qformat(20, 10))
+
+
+def test_qtable_signedness_collision_rejected():
+    """Signed (3,4) and unsigned (4,4) share width 8 / frac 4 but interpret
+    bit patterns differently (sign fold): a table built for one must reject
+    the other instead of silently misreading it (round-2 VERDICT fix)."""
+    signed_f = qformat(3, 4)              # width 8, frac 4, signed
+    unsigned_f = qformat(4, 4, signed=False)  # width 8, frac 4, unsigned
+    assert signed_f.width == unsigned_f.width
+    table = anus.build_table(anus.sqrt_func, signed_f)
+    x = from_raw([200], unsigned_f)  # raw 200: +12.5 unsigned, -3.5 signed
+    with pytest.raises(ValueError):
+        table(x)
+    # other direction too
+    table_u = anus.build_table(anus.sqrt_func, unsigned_f)
+    with pytest.raises(ValueError):
+        table_u(from_raw([-56], signed_f))
+
+
+def test_qtable_mode_variants_accepted():
+    """Round/overflow modes don't change bit-pattern interpretation, so a
+    table built for one mode combo applies to another."""
+    from qublas_tpu.qformat import OverflowMode, RoundMode
+
+    f1 = qformat(3, 4)
+    f2 = qformat(3, 4, round_mode=RoundMode.RND_CONV,
+                 overflow_mode=OverflowMode.SAT_ZERO)
+    table = anus.build_table(anus.sqrt_func, f1)
+    x = from_float([1.0, 2.25], f2)
+    y = table(x)
+    ref = table(from_float([1.0, 2.25], f1))
+    np.testing.assert_array_equal(np.asarray(y.raw()), np.asarray(ref.raw()))
