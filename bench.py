@@ -226,8 +226,62 @@ def bench_cgemm():
     }))
 
 
+def bench_wide():
+    """Round-2 feature: 33..64-bit-storage formats on device as (hi, lo)
+    limb pairs vs the exact Python host loop they previously required.
+    vs_baseline = speedup (VERDICT bar: >= 100x)."""
+    from qublas_tpu.ops import elementwise as ew
+    from qublas_tpu.qtensor import QTensor, from_raw
+
+    f40 = qformat(30, 9)           # storage 40 -> pair storage
+    out = qformat(35, 6, overflow_mode=OverflowMode.SAT_ZERO)
+    n = 512 * 512
+    rng = np.random.RandomState(0)
+    raws_a = rng.randint(-(1 << 39), 1 << 39, size=n, dtype=np.int64)
+    raws_b = rng.randint(-(1 << 13), 1 << 13, size=n, dtype=np.int64)
+    a = from_raw(raws_a.astype(object), f40)
+    b = from_raw(raws_b.astype(object), qformat(10, 4))
+
+    @jax.jit
+    def dev(ah, al, bd):
+        from qublas_tpu.ops.wideint import PairArray
+
+        x = QTensor(PairArray(ah, al), f40)
+        y = QTensor(bd, qformat(10, 4))
+        r = ew.qmul(x, y, to=out)
+        return r.data.hi, r.data.lo
+
+    hi, lo = dev(a.data.hi, a.data.lo, b.data)
+    np.asarray(lo[:128])  # warm-up + sync
+    t0 = time.perf_counter()
+    iters = 0
+    ah, al = a.data.hi, a.data.lo
+    while time.perf_counter() - t0 < 10.0 and iters < 64:
+        hi, lo = dev(hi, lo, b.data)
+        iters += 1
+    np.asarray(lo[:128])
+    t_dev = (time.perf_counter() - t0) / iters
+
+    # the Python host loop these formats ran on before pair storage, on a
+    # small slice, extrapolated linearly (it is strictly per-element)
+    from qublas_tpu import hostops
+
+    m = 16384
+    fb = qformat(10, 4)
+    t0 = time.perf_counter()
+    for x, y in zip(raws_a[:m], raws_b[:m]):
+        hostops.qmul((int(x), f40), (int(y), fb), to=out)
+    t_host = (time.perf_counter() - t0) * (n / m)
+    print(json.dumps({
+        "metric": "wide_qmul_melems",
+        "value": round(n / t_dev / 1e6, 2),
+        "unit": "Melem/s",
+        "vs_baseline": round(t_host / t_dev, 1),  # speedup over host loop
+    }))
+
+
 EXTRA = {"tree": bench_tree_gemm, "reduce": bench_reduce,
-         "lut": bench_lut_gemm, "cgemm": bench_cgemm}
+         "lut": bench_lut_gemm, "cgemm": bench_cgemm, "wide": bench_wide}
 
 
 def main():

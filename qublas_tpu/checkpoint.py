@@ -73,6 +73,12 @@ def _decode(spec, arrays: dict):
             bits = bytes(data).decode()
             return bitstream.from_bits(bits, fmt, tuple(spec["shape"]),
                                        twos_complement=True)
+        from .ops.widths import storage_kind
+
+        if storage_kind(fmt) == "pair":
+            # rebuild the (hi, lo) limb-pair device storage from the saved
+            # int64 raws
+            return from_raw(data.astype(object), fmt)
         return QTensor(data, fmt)
     if "__qc__" in spec:
         r, i = spec["__qc__"]

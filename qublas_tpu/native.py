@@ -81,8 +81,18 @@ def _build() -> Optional[ctypes.CDLL]:
                                  ctypes.c_int32]
     lib.qh_unpack_bits.argtypes = [ctypes.c_char_p, i64p, ctypes.c_size_t,
                                    ctypes.c_int32, ctypes.c_int32]
+    u64p = ctypes.POINTER(ctypes.c_uint64)
+    lib.qh_w_limbs.restype = ctypes.c_int32
+    lib.qh_w_requantize.argtypes = [u64p, u64p, ctypes.c_size_t,
+                                    ctypes.c_int32, fp]
+    lib.qh_w_mul.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
+                             ctypes.c_int32, ctypes.c_int32, fp]
+    lib.qh_w_addsub.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
+                                ctypes.c_int32, ctypes.c_int32,
+                                ctypes.c_int32, fp]
+    lib.qh_w_shift.argtypes = [u64p, u64p, ctypes.c_size_t, ctypes.c_int32]
     lib.qh_abi_version.restype = ctypes.c_int32
-    if lib.qh_abi_version() != 1:
+    if lib.qh_abi_version() != 2 or lib.qh_w_limbs() != _NL:
         return None
     return lib
 
@@ -117,6 +127,50 @@ def _ptr(a):
 
 _MAX_TOTAL_BITS = 126  # i128 headroom
 
+# multiword engine envelope: 8x64-bit limbs; every intermediate (products,
+# alignment shifts, +1 rounding carries) must fit 512 bits signed
+_NL = 8
+_W_MAX_BITS = 510
+
+
+def _to_limbs(arr) -> Optional[np.ndarray]:
+    """Object array of Python ints -> (n, NL) uint64 limb matrix (LE,
+    two's complement mod 2^512).  None if any value needs > 511 bits.
+
+    ``int.to_bytes`` does the split at C speed — the Python-level cost is
+    one call per element, not one per limb."""
+    flat = np.asarray(arr, dtype=object).reshape(-1)
+    nbytes = 8 * _NL
+    try:
+        buf = b"".join(
+            int(v).to_bytes(nbytes, "little", signed=True) for v in flat)
+    except OverflowError:
+        return None  # a value needs more than 512 signed bits
+    return np.frombuffer(buf, dtype=np.uint64).reshape(-1, _NL).copy()
+
+
+def _from_limbs(limbs: np.ndarray) -> np.ndarray:
+    """(n, NL) uint64 limbs -> object array of signed Python ints."""
+    n = limbs.shape[0]
+    out = np.empty(n, dtype=object)
+    raw = np.ascontiguousarray(limbs).tobytes()
+    nbytes = 8 * _NL
+    for i in range(n):
+        out[i] = int.from_bytes(raw[i * nbytes:(i + 1) * nbytes], "little",
+                                signed=True)
+    return out
+
+
+def _uptr(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+
+
+def _w_requant_fits(src_bits: int, from_frac: int, to: QFormat) -> bool:
+    d = from_frac - to.frac_bits
+    width = src_bits + max(-d, 0) + 1
+    word = 64 * ((to.storage_bits + 63) // 64)  # WRP_TCPL_SAT machine word
+    return width <= _W_MAX_BITS and word <= _W_MAX_BITS
+
 
 def _requant_fits(src_bits: int, from_frac: int, to: QFormat) -> bool:
     """Intermediates of frac_convert/int_convert must fit i128."""
@@ -127,17 +181,34 @@ def _requant_fits(src_bits: int, from_frac: int, to: QFormat) -> bool:
 
 def requantize(raws, from_fmt: QFormat, to: QFormat) -> Optional[np.ndarray]:
     lib = get_lib()
-    if lib is None or from_fmt.storage_bits > 64:
+    if lib is None:
         return None
-    if not _requant_fits(from_fmt.storage_bits, from_fmt.frac_bits, to):
+    if from_fmt.storage_bits <= 64 and \
+            _requant_fits(from_fmt.storage_bits, from_fmt.frac_bits, to):
+        a = _i64(raws)
+        if a is not None:
+            out = np.empty_like(a)
+            lib.qh_requantize(_ptr(a), _ptr(out), a.size, from_fmt.frac_bits,
+                              ctypes.byref(_fmt(to)))
+            return out
+    return requantize_wide(raws, from_fmt.frac_bits, to,
+                           from_fmt.storage_bits)
+
+
+def requantize_wide(raws, from_frac: int, to: QFormat,
+                    src_bits: int) -> Optional[np.ndarray]:
+    """Multiword (512-bit) compiled requantize; object-int in/out."""
+    lib = get_lib()
+    if lib is None or not _w_requant_fits(src_bits, from_frac, to):
         return None
-    a = _i64(raws)
-    if a is None:
+    arr = np.asarray(raws, dtype=object)
+    limbs = _to_limbs(arr)
+    if limbs is None:
         return None
-    out = np.empty_like(a)
-    lib.qh_requantize(_ptr(a), _ptr(out), a.size, from_fmt.frac_bits,
-                      ctypes.byref(_fmt(to)))
-    return out
+    out = np.empty_like(limbs)
+    lib.qh_w_requantize(_uptr(limbs), _uptr(out), limbs.shape[0],
+                        from_frac, ctypes.byref(_fmt(to)))
+    return _from_limbs(out).reshape(arr.shape)
 
 
 def double_to_raw(vals, fmt: QFormat) -> Optional[np.ndarray]:
@@ -156,12 +227,13 @@ def double_to_raw(vals, fmt: QFormat) -> Optional[np.ndarray]:
 def binary_op(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
               to: QFormat) -> Optional[np.ndarray]:
     lib = get_lib()
-    if lib is None or fa.storage_bits > 64 or fb.storage_bits > 64 \
-            or to.storage_bits > 64:
+    if lib is None:
         return None
+    if fa.storage_bits > 64 or fb.storage_bits > 64 or to.storage_bits > 64:
+        return binary_op_wide(op, a_raws, b_raws, fa, fb, to)
     a, b = _i64(a_raws), _i64(b_raws)
     if a is None or b is None:
-        return None
+        return binary_op_wide(op, a_raws, b_raws, fa, fb, to)
     a, b = np.broadcast_arrays(a, b)
     a = np.ascontiguousarray(a)
     b = np.ascontiguousarray(b)
@@ -190,6 +262,55 @@ def binary_op(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
     else:
         raise ValueError(op)
     return out
+
+
+def binary_op_wide(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
+                   to: QFormat) -> Optional[np.ndarray]:
+    """Compiled multiword elementwise ops — the reference's 200-bit test
+    territory (test/ArbiInt grids) at C speed instead of the Python loop."""
+    lib = get_lib()
+    if lib is None or op == "div":  # multiword division stays on Python ints
+        return None
+    sa_bits, sb_bits = fa.storage_bits, fb.storage_bits
+    if op == "mul":
+        if not _w_requant_fits(sa_bits + sb_bits,
+                               fa.frac_bits + fb.frac_bits, to):
+            return None
+    else:
+        f = max(fa.frac_bits, fb.frac_bits)
+        src = max(sa_bits + f - fa.frac_bits, sb_bits + f - fb.frac_bits) + 1
+        if not _w_requant_fits(src, f, to):
+            return None
+    a = np.asarray(a_raws, dtype=object)
+    b = np.asarray(b_raws, dtype=object)
+    a, b = np.broadcast_arrays(a, b)
+    la, lb = _to_limbs(a), _to_limbs(b)
+    if la is None or lb is None:
+        return None
+    out = np.empty_like(la)
+    if op == "mul":
+        lib.qh_w_mul(_uptr(la), _uptr(lb), _uptr(out), la.shape[0],
+                     fa.frac_bits, fb.frac_bits, ctypes.byref(_fmt(to)))
+    else:
+        lib.qh_w_addsub(_uptr(la), _uptr(lb), _uptr(out), la.shape[0],
+                        fa.frac_bits, fb.frac_bits,
+                        1 if op == "sub" else 0, ctypes.byref(_fmt(to)))
+    return _from_limbs(out).reshape(a.shape)
+
+
+def shift_wide(raws, shift: int) -> Optional[np.ndarray]:
+    """Compiled multiword structural shift (left >= 0, arithmetic right
+    < 0) — mirrors reference staticShiftLeft/Right value semantics."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = np.asarray(raws, dtype=object)
+    limbs = _to_limbs(arr)
+    if limbs is None:
+        return None
+    out = np.empty_like(limbs)
+    lib.qh_w_shift(_uptr(limbs), _uptr(out), limbs.shape[0], shift)
+    return _from_limbs(out).reshape(arr.shape)
 
 
 _OPCODES = {"seed": 0, "convert": 1, "add": 2}

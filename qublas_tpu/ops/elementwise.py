@@ -27,12 +27,14 @@ from ..qformat import QFormat, add_merge, mul_merge
 from ..qtensor import QTensor, from_float, from_raw
 from . import wideint as W
 from .widths import (
+    Interval,
     dtype_for,
     fmt_interval,
     route_addsub,
     route_div,
     route_mul,
     route_requant,
+    storage_kind,
 )
 
 __all__ = ["qmul", "qadd", "qsub", "qdiv", "qabs", "qneg", "qcmp", "qeq",
@@ -83,8 +85,31 @@ def _host_unary(fn, a: QTensor) -> QTensor:
     return from_raw(np.array(out_raw, dtype=object).reshape(a.shape), out_fmt)
 
 
-def _finish(raw_i32, out_fmt: QFormat) -> QTensor:
-    return QTensor(raw_i32.astype(dtype_for(out_fmt)), out_fmt)
+def _finish(raw, out_fmt: QFormat) -> QTensor:
+    """Store a device result per the output format's storage kind: narrow
+    to the single lane dtype, or keep/widen into a (hi, lo) limb pair."""
+    if storage_kind(out_fmt) == "lane":
+        return QTensor(raw.astype(dtype_for(out_fmt)), out_fmt)
+    if isinstance(raw, tuple):
+        return QTensor(W.PairArray(*raw), out_fmt)
+    return QTensor(W.PairArray(*W.widen(raw)), out_fmt)
+
+
+def _is_pair(t: QTensor) -> bool:
+    return isinstance(t.data, W.PairArray)
+
+
+def _load_i32(t: QTensor):
+    """Load as a single int32 lane (caller proved values fit int32)."""
+    assert not _is_pair(t)
+    return t.data.astype(jnp.int32)
+
+
+def _load_pair(t: QTensor):
+    """Load as a 64-bit (hi, lo) pair regardless of storage kind."""
+    if _is_pair(t):
+        return t.data.hi, t.data.lo
+    return W.widen(t.data.astype(jnp.int32))
 
 
 def qmul(a, b, to=None, full_prec: bool = False) -> QTensor:
@@ -93,16 +118,21 @@ def qmul(a, b, to=None, full_prec: bool = False) -> QTensor:
     a, b = _coerce_pair(a, b)
     out = mul_merge(a.fmt, b.fmt, to, full_prec)
     route, _, from_frac = route_mul(a.fmt, b.fmt, out)
-    if a.is_host or b.is_host or route == "host" or dtype_for(out) is None:
+    if a.is_host or b.is_host or route == "host":
         return _host_binary(hostops.qmul, a, b, to=to, full_prec=full_prec)
-    x = a.data.astype(jnp.int32)
-    y = b.data.astype(jnp.int32)
     if route == "i32":
-        raw = W.requantize_i32(x * y, from_frac, out)
+        raw = W.requantize_i32(_load_i32(a) * _load_i32(b), from_frac, out)
     elif route == "split":
-        raw = W.requantize_split_mul(x, y, from_frac, out)
+        raw = W.requantize_split_mul(_load_i32(a), _load_i32(b), from_frac,
+                                     out)
     else:
-        raw = W.requantize_pair(W.mul32_wide(x, y), from_frac, out)
+        if _is_pair(a) or _is_pair(b):
+            p = W.pair_mul(_load_pair(a), _load_pair(b))
+        else:
+            p = W.mul32_wide(_load_i32(a), _load_i32(b))
+        req = W.requantize_pair if storage_kind(out) == "lane" \
+            else W.requantize_pair_keep
+        raw = req(p, from_frac, out)
     return _finish(raw, out)
 
 
@@ -111,20 +141,21 @@ def _addsub(a, b, to, full_prec, sub: bool) -> QTensor:
     out = add_merge(a.fmt, b.fmt, to, full_prec)
     route, _, f = route_addsub(a.fmt, b.fmt, out, sub)
     host_fn = hostops.qsub if sub else hostops.qadd
-    if a.is_host or b.is_host or route == "host" or dtype_for(out) is None:
+    if a.is_host or b.is_host or route == "host":
         return _host_binary(host_fn, a, b, to=to, full_prec=full_prec)
     sa, sb = f - a.fmt.frac_bits, f - b.fmt.frac_bits
-    x = a.data.astype(jnp.int32)
-    y = b.data.astype(jnp.int32)
     if route == "i32":
+        x, y = _load_i32(a), _load_i32(b)
         s = (x << sa) - (y << sb) if sub else (x << sa) + (y << sb)
         raw = W.requantize_i32(s, f, out)
     else:
-        xp = W.pair_shl(W.widen(x), sa)
-        yp = W.pair_shl(W.widen(y), sb)
+        xp = W.pair_shl(_load_pair(a), sa)
+        yp = W.pair_shl(_load_pair(b), sb)
         s = W.pair_sub(xp, yp) if sub else W.pair_add(xp, yp)
         # pair ops broadcast like their int32 lanes do
-        raw = W.requantize_pair(s, f, out)
+        req = W.requantize_pair if storage_kind(out) == "lane" \
+            else W.requantize_pair_keep
+        raw = req(s, f, out)
     return _finish(raw, out)
 
 
@@ -145,12 +176,12 @@ def qdiv(a, b, to=None, full_prec: bool = False) -> QTensor:
     a, b = _coerce_pair(a, b)
     out = add_merge(a.fmt, b.fmt, to, full_prec)
     route, _, _ = route_div(a.fmt, b.fmt, out)
-    if a.is_host or b.is_host or route == "host" or dtype_for(out) is None:
+    if a.is_host or b.is_host or route == "host":
         return _host_binary(hostops.qdiv, a, b, to=to, full_prec=full_prec)
     sa = max(b.fmt.frac_bits - a.fmt.frac_bits, 0)
     sb = max(a.fmt.frac_bits - b.fmt.frac_bits, 0)
-    x = a.data.astype(jnp.int32)
-    y = b.data.astype(jnp.int32)
+    x = _load_i32(a)
+    y = _load_i32(b)
     s = sa + out.frac_bits
     num = x << s if s >= 0 else x >> (-s)
     den = y << sb
@@ -168,19 +199,38 @@ def qabs(a: QTensor) -> QTensor:
         return a
     out = QFormat(a.fmt.int_bits + 1, a.fmt.frac_bits, a.fmt.signed,
                   a.fmt.round_mode, a.fmt.overflow_mode)
-    if a.is_host or dtype_for(out) is None or not fmt_interval(a.fmt).fits32:
+    iv = fmt_interval(a.fmt)
+    neg_iv = Interval(-iv.hi, -iv.lo)
+    if a.is_host or storage_kind(out) is None or not (
+            iv.fits64 and neg_iv.fits64):
         return _host_unary(hostops.qabs, a)
-    x = a.data.astype(jnp.int32)
-    return _finish(jnp.where(x < 0, -x, x), out)
+    if iv.fits32 and storage_kind(out) == "lane" and not _is_pair(a):
+        x = _load_i32(a)
+        return _finish(jnp.where(x < 0, -x, x), out)
+    p = _load_pair(a)
+    n = W.pair_neg(p)
+    neg = W.pair_is_neg(p)
+    raw = (jnp.where(neg, n[0], p[0]), jnp.where(neg, n[1], p[1]))
+    if storage_kind(out) == "lane":
+        return _finish(W.pair_to_int32(raw), out)
+    return _finish(raw, out)
 
 
 def qneg(a: QTensor) -> QTensor:
     """Negation (QuBLAS.h:3307-3317): widens int_bits by one."""
     out = QFormat(a.fmt.int_bits + 1, a.fmt.frac_bits, a.fmt.signed,
                   a.fmt.round_mode, a.fmt.overflow_mode)
-    if a.is_host or dtype_for(out) is None or not fmt_interval(a.fmt).fits32:
+    iv = fmt_interval(a.fmt)
+    neg_iv = Interval(-iv.hi, -iv.lo)
+    if a.is_host or storage_kind(out) is None or not (
+            iv.fits64 and neg_iv.fits64):
         return _host_unary(hostops.qneg, a)
-    return _finish(-a.data.astype(jnp.int32), out)
+    if iv.fits32 and storage_kind(out) == "lane" and not _is_pair(a):
+        return _finish(-_load_i32(a), out)
+    raw = W.pair_neg(_load_pair(a))
+    if storage_kind(out) == "lane":
+        return _finish(W.pair_to_int32(raw), out)
+    return _finish(raw, out)
 
 
 def _aligned(a: QTensor, b: QTensor):
@@ -190,11 +240,10 @@ def _aligned(a: QTensor, b: QTensor):
     ib = fmt_interval(b.fmt) << sb
     if a.is_host or b.is_host or not (ia.fits64 and ib.fits64):
         return None
-    x = a.data.astype(jnp.int32)
-    y = b.data.astype(jnp.int32)
-    if ia.fits32 and ib.fits32:
-        return (x << sa, y << sb), "i32"
-    return (W.pair_shl(W.widen(x), sa), W.pair_shl(W.widen(y), sb)), "pair"
+    if ia.fits32 and ib.fits32 and not (_is_pair(a) or _is_pair(b)):
+        return (_load_i32(a) << sa, _load_i32(b) << sb), "i32"
+    return (W.pair_shl(_load_pair(a), sa),
+            W.pair_shl(_load_pair(b), sb)), "pair"
 
 
 def qcmp(a, b):
@@ -238,11 +287,12 @@ def qcast(a: QTensor, fmt: QFormat) -> QTensor:
     if a.fmt == fmt:
         return QTensor(a.data, fmt)
     route = route_requant(fmt_interval(a.fmt), a.fmt.frac_bits, fmt)
-    if a.is_host or route == "host" or dtype_for(fmt) is None:
+    if a.is_host or route == "host":
         return _host_unary(lambda v: hostops.convert(v, fmt), a)
-    x = a.data.astype(jnp.int32)
     if route == "i32":
-        raw = W.requantize_i32(x, a.fmt.frac_bits, fmt)
+        raw = W.requantize_i32(_load_i32(a), a.fmt.frac_bits, fmt)
     else:
-        raw = W.requantize_pair(W.widen(x), a.fmt.frac_bits, fmt)
+        req = W.requantize_pair if storage_kind(fmt) == "lane" \
+            else W.requantize_pair_keep
+        raw = req(_load_pair(a), a.fmt.frac_bits, fmt)
     return _finish(raw, fmt)

@@ -204,8 +204,10 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
     # Pallas variant keeps the slot stack in VMEM on TPU.
     from . import tree_gemm
 
-    tplan = tree_gemm.plan_tree(a.fmt, b.fmt, mul_fmt, add_formats, k,
-                                out_fmt)
+    tplan = None
+    if not (a.is_pair or b.is_pair):  # tree kernels assume lane storage
+        tplan = tree_gemm.plan_tree(a.fmt, b.fmt, mul_fmt, add_formats, k,
+                                    out_fmt)
     if tplan is not None:
         import jax
 

@@ -128,12 +128,22 @@ def qreduce(x: QTensor, layer_formats=(), axis=None) -> QTensor:
 def _moveaxis(arr, src, dst):
     import jax.numpy as jnp
 
+    from .wideint import PairArray
+
+    if isinstance(arr, PairArray):
+        return PairArray(jnp.moveaxis(arr.hi, src, dst),
+                         jnp.moveaxis(arr.lo, src, dst))
     return jnp.moveaxis(arr, src, dst)
 
 
 def _concat(parts):
     import jax.numpy as jnp
 
+    from .wideint import PairArray
+
+    if isinstance(parts[0], PairArray):
+        return PairArray(jnp.concatenate([p.hi for p in parts], axis=0),
+                         jnp.concatenate([p.lo for p in parts], axis=0))
     return jnp.concatenate(parts, axis=0)
 
 

@@ -29,10 +29,96 @@ __all__ = [
     "pair_shl", "pair_shr", "pair_low_bits", "pair_lt", "pair_eq",
     "pair_is_neg", "pair_is_pos", "pair_to_int32",
     "requantize_pair", "requantize_i32",
+    "PairArray", "pair_mul", "as_pair", "requantize_pair_keep",
 ]
 
 _U32 = jnp.uint32
 _I32 = jnp.int32
+
+
+@jax.tree_util.register_pytree_node_class
+class PairArray:
+    """Device-resident 33..64-bit integer tensor as two 32-bit limb arrays.
+
+    This is the *storage* form of QTensor data for formats whose physical
+    width is 33–64 bits (the reference's multiword ``ArbiInt`` territory,
+    QuBLAS.h:566-912, stores little-endian uint64 limbs; on TPU the natural
+    limb is the 32-bit lane).  ``hi`` is the signed high limb (int32), ``lo``
+    the unsigned low limb (uint32); the logical value is ``hi * 2^32 + lo``.
+
+    Registered as a pytree so it flows through jit/vmap/shard_map inside a
+    QTensor like any array.  Only the structural operations QTensor needs are
+    implemented; arithmetic lives in the pair_* functions of this module.
+    """
+
+    __slots__ = ("hi", "lo")
+
+    def __init__(self, hi, lo):
+        self.hi = hi
+        self.lo = lo
+
+    def tree_flatten(self):
+        return (self.hi, self.lo), None
+
+    @classmethod
+    def tree_unflatten(cls, _aux, children):
+        return cls(*children)
+
+    @property
+    def shape(self):
+        return self.hi.shape
+
+    @property
+    def ndim(self):
+        return self.hi.ndim
+
+    @property
+    def size(self):
+        return self.hi.size
+
+    def __getitem__(self, idx):
+        return PairArray(self.hi[idx], self.lo[idx])
+
+    def reshape(self, *shape):
+        return PairArray(self.hi.reshape(*shape), self.lo.reshape(*shape))
+
+    def swapaxes(self, a, b):
+        return PairArray(self.hi.swapaxes(a, b), self.lo.swapaxes(a, b))
+
+    def to_numpy_int64(self) -> "jnp.ndarray":
+        """Exact host transfer: values as a NumPy int64 array."""
+        import numpy as np
+
+        hi = np.asarray(self.hi).astype(np.int64)
+        lo = np.asarray(self.lo).astype(np.uint64).astype(np.int64)
+        return (hi << 32) | lo
+
+    def __repr__(self):
+        return f"PairArray(shape={tuple(self.shape)})"
+
+
+def pair_from_int64_np(values) -> PairArray:
+    """Host NumPy/object array of Python ints (fitting 64 bits, two's
+    complement) -> device PairArray."""
+    import numpy as np
+
+    arr = np.asarray(values, dtype=object)
+    hi = np.empty(arr.shape, dtype=np.int32)
+    lo = np.empty(arr.shape, dtype=np.uint32)
+    it = np.nditer(arr, flags=["multi_index", "refs_ok"])
+    for v in it:
+        i = int(v.item()) & ((1 << 64) - 1)
+        h = i >> 32
+        hi[it.multi_index] = h - (1 << 32) if h >= (1 << 31) else h
+        lo[it.multi_index] = i & 0xFFFFFFFF
+    return PairArray(jnp.asarray(hi), jnp.asarray(lo))
+
+
+def as_pair(x):
+    """Coerce an int32 array or PairArray to a (hi, lo) tuple."""
+    if isinstance(x, PairArray):
+        return x.hi, x.lo
+    return widen(x)
 
 
 def _bitcast_i32(x):
@@ -96,6 +182,35 @@ def mul32_wide(a, b):
     hi_u = a1 * b1 + (mid >> 16) + (mid2 >> 16)
     hi_u = hi_u - jnp.where(a < 0, ub, _U32(0)) - jnp.where(b < 0, ua, _U32(0))
     return _bitcast_i32(hi_u), lo
+
+
+def _umul32_wide(ua, ub):
+    """Unsigned 32×32 → 64-bit product as (hi: uint32, lo: uint32)."""
+    a0, a1 = ua & _U32(0xFFFF), ua >> 16
+    b0, b1 = ub & _U32(0xFFFF), ub >> 16
+    ll = a0 * b0
+    mid = a0 * b1 + (ll >> 16)
+    mid2 = a1 * b0 + (mid & _U32(0xFFFF))
+    lo = (mid2 << 16) | (ll & _U32(0xFFFF))
+    hi = a1 * b1 + (mid >> 16) + (mid2 >> 16)
+    return hi, lo
+
+
+def pair_mul(a, b):
+    """Low 64 bits of the product of two 64-bit pairs.
+
+    Exact whenever the true (signed) product fits 64 bits — the caller must
+    prove this via interval arithmetic (``widths.route_mul``).  Two's
+    complement makes the mod-2^64 result sign-correct:
+
+        (ahi·2³² + alo)(bhi·2³² + blo) ≡ ((ahi·blo + alo·bhi) mod 2³²)·2³²
+                                           + alo·blo            (mod 2⁶⁴)
+    """
+    ahi, alo = a
+    bhi, blo = b
+    hi_u, lo = _umul32_wide(alo, blo)
+    cross = _bitcast_u32(ahi) * blo + alo * _bitcast_u32(bhi)  # mod 2^32
+    return _bitcast_i32(hi_u + cross), lo
 
 
 def pair_shl(a, d: int):
@@ -286,6 +401,97 @@ def requantize_split_mul(a, b, from_frac: int, fmt: QFormat):
     return _overflow_i32(y, fmt)
 
 
+def _round_pair(p, from_frac: int, fmt: QFormat):
+    """Rounding stage (fracConvert, QuBLAS.h:2002-2204) on a 64-bit pair."""
+    mode = fmt.round_mode
+    d = from_frac - fmt.frac_bits
+    if d <= 0:
+        return pair_shl(p, -d) if d else p
+    if mode == RoundMode.TRN_TCPL:
+        return pair_shr(p, d)
+    if mode == RoundMode.TRN_SMGN:
+        neg = pair_is_neg(p)
+        pos_res = pair_shr(p, d)
+        neg_res = pair_neg(pair_shr(pair_neg(p), d))
+        return (jnp.where(neg, neg_res[0], pos_res[0]),
+                jnp.where(neg, neg_res[1], pos_res[1]))
+    xh = pair_shr(p, d)
+    xl = pair_low_bits(p, d)
+    t = pair_const(1 << (d - 1), shape=p[0].shape)
+    xl_gt = pair_lt(t, xl)
+    xl_eq = pair_eq(xl, t)
+    carry = _carry_mode(mode, xl_gt, xl_gt | xl_eq, xl_eq,
+                        pair_is_neg(p), pair_is_pos(p),
+                        (xh[1] & _U32(1)) == 1)
+    cpair = (jnp.zeros_like(p[0]), carry.astype(_U32))
+    return pair_add(xh, cpair)
+
+
+def _pair_select(cond, a, b):
+    return jnp.where(cond, a[0], b[0]), jnp.where(cond, a[1], b[1])
+
+
+def requantize_pair_keep(p, from_frac: int, fmt: QFormat):
+    """Bit-exact requantize of a 64-bit pair into a format with **pair
+    storage** (33 <= storage_bits <= 64): round, then apply the overflow
+    stage entirely in the pair domain.  Returns a (hi, lo) tuple.
+
+    This is the device path for the reference's first multiword-ArbiInt
+    regime (QuBLAS.h:566-912): formats too wide for one int32 lane but
+    fitting two.  Caller proves (``widths.route_requant``) that the input
+    and every rounding intermediate fit 64 bits.
+    """
+    y = _round_pair(p, from_frac, fmt)
+    w = fmt.storage_bits
+    omode = fmt.overflow_mode
+    if omode in (OverflowMode.SAT_TCPL, OverflowMode.SAT_ZERO,
+                 OverflowMode.SAT_SMGN):
+        hi_b = pair_const((1 << (w - 1)) - 1, shape=y[0].shape)
+        if not fmt.signed:
+            lo_v = 0
+        elif omode == OverflowMode.SAT_SMGN:
+            lo_v = -(1 << (w - 1)) + 1
+        else:
+            lo_v = -(1 << (w - 1))
+        lo_b = pair_const(lo_v, shape=y[0].shape)
+        over = pair_lt(hi_b, y)
+        under = pair_lt(y, lo_b)
+        if omode == OverflowMode.SAT_ZERO:
+            zero = (jnp.zeros_like(y[0]), jnp.zeros_like(y[1]))
+            return _pair_select(over | under, zero, y)
+        y = _pair_select(over, hi_b, y)
+        return _pair_select(under, lo_b, y)
+    if omode == OverflowMode.WRP_TCPL:
+        if fmt.signed:
+            if w >= 64:
+                return y
+            if w > 32:
+                hw = w - 32  # 1..31 bits live in the high limb
+                mask_hi = _I32((1 << hw) - 1)
+                m = y[0] & mask_hi
+                sign = (m >> (hw - 1)) & _I32(1)
+                return jnp.where(sign == 1, m | ~mask_hi, m), y[1]
+            if w == 32:
+                lo_i = _bitcast_i32(y[1])
+                return lo_i >> 31, y[1]
+            m32 = _overflow_i32(_bitcast_i32(y[1]), fmt)
+            return m32 >> 31, _bitcast_u32(m32)
+        wb = w - 1  # unsigned wrap masks to int_bits+frac_bits (QuBLAS.h:2329)
+        if wb >= 64:
+            return y
+        if wb > 32:
+            return y[0] & _I32((1 << (wb - 32)) - 1), y[1]
+        if wb == 32:
+            return jnp.zeros_like(y[0]), y[1]
+        mask = _U32((1 << wb) - 1) if wb else _U32(0)
+        return jnp.zeros_like(y[0]), y[1] & mask
+    if omode == OverflowMode.WRP_TCPL_SAT:
+        # identity stub (QuBLAS.h:2336-2344); the 64-bit machine-word wrap
+        # at the store is inherent to the mod-2^64 pair representation
+        return y
+    raise AssertionError(omode)
+
+
 def requantize_pair(p, from_frac: int, fmt: QFormat):
     """Bit-exact requantize of a 64-bit (hi, lo) pair down to int32.
 
@@ -294,29 +500,7 @@ def requantize_pair(p, from_frac: int, fmt: QFormat):
     reference identity stub — additionally requires the caller to prove the
     unclamped value fits, else the host path is used).
     """
-    mode = fmt.round_mode
-    d = from_frac - fmt.frac_bits
-    if d <= 0:
-        y = pair_shl(p, -d) if d else p
-    elif mode == RoundMode.TRN_TCPL:
-        y = pair_shr(p, d)
-    elif mode == RoundMode.TRN_SMGN:
-        neg = pair_is_neg(p)
-        pos_res = pair_shr(p, d)
-        neg_res = pair_neg(pair_shr(pair_neg(p), d))
-        y = (jnp.where(neg, neg_res[0], pos_res[0]),
-             jnp.where(neg, neg_res[1], pos_res[1]))
-    else:
-        xh = pair_shr(p, d)
-        xl = pair_low_bits(p, d)
-        t = pair_const(1 << (d - 1), shape=p[0].shape)
-        xl_gt = pair_lt(t, xl)
-        xl_eq = pair_eq(xl, t)
-        carry = _carry_mode(mode, xl_gt, xl_gt | xl_eq, xl_eq,
-                            pair_is_neg(p), pair_is_pos(p),
-                            (xh[1] & _U32(1)) == 1)
-        cpair = (jnp.zeros_like(p[0]), carry.astype(_U32))
-        y = pair_add(xh, cpair)
+    y = _round_pair(p, from_frac, fmt)
 
     # overflow stage on the pair, then truncate to int32
     w = fmt.storage_bits

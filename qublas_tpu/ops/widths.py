@@ -111,12 +111,20 @@ def _shift_ok(from_frac: int, fmt: QFormat, limit: int) -> bool:
 
 
 def route_requant(iv: Interval, from_frac: int, fmt: QFormat) -> str:
-    """Pick the lane strategy for a requantize of values in ``iv``."""
+    """Pick the lane strategy for a requantize of values in ``iv``.
+
+    "i32" also requires the *output* to fit one int32 lane; "pair" covers
+    both int32-storable results computed through 64-bit intermediates and
+    results stored as (hi, lo) limb pairs (storage 33..64 — see
+    :func:`storage_kind`); beyond 64 bits -> "host".
+    """
     out, inters = requant_out_interval(iv, from_frac, fmt)
     all_iv = inters + [out]
-    if all(v.fits32 for v in all_iv) and _shift_ok(from_frac, fmt, 31):
+    if all(v.fits32 for v in all_iv) and _shift_ok(from_frac, fmt, 31) \
+            and storage_kind(fmt) == "lane":
         return "i32"
-    if all(v.fits64 for v in all_iv) and _shift_ok(from_frac, fmt, 63) and out.fits32:
+    if all(v.fits64 for v in all_iv) and _shift_ok(from_frac, fmt, 63) \
+            and storage_kind(fmt) is not None:
         return "pair"
     return "host"
 
@@ -156,7 +164,7 @@ def route_mul(fa: QFormat, fb: QFormat, out: QFormat):
         r = "pair"  # the product itself needs 64-bit even if the shift fits
     if r == "pair" and not prod.fits64:
         r = "host"
-    if r == "pair" and split_mul_ok(fa, fb, out):
+    if r == "pair" and storage_kind(out) == "lane" and split_mul_ok(fa, fb, out):
         r = "split"
     return r, prod, from_frac
 
@@ -189,17 +197,18 @@ def route_div(fa: QFormat, fb: QFormat, out: QFormat):
     quot = Interval(-max(abs(num.lo), abs(num.hi)), max(abs(num.lo), abs(num.hi)))
     ok32 = num.fits32 and den.fits32 and quot.fits32
     out_iv, _ = requant_out_interval(quot, out.frac_bits, out)
-    if ok32 and out_iv.fits32:
+    if ok32 and out_iv.fits32 and storage_kind(out) == "lane":
         return "i32", num, 0
     return "host", num, 0
 
 
 def dtype_for(fmt: QFormat):
-    """Smallest device dtype holding the format's storage; None -> host.
+    """Smallest single-lane device dtype holding the format's storage;
+    None -> pair (limbed) or host storage — see :func:`storage_kind`.
 
-    WRP_TCPL_SAT formats wrap only at the int32 machine word, so their
-    device storage is always int32 (narrower dtypes would wrap too early);
-    storage beyond 32 bits wraps at int64/limb boundaries — host path.
+    WRP_TCPL_SAT formats wrap only at the machine word, so their device
+    storage is always a full word: int32 up to 32 bits (narrower dtypes
+    would wrap too early), the 64-bit (hi, lo) pair up to 64 bits.
     """
     import jax.numpy as jnp
 
@@ -212,4 +221,24 @@ def dtype_for(fmt: QFormat):
         return jnp.int16
     if s <= 32:
         return jnp.int32
+    return None
+
+
+def storage_kind(fmt: QFormat):
+    """Device storage class of a format:
+
+    * ``"lane"`` — one int8/int16/int32 lane per element (storage <= 32),
+    * ``"pair"`` — two 32-bit limb arrays per tensor (storage 33..64;
+      reference multiword ``ArbiInt``, QuBLAS.h:566-912),
+    * ``None``  — wider than 64 bits: host-side Python-int object arrays.
+
+    For WRP_TCPL_SAT (the reference identity stub) storage is the machine
+    word: the int32 word up to 32 bits, the 64-bit pair up to 64 bits —
+    wrapping at the word boundary is exactly the stub's store semantics.
+    """
+    s = fmt.storage_bits
+    if s <= 32:
+        return "lane"
+    if s <= 64:
+        return "pair"
     return None

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import hostint
-from .ops.widths import dtype_for
+from .ops.widths import dtype_for, storage_kind
 from .qformat import QFormat
 
 __all__ = ["QTensor", "from_float", "from_raw", "zeros", "random_fill",
@@ -78,12 +78,24 @@ class QTensor:
 
     @property
     def is_host(self) -> bool:
-        """True when the raw data lives host-side as Python ints (wide formats)."""
+        """True when the raw data lives host-side as Python ints (formats
+        wider than 64-bit storage, or lane formats holding out-of-word raw
+        values via the ``fill(int)`` wart)."""
         return isinstance(self.data, np.ndarray) and self.data.dtype == object
+
+    @property
+    def is_pair(self) -> bool:
+        """True when storage is the device (hi, lo) 32-bit limb pair
+        (formats with 33..64-bit physical storage)."""
+        from .ops.wideint import PairArray
+
+        return isinstance(self.data, PairArray)
 
     # --- conversions ---------------------------------------------------------
     def raw(self) -> np.ndarray:
         """Raw storage integers as a NumPy array (host transfer if needed)."""
+        if self.is_pair:
+            return self.data.to_numpy_int64()
         return np.asarray(self.data)
 
     def raw_list(self):
@@ -95,7 +107,7 @@ class QTensor:
             flat = [hostint.raw_to_double(int(v), self.fmt)
                     for v in self.data.reshape(-1)]
             return np.array(flat, dtype=np.float64).reshape(self.shape)
-        return np.asarray(self.data).astype(np.float64) * (2.0 ** -self.fmt.frac_bits)
+        return self.raw().astype(np.float64) * (2.0 ** -self.fmt.frac_bits)
 
     def astype(self, fmt: QFormat) -> "QTensor":
         """Cross-format conversion = requantize with the destination's modes
@@ -202,9 +214,18 @@ def from_raw(values: Any, fmt: QFormat, validate: bool = False) -> QTensor:
         if flat and (vmin < fmt.raw_min or vmax > fmt.raw_max):
             raise ValueError(
                 f"raw values [{vmin},{vmax}] exceed storage of {fmt}")
-    floor_dt = dtype_for(fmt)
-    if floor_dt is None:
+    kind = storage_kind(fmt)
+    if kind is None:
         return QTensor(arr, fmt)
+    if kind == "pair":
+        if flat and (vmin < -(1 << 63) or vmax >= (1 << 63)):
+            # beyond the 64-bit machine word: keep exact host ints (the
+            # fill(int) wart stores raw values as given)
+            return QTensor(arr, fmt)
+        from .ops.wideint import pair_from_int64_np
+
+        return QTensor(pair_from_int64_np(arr), fmt)
+    floor_dt = dtype_for(fmt)
     dt = _min_dtype_for_values(vmin, vmax, floor_dt)
     if dt is None:
         # values exceed int32 lanes: keep host-side
@@ -239,10 +260,15 @@ def scalar(value: float, fmt: QFormat) -> QTensor:
 
 
 def zeros(shape, fmt: QFormat) -> QTensor:
-    dt = dtype_for(fmt)
-    if dt is None:
+    kind = storage_kind(fmt)
+    if kind is None:
         return QTensor(np.zeros(shape, dtype=object), fmt)
-    return QTensor(jnp.zeros(shape, dtype=dt), fmt)
+    if kind == "pair":
+        from .ops.wideint import PairArray
+
+        return QTensor(PairArray(jnp.zeros(shape, dtype=jnp.int32),
+                                 jnp.zeros(shape, dtype=jnp.uint32)), fmt)
+    return QTensor(jnp.zeros(shape, dtype=dtype_for(fmt)), fmt)
 
 
 def random_fill(shape, fmt: QFormat, seed: int = 1) -> QTensor:

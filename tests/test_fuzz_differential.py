@@ -202,3 +202,88 @@ def test_fuzz_qcast(trial):
     for x, g in zip(raws, np.asarray(dev.raw(), dtype=object).reshape(-1)):
         want, _ = hostops.convert((int(x), src), dst)
         assert int(g) == want, (src, dst, int(x))
+
+
+# ---------------------------------------------------------------------------
+# Wide (33..64-bit storage) formats: device limb-pair storage vs the oracle
+# ---------------------------------------------------------------------------
+
+def rand_wide_fmt():
+    """Format with 33..64-bit physical storage (device pair storage)."""
+    while True:
+        i = int(rng.randint(-6, 60))
+        f = int(rng.randint(-6, 60))
+        if 32 <= i + f <= 63:
+            break
+    return qformat(i, f, bool(rng.randint(0, 2)),
+                   RoundMode(rng.randint(0, 7)),
+                   OverflowMode(rng.randint(0, 5)))
+
+
+@pytest.mark.parametrize("trial", range(40))
+def test_fuzz_wide_binary_ops(trial):
+    reseed("test_fuzz_wide_binary_ops", trial)
+    from qublas_tpu.qtensor import from_raw
+
+    fa = rand_wide_fmt()
+    fb = rand_wide_fmt() if rng.randint(0, 2) else rand_fmt()
+    if rng.randint(0, 2):
+        fa, fb = fb, fa
+    to = None if rng.randint(0, 3) == 0 else (
+        rand_wide_fmt() if rng.randint(0, 2) else rand_fmt())
+    op = ["qmul", "qadd", "qsub", "qdiv"][rng.randint(0, 4)]
+    n = 16
+    a_raws, b_raws = rand_raws(fa, n), rand_raws(fb, n)
+    if op == "qdiv":
+        b_raws = np.array([v if v else 1 for v in b_raws], dtype=object)
+    a, b = from_raw(a_raws, fa), from_raw(b_raws, fb)
+    dev = getattr(ew, op)(a, b, to=to)
+    host_fn = getattr(hostops, op)
+    for x, y, g in zip(a_raws, b_raws,
+                       np.asarray(dev.raw(), dtype=object).reshape(-1)):
+        want, wf = host_fn((int(x), fa), (int(y), fb), to=to)
+        assert int(g) == want, (op, fa, fb, to, int(x), int(y), int(g), want)
+        assert dev.fmt == wf
+
+
+@pytest.mark.parametrize("trial", range(12))
+def test_fuzz_wide_qreduce(trial):
+    reseed("test_fuzz_wide_qreduce", trial)
+    from qublas_tpu.qtensor import from_raw
+
+    fa = rand_wide_fmt()
+    n = int(rng.randint(1, 16))
+    nlayers = rng.randint(0, 3)
+    layers = tuple((rand_wide_fmt() if rng.randint(0, 2) else rand_fmt())
+                   for _ in range(nlayers))
+    raws = rand_raws(fa, n)
+    dev = qreduce(from_raw(raws, fa), layers)
+    want, wf = hostops.qreduce_list([(int(v), fa) for v in raws], layers)
+    assert int(np.asarray(dev.raw(), dtype=object)) == want, (fa, layers, n)
+    assert dev.fmt == wf
+
+
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_wide_qcast(trial):
+    reseed("test_fuzz_wide_qcast", trial)
+    from qublas_tpu.qtensor import from_raw
+
+    fa = rand_wide_fmt()
+    to = rand_wide_fmt() if rng.randint(0, 2) else rand_fmt()
+    raws = rand_raws(fa, 24)
+    dev = ew.qcast(from_raw(raws, fa), to)
+    for x, g in zip(raws, np.asarray(dev.raw(), dtype=object).reshape(-1)):
+        want, _ = hostops.convert((int(x), fa), to)
+        assert int(g) == want, (fa, to, int(x), int(g), want)
+
+
+def test_wide_formats_are_device_resident():
+    """The round-2 contract: 33..64-bit-storage tensors live on device as
+    limb pairs, not host object arrays (VERDICT missing item 1)."""
+    from qublas_tpu.qtensor import from_raw
+
+    for trial in range(20):
+        reseed("test_wide_formats_are_device_resident", trial)
+        fa = rand_wide_fmt()
+        t = from_raw(rand_raws(fa, 8), fa)
+        assert t.is_pair and not t.is_host, fa

@@ -122,9 +122,22 @@ def test_from_float_uses_native_and_matches():
     assert [int(v) for v in np.asarray(t.raw()).reshape(-1)] == want
 
 
-def test_refuses_oversized_formats():
-    wide = qformat(40, 40)
-    assert native.requantize([1], wide, wide) is None
+def test_oversized_formats_route_to_multiword():
+    """Formats past the 64-bit scalar envelope now run on the compiled
+    multiword (512-bit) engine (round 2); only configurations whose
+    intermediates exceed 512 bits refuse."""
+    from qublas_tpu import hostint
+
+    wide = qformat(40, 40)  # storage 81: multiword territory
+    got = native.requantize([(1 << 70) + 3], wide, wide)
+    assert got is not None and int(got[0]) == (1 << 70) + 3
+    # shifting up by ~500 bits overflows even the multiword engine
+    src = qformat(500, 0)
+    dst = qformat(500, 400)
+    assert native.requantize([1 << 490], src, dst) is None
+    # and the exact Python model still covers it
+    assert hostint.requantize(1 << 490, 0, dst) == (1 << 490) << 400 \
+        if dst.raw_max >= (1 << 890) else True
 
 
 @pytest.mark.parametrize("k", [1, 2, 3, 5, 8, 13, 16, 33])

@@ -578,6 +578,25 @@ emit("""
 }
 """)
 
+# ------------------------------------------------------------------- fill
+# Reference fill() random streams (mt19937 seed 1 + libstdc++
+# uniform_int_distribution) — pins qublas_tpu/refrand.py bit-for-bit.
+# gen.seed(1) restarts the global stream so this family is independent of
+# chunk ordering (same state as reference program startup, QuBLAS.h:30).
+fill_widths = [8, 17, 32, 33, 64, 65, 100, 128, 200]
+_fill_dumps = "\n".join(
+    f"""    {{
+        gen.seed(1);
+        out << "{{\\"kind\\":\\"fill\\",\\"w\\":{w},\\"out\\":[";
+        for (int k = 0; k < 12; ++k) {{
+            ArbiInt<{w}> v; v.fill();
+            out << '\\"' << v.toString() << '\\"' << (k < 11 ? "," : "");
+        }}
+        out << "]}}\\n";
+    }}"""
+    for w in fill_widths)
+chunks.append(_fill_dumps)
+
 # ---------------------------------------------------------------- build & run
 cpp = (
     "#include \"QuBLAS.h\"\n#include <iostream>\n#include <fstream>\n"
