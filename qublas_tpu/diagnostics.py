@@ -35,6 +35,15 @@ def requant_stats(x: QTensor, fmt: QFormat) -> RequantStats:
 
     Works on device-path tensors; host (wide) tensors are evaluated with
     Python ints.
+
+    ``saturated`` counts elements whose *rounded* value falls outside the
+    target's identity range (``_identity_bounds``) — i.e. elements that
+    int_convert would clamp, zero, **or wrap**.  For WRP_TCPL / WRP_TCPL_SAT
+    targets nothing is literally "saturated": the count is the number of
+    wrapped elements, which is the quantity an ASIC datapath designer
+    watches (a wrap is at least as destructive as a clamp).  The internal
+    probe runs the rounding stage with a WRP_TCPL_SAT no-op overflow so the
+    pre-overflow value is observable on device lanes.
     """
     d = x.fmt.frac_bits - fmt.frac_bits
     lo, hi = _identity_bounds(fmt)

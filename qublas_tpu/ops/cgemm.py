@@ -67,17 +67,26 @@ def _single_default(*specs):
     return given[0] if len(given) == 1 else None
 
 
-def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags):
-    """Return the fast-path result, or None when the proof fails."""
+def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
+                 dot_reduce=None, k_total=None):
+    """Return the fast-path result, or None when the proof fails.
+
+    ``dot_reduce`` (optional) is applied to each integer dot product before
+    the combine/epilogue — the K-sharding hook: with operands holding a
+    K-slice and ``dot_reduce=lambda d: jax.lax.psum(d, "tp")`` the partial
+    int32 dots sum over ICI, which is bit-exact because the proof (run
+    against ``k_total``, the *global* contraction length) guarantees
+    lossless integer accumulation in any order.
+    """
     import jax.numpy as jnp
 
     if a.real.ndim != 2 or b.real.ndim != 2:
         return None
     far, fai = a.real.fmt, a.imag.fmt
     fbr, fbi = b.real.fmt, b.imag.fmt
-    if any(t.is_host for t in (a.real, a.imag, b.real, b.imag)):
+    if any(t.is_host or t.is_pair for t in (a.real, a.imag, b.real, b.imag)):
         return None
-    k = a.shape[-1]
+    k = k_total if k_total is not None else a.shape[-1]
     ar = _Step(fmt_interval(far), far)
     ai = _Step(fmt_interval(fai), fai)
     br = _Step(fmt_interval(fbr), fbr)
@@ -182,6 +191,8 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags):
                  fmt_interval(fbi), fin_i.frac_bits - fC)
         if dA is None or dB is None or dC is None:
             return None
+        if dot_reduce is not None:
+            dA, dB, dC = dot_reduce(dA), dot_reduce(dB), dot_reduce(dC)
         re = ((dA << (fin_r.frac_bits - fA))
               - (dB << (fin_r.frac_bits - fB)))
         im = ((dB << (fin_i.frac_bits - fB))
@@ -201,6 +212,9 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags):
                   fin_i.frac_bits - fai.frac_bits - fbr.frac_bits)
         if dac is None or dbd is None or dad is None or dbc is None:
             return None
+        if dot_reduce is not None:
+            dac, dbd = dot_reduce(dac), dot_reduce(dbd)
+            dad, dbc = dot_reduce(dad), dot_reduce(dbc)
         re = ((dac << (fin_r.frac_bits - far.frac_bits - fbr.frac_bits))
               - (dbd << (fin_r.frac_bits - fai.frac_bits - fbi.frac_bits)))
         im = ((dad << (fin_i.frac_bits - far.frac_bits - fbi.frac_bits))

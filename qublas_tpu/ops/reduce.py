@@ -80,6 +80,11 @@ def qreduce(x: QTensor, layer_formats=(), axis=None) -> QTensor:
     entry point, QuBLAS.h:4992-5001).  An integer ``axis`` reduces along that
     axis only — a batched extension the reference cannot express (its tensors
     reduce whole); this is what the GEMM path uses for dot products.
+
+    The per-layer slice/add program is the production path on every
+    backend: a fused Pallas VMEM reducer was built and measured at 0.84x
+    the XLA path on the v5e (round-2 quantification) — XLA's own fusion of
+    the log-depth layer chain wins, so the kernel was removed.
     """
     layer_formats = _normalize(layer_formats)
     if axis is None:
@@ -92,13 +97,6 @@ def qreduce(x: QTensor, layer_formats=(), axis=None) -> QTensor:
 
     if x.is_host:
         return _qreduce_host(x, layer_formats, axis)
-
-    import jax
-
-    if jax.default_backend() == "tpu":
-        fast = _qreduce_pallas(x, layer_formats, axis)
-        if fast is not None:
-            return fast
 
     # move the reduction axis to the front; everything after is batch
     cur = QTensor(_moveaxis(x.data, axis, 0), x.fmt)
@@ -145,94 +143,6 @@ def _concat(parts):
         return PairArray(jnp.concatenate([p.hi for p in parts], axis=0),
                          jnp.concatenate([p.lo for p in parts], axis=0))
     return jnp.concatenate(parts, axis=0)
-
-
-_BT = 128  # batch-tile lanes for the pallas reducer
-
-
-def _reduce_layer_plan(fmt, layer_formats, n):
-    """Per-layer (value_fmt, layer_fmt) sequence with i32 route proofs; None
-    when any layer needs the pair/host path."""
-    from ..qformat import add_merge
-    from .widths import route_addsub
-
-    seq = []
-    cur = fmt
-    levels = 0
-    m = n
-    while m > 1:
-        lf = layer_format(layer_formats, levels)
-        if lf is None:
-            lf = add_merge(cur, cur)
-        r, _, _ = route_addsub(cur, cur, lf, sub=False)
-        if r != "i32":
-            return None
-        seq.append((cur, lf))
-        cur = lf
-        levels += 1
-        m = (m + 1) // 2
-    return seq, cur
-
-
-def _qreduce_pallas(x: QTensor, layer_formats, axis: int,
-                    interpret: bool = False):
-    """VMEM tree reducer for the hot case: power-of-two reduction length,
-    lane-aligned batch, all layers on int32 routes.  Folds every layer
-    inside one kernel invocation — the portable path's per-layer
-    slice/concat round-trips HBM ~2·log n times."""
-    import jax
-
-    n = x.shape[axis]
-    if n < 2 or (n & (n - 1)) != 0:
-        return None
-    planned = _reduce_layer_plan(x.fmt, layer_formats, n)
-    if planned is None:
-        return None
-    seq, out_fmt = planned
-    from .widths import dtype_for
-
-    if dtype_for(out_fmt) is None:
-        return None
-
-    import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    from . import wideint as W
-
-    # layout: reduction axis leading, flattened batch in lanes
-    data = jnp.moveaxis(x.data, axis, 0)
-    batch_shape = data.shape[1:]
-    bflat = 1
-    for s in batch_shape:
-        bflat *= s
-    if bflat % _BT != 0 or bflat == 0:
-        return None
-    flat = data.reshape(n, bflat)
-
-    def kernel(in_ref, out_ref):
-        v = in_ref[...].astype(jnp.int32)     # [n, BT]
-        for cur, lf in seq:
-            half = v.shape[0] // 2
-            v2 = v.reshape(half, 2, v.shape[1])
-            s = v2[:, 0] + v2[:, 1]
-            v = W.requantize_i32(s, cur.frac_bits, lf)
-        out_ref[...] = v.astype(dtype_for(out_fmt))
-
-    out = pl.pallas_call(
-        kernel,
-        grid=(bflat // _BT,),
-        in_specs=[pl.BlockSpec((n, _BT), lambda j: (0, j),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, _BT), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, bflat), dtype_for(out_fmt)),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",),
-        ),
-        interpret=interpret,
-    )(flat)
-    return QTensor(out.reshape(batch_shape), out_fmt)
 
 
 def _qreduce_host(x: QTensor, layer_formats, axis: int,

@@ -8,18 +8,28 @@ from .sharding import (
     init_distributed,
     make_mesh,
     shard_qgemul,
+    sharded_cgemul,
+    sharded_cgemul_k,
+    sharded_cgemul_mn,
     sharded_qgemul_dp,
     sharded_qgemul_k,
     sharded_qgemul_k_pipelined,
     sharded_qgemul_mn,
+    sharded_qreduce,
+    sharded_qreduce_k,
 )
 
 __all__ = [
     "init_distributed",
     "make_mesh",
     "shard_qgemul",
+    "sharded_cgemul",
+    "sharded_cgemul_k",
+    "sharded_cgemul_mn",
     "sharded_qgemul_dp",
     "sharded_qgemul_k",
     "sharded_qgemul_k_pipelined",
     "sharded_qgemul_mn",
+    "sharded_qreduce",
+    "sharded_qreduce_k",
 ]

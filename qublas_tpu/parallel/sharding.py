@@ -43,13 +43,15 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import wideint as W
 from ..ops.gemm import exact_plan, qgemul
-from ..ops.widths import dtype_for
+from ..ops.widths import Interval, dtype_for
 from ..qformat import QFormat, mul_merge
 from ..qtensor import QTensor
 
 __all__ = ["make_mesh", "shard_qgemul", "sharded_qgemul_k",
            "sharded_qgemul_k_pipelined", "sharded_qgemul_mn",
-           "sharded_qgemul_dp", "init_distributed"]
+           "sharded_qgemul_dp", "init_distributed",
+           "sharded_cgemul", "sharded_cgemul_mn", "sharded_cgemul_k",
+           "sharded_qreduce", "sharded_qreduce_k"]
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -149,7 +151,8 @@ def sharded_qgemul_mn(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
 
 def sharded_qgemul_k(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                      mul_to=None, add_formats=(), mul_full_prec=False,
-                     reduce_scatter: bool = False, **kw) -> QTensor:
+                     reduce_scatter: bool = False, epilogue_lut=None,
+                     **kw) -> QTensor:
     """Shard the contraction dim over ``tp``.  Each chip computes a partial
     int32 dot on its K-slice (MXU), then partials sum over ICI — ``psum``
     (output replicated over tp) or ``psum_scatter`` (reduce-scatter, output
@@ -190,14 +193,21 @@ def sharded_qgemul_k(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
         else:
             dot = jax.lax.psum(partial_dot, "tp")
         raw = W.requantize_i32(dot, plan.prod_frac, out_fmt)
-        return raw.astype(out_dtype)
+        raw = raw.astype(out_dtype)
+        if epilogue_lut is not None:
+            # ANUS ROM fused after the collective: each chip maps its own
+            # output tile, so the LUT rides every K strategy
+            raw = epilogue_lut(QTensor(raw, out_fmt)).data
+        return raw
 
-    return QTensor(block(a.data, b.data), out_fmt)
+    res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
+    return QTensor(block(a.data, b.data), res_fmt)
 
 
 def sharded_qgemul_k_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
                                mesh: Mesh, mul_to=None, add_formats=(),
-                               mul_full_prec=False) -> QTensor:
+                               mul_full_prec=False,
+                               epilogue_lut=None) -> QTensor:
     """K-sharded GEMM as a *decomposed reduce-scatter matmul*: the ICI
     transfer overlaps the MXU compute (SURVEY.md §7 hard part 5).
 
@@ -245,9 +255,13 @@ def sharded_qgemul_k_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
             p = jnp.matmul(x, yb, preferred_element_type=jnp.int32)
             acc = jax.lax.ppermute(acc, "tp", perm) + p
         raw = W.requantize_i32(acc, plan.prod_frac, out_fmt)
-        return raw.astype(out_dtype)
+        raw = raw.astype(out_dtype)
+        if epilogue_lut is not None:
+            raw = epilogue_lut(QTensor(raw, out_fmt)).data
+        return raw
 
-    return QTensor(block(a.data, b.data), out_fmt)
+    res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
+    return QTensor(block(a.data, b.data), res_fmt)
 
 
 # ---------------------------------------------------------------------------
@@ -276,3 +290,202 @@ def sharded_qgemul_dp(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                       mul_to=mul_to, add_formats=add_formats, **kw).data
 
     return QTensor(block(a.data, b.data), out_fmt)
+
+
+# ---------------------------------------------------------------------------
+# Complex GEMM sharding (TF/Basic per-product algorithms)
+# ---------------------------------------------------------------------------
+
+def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
+                   add_formats=(), strategy: str = "auto", **mul_tags):
+    """Sharded complex C = A @ B (see :func:`qublas_tpu.ops.cgemm.cgemul`).
+
+    ``"mn"`` (always bit-exact, any config) shards M over dp and N over tp;
+    ``"k"`` shards the contraction dim and psums the 3 (TF) / 4 (basic)
+    integer dots over ICI — valid only under the complex fast path's
+    lossless proof.  ``"auto"`` probes the proof and picks.
+    """
+    from ..ops.cgemm import _fast_cgemul, _part_formats, _split_layers
+
+    if strategy == "auto":
+        orf, oif = _part_formats(out_fmt)
+        r_layers, i_layers = _split_layers(add_formats)
+        probe = _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers,
+                             mul_tags)
+        strategy = "k" if probe is not None and \
+            a.shape[-1] % mesh.shape["tp"] == 0 else "mn"
+    if strategy == "k":
+        return sharded_cgemul_k(a, b, out_fmt, mesh, algo=algo,
+                                add_formats=add_formats, **mul_tags)
+    if strategy == "mn":
+        return sharded_cgemul_mn(a, b, out_fmt, mesh, algo=algo,
+                                 add_formats=add_formats, **mul_tags)
+    raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def sharded_cgemul_mn(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
+                      add_formats=(), **mul_tags):
+    """Shard M over dp, N over tp; each chip computes full complex dots for
+    its tile — bit-exact for every config (incl. order-sensitive trees and
+    all tag-default quirks)."""
+    from ..complex import QComplexTensor
+    from ..ops.cgemm import cgemul
+
+    far, fai = a.real.fmt, a.imag.fmt
+    fbr, fbi = b.real.fmt, b.imag.fmt
+    ar = jax.device_put(a.real.data, NamedSharding(mesh, P("dp", None)))
+    ai = jax.device_put(a.imag.data, NamedSharding(mesh, P("dp", None)))
+    br = jax.device_put(b.real.data, NamedSharding(mesh, P(None, "tp")))
+    bi = jax.device_put(b.imag.data, NamedSharding(mesh, P(None, "tp")))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P("dp", None), P("dp", None),
+                       P(None, "tp"), P(None, "tp")),
+             out_specs=(P("dp", "tp"), P("dp", "tp")))
+    def block(ard, aid, brd, bid):
+        c = cgemul(QComplexTensor(QTensor(ard, far), QTensor(aid, fai)),
+                   QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi)),
+                   out_fmt, algo=algo, add_formats=add_formats, **mul_tags)
+        return c.real.data, c.imag.data
+
+    rr, ri = block(ar, ai, br, bi)
+    from ..ops.cgemm import _part_formats
+
+    orf, oif = _part_formats(out_fmt)
+    if orf is None:
+        # output formats were inferred: recover them from a tiny probe
+        from ..ops.cgemm import cgemul as _cg
+
+        probe = _cg(a[..., :1, :], b[..., :, :1], out_fmt, algo=algo,
+                    add_formats=add_formats, **mul_tags)
+        orf, oif = probe.real.fmt, probe.imag.fmt
+    return QComplexTensor(QTensor(rr, orf), QTensor(ri, oif))
+
+
+def sharded_cgemul_k(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
+                     add_formats=(), **mul_tags):
+    """Shard the contraction dim over ``tp``: each chip computes the complex
+    fast path's partial integer dots (3 MXU matmuls for TF, 4 for basic) on
+    its K-slice; partials psum over ICI before the exact shift/combine
+    epilogue.  Requires the lossless proof — bit-exact because integer
+    addition order cannot matter when no step rounds or saturates."""
+    from ..complex import QComplexTensor
+    from ..ops.cgemm import _fast_cgemul, _part_formats, _split_layers
+
+    k = a.shape[-1]
+    tp = mesh.shape["tp"]
+    if k % tp:
+        raise ValueError(f"K={k} not divisible by tp={tp}")
+    orf, oif = _part_formats(out_fmt)
+    r_layers, i_layers = _split_layers(add_formats)
+    probe = _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags)
+    if probe is None:
+        raise ValueError(
+            "K-sharded cgemul needs the lossless fast-path proof; this "
+            "config is order-sensitive - use strategy='mn'")
+    far, fai = a.real.fmt, a.imag.fmt
+    fbr, fbi = b.real.fmt, b.imag.fmt
+    ar = jax.device_put(a.real.data, NamedSharding(mesh, P(None, "tp")))
+    ai = jax.device_put(a.imag.data, NamedSharding(mesh, P(None, "tp")))
+    br = jax.device_put(b.real.data, NamedSharding(mesh, P("tp", None)))
+    bi = jax.device_put(b.imag.data, NamedSharding(mesh, P("tp", None)))
+
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(P(None, "tp"), P(None, "tp"),
+                       P("tp", None), P("tp", None)),
+             out_specs=(P(None, None), P(None, None)))
+    def block(ard, aid, brd, bid):
+        la = QComplexTensor(QTensor(ard, far), QTensor(aid, fai))
+        lb = QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi))
+        c = _fast_cgemul(la, lb, orf, oif, algo, r_layers, i_layers,
+                         mul_tags,
+                         dot_reduce=lambda d: jax.lax.psum(d, "tp"),
+                         k_total=k)
+        # probe above proved the plan; local slices share the same formats
+        return c.real.data, c.imag.data
+
+    rr, ri = block(ar, ai, br, bi)
+    return QComplexTensor(QTensor(rr, probe.real.fmt),
+                          QTensor(ri, probe.imag.fmt))
+
+
+# ---------------------------------------------------------------------------
+# Sharded Qreduce
+# ---------------------------------------------------------------------------
+
+def sharded_qreduce(x: QTensor, layer_formats=(), axis: int = -1,
+                    mesh: Mesh = None, batch_axis: int = 0) -> QTensor:
+    """Batch-sharded tree reduction: shard ``batch_axis`` over the whole
+    mesh (dp x tp) and run the exact per-lane tree locally — bit-exact for
+    every config because each lane's full tree stays on one chip."""
+    from ..ops.reduce import qreduce
+
+    if x.ndim < 2:
+        raise ValueError("sharded_qreduce needs a batch axis; "
+                         "use sharded_qreduce_k for 1-D inputs")
+    n_dev = mesh.shape["dp"] * mesh.shape["tp"]
+    if x.shape[batch_axis] % n_dev:
+        raise ValueError(
+            f"batch dim {x.shape[batch_axis]} not divisible by {n_dev}")
+    axes = ("dp", "tp")
+    spec = [None] * x.ndim
+    spec[batch_axis] = axes
+    spec = P(*spec)
+    xd = jax.device_put(x.data, NamedSharding(mesh, spec))
+    red_axis = axis % x.ndim
+    out_rank_spec = [s for i, s in enumerate(spec) if i != red_axis]
+
+    # probe the output format on a single lane (trace-time, host-side)
+    probe = qreduce(x[tuple(slice(0, 1) if i != red_axis else slice(None)
+                           for i in range(x.ndim))],
+                    layer_formats, axis=red_axis)
+    out_fmt = probe.fmt
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
+             out_specs=P(*out_rank_spec))
+    def block(data):
+        return qreduce(QTensor(data, x.fmt), layer_formats,
+                       axis=red_axis).data
+
+    return QTensor(block(xd), out_fmt)
+
+
+def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTensor:
+    """Reduction-axis-sharded tree reduction of a vector: each chip sums its
+    slice with plain int32 adds, partials psum over ICI, then one final
+    requantize.  Valid only when the per-layer tree is provably lossless
+    (``tree_exact``) so integer-addition order cannot change bits."""
+    from ..ops.gemm import tree_exact
+    from ..ops.reduce import _normalize
+    from ..ops.widths import fmt_interval
+
+    layer_formats = _normalize(layer_formats)
+    if x.ndim != 1:
+        raise ValueError("sharded_qreduce_k reduces a 1-D vector")
+    n = x.shape[0]
+    tp = mesh.shape["tp"]
+    if n % tp:
+        raise ValueError(f"n={n} not divisible by tp={tp}")
+    final_fmt = tree_exact(fmt_interval(x.fmt), x.fmt, layer_formats, n)
+    if final_fmt is None:
+        raise ValueError(
+            "sharded_qreduce_k needs a lossless tree proof; this config is "
+            "order-sensitive - use the batch-sharded form or a single chip")
+    total_iv = fmt_interval(x.fmt)
+    total_iv = Interval(min(total_iv.lo * n, total_iv.lo),
+                        max(total_iv.hi * n, total_iv.hi))
+    if not total_iv.fits32:
+        raise ValueError("sum interval exceeds int32")
+    out_dtype = dtype_for(final_fmt)
+
+    xd = jax.device_put(x.data, NamedSharding(mesh, P("tp")))
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(P("tp"),),
+             out_specs=P())
+    def block(data):
+        s = jnp.sum(data.astype(jnp.int32), keepdims=True)
+        tot = jax.lax.psum(s, "tp")
+        raw = W.requantize_i32(tot, x.fmt.frac_bits, final_fmt)
+        return raw.astype(out_dtype)
+
+    return QTensor(block(xd)[0], final_fmt)

@@ -70,3 +70,27 @@ def test_bits_interchange_roundtrip():
     back = checkpoint.loads_bits(s)
     np.testing.assert_array_equal(np.asarray(back.raw()), np.asarray(t.raw()))
     assert back.fmt == f
+
+
+def test_requant_stats_wrp_counts_wraps():
+    """For WRP targets 'saturated' counts *wrapped* elements (documented
+    semantics): the rounded value leaving the identity range means
+    int_convert would wrap it."""
+    from qublas_tpu.qformat import OverflowMode, qformat
+    from qublas_tpu.qtensor import from_raw
+
+    src = qformat(10, 4)
+    dst = qformat(3, 4, overflow_mode=OverflowMode.WRP_TCPL)  # range ±128
+    x = from_raw([0, 100, 200, -300, 127, -128], src)
+    st = diagnostics.requant_stats(x, dst)
+    # 200 and -300 leave [-128, 127] -> 2 wraps; no frac bits dropped
+    assert int(st.saturated) == 2
+    assert int(st.rounded) == 0
+    assert int(st.total) == 6
+    # device path agrees with the host evaluation of the same tensor
+    import numpy as np
+
+    host = from_raw(np.array([0, 100, 200, -300, 127, -128],
+                             dtype=object), qformat(40, 4))
+    st_h = diagnostics.requant_stats(host, dst)
+    assert int(st_h.saturated) == 2 and int(st_h.rounded) == 0

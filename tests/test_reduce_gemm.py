@@ -66,28 +66,6 @@ def test_qreduce_axis_batched():
         assert int(dev.raw()[i]) == host_raw
 
 
-@pytest.mark.parametrize("n", [2, 16, 256])
-def test_qreduce_pallas_interpret_matches(n):
-    from qublas_tpu.ops.reduce import _qreduce_pallas
-
-    layers = (qformat(5, 3, round_mode=RoundMode.RND_CONV,
-                      overflow_mode=OverflowMode.SAT_ZERO), qformat(6, 2))
-    x = from_raw(rand_raws(F44, (128, n)), F44)
-    ref = qreduce(x, layers, axis=1)
-    fast = _qreduce_pallas(x, layers, 1, interpret=True)
-    assert fast is not None
-    np.testing.assert_array_equal(np.asarray(fast.raw()),
-                                  np.asarray(ref.raw()))
-    assert fast.fmt == ref.fmt
-
-
-def test_qreduce_pallas_rejects_non_pow2_and_unaligned():
-    from qublas_tpu.ops.reduce import _qreduce_pallas
-
-    x = from_raw(rand_raws(F44, (128, 6)), F44)
-    assert _qreduce_pallas(x, (), 1, interpret=True) is None  # n not 2^k
-    y = from_raw(rand_raws(F44, (100, 8)), F44)
-    assert _qreduce_pallas(y, (), 1, interpret=True) is None  # lanes unaligned
 
 
 def test_qreduce_wide_format_host_path():
