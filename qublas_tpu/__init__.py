@@ -37,8 +37,8 @@ _LAZY = {
     "QTensor": "qtensor", "from_float": "qtensor", "from_raw": "qtensor",
     "zeros": "qtensor", "random_fill": "qtensor", "scalar": "qtensor",
     "from_double": "qtensor",
-    # reference-identical fill() streams (mt19937 seed 1)
-    "reference_fill": "refrand",
+    # reference-identical fill()/shuffle() streams (mt19937 seed 1)
+    "reference_fill": "refrand", "reference_shuffle": "refrand",
     # elementwise ops
     "qmul": "ops.elementwise", "qadd": "ops.elementwise",
     "qsub": "ops.elementwise", "qdiv": "ops.elementwise",

@@ -154,9 +154,11 @@ class QTensor:
         return QTensor(self.data[idx], self.fmt)
 
     def shuffle(self, seed: int = 1) -> "QTensor":
-        """Random permutation of the flattened elements (parity with the
-        reference tensor's ``shuffle()``, QuBLAS.h:2843-2850; deterministic
-        via ``seed`` like the fixed-seed global RNG, QuBLAS.h:30)."""
+        """Random permutation of the flattened elements (capability parity
+        with the reference tensor's ``shuffle()``, QuBLAS.h:2843-2850),
+        using NumPy's permutation stream.  For the reference's *exact*
+        ``std::shuffle(gen)`` permutation use
+        :func:`qublas_tpu.refrand.reference_shuffle`."""
         perm = np.random.RandomState(seed).permutation(int(self.size))
         if self.is_host:
             flat = self.data.reshape(-1)[perm]

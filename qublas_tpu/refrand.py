@@ -31,7 +31,7 @@ from __future__ import annotations
 from .qformat import QFormat
 
 __all__ = ["MT19937", "uniform_int", "fill_raw", "reference_fill",
-           "default_gen", "reset"]
+           "reference_shuffle", "default_gen", "reset"]
 
 _M32 = 0xFFFFFFFF
 _M64 = (1 << 64) - 1
@@ -178,3 +178,42 @@ def reference_fill(shape, fmt: QFormat, gen: MT19937 | None = None):
         n *= int(s)
     raws = [fill_raw(g, fmt.storage_bits) for _ in range(n)]
     return from_raw(np.array(raws, dtype=object).reshape(shape), fmt)
+
+
+def _uniform_below(gen: MT19937, bound: int) -> int:
+    """uniform_int over [0, bound-1] (uctype arithmetic)."""
+    return uniform_int(gen, 0, bound - 1)
+
+
+def reference_shuffle(t, gen: MT19937 | None = None):
+    """Shuffle a QTensor exactly like the reference's tensor ``shuffle()``
+    (``std::shuffle(data.begin(), data.end(), gen)``, QuBLAS.h:2846-2850),
+    replicating libstdc++'s algorithm: for n² <= 2^32-1 (always, for the
+    reference's static dims) one even-count pre-swap with dist{0,1}, then
+    two swap positions per RNG draw via ``__gen_two_uniform_ints``
+    (x = uniform(0, s(s+1)-1); positions x/(s+1), x%(s+1)) —
+    /usr/include/c++/12/bits/stl_algo.h:3696-3759.
+    """
+    import numpy as np
+
+    from .qtensor import QTensor, from_raw
+
+    g = gen if gen is not None else _default
+    flat = [int(v) for v in np.asarray(t.raw(), dtype=object).reshape(-1)]
+    n = len(flat)
+    if n > 1:
+        assert n * n <= _M32, "reference shuffle replica covers n^2 < 2^32"
+        i = 1
+        if n % 2 == 0:
+            j = _uniform_below(g, 2)
+            flat[i], flat[j] = flat[j], flat[i]
+            i += 1
+        while i < n:
+            s = i + 1
+            x = _uniform_below(g, s * (s + 1))
+            p0, p1 = x // (s + 1), x % (s + 1)
+            flat[i], flat[p0] = flat[p0], flat[i]
+            i += 1
+            flat[i], flat[p1] = flat[p1], flat[i]
+            i += 1
+    return from_raw(np.array(flat, dtype=object).reshape(t.shape), t.fmt)

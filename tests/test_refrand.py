@@ -66,3 +66,32 @@ def test_reset_restarts_stream():
     refrand.reset(1)
     b = refrand.fill_raw(refrand.default_gen(), 33)
     assert a == b
+
+
+SHUFFLE_GOLDEN = pathlib.Path(__file__).parent / "golden_data" / "shuffle.json"
+
+
+@pytest.mark.parametrize("rec", json.loads(SHUFFLE_GOLDEN.read_text()),
+                         ids=lambda r: f"n{r['n']}")
+def test_reference_shuffle_matches_reference(rec):
+    """std::shuffle(gen) permutation replica (libstdc++ two-swaps-per-draw
+    algorithm), pinned to the compiled reference: raw values 1000..1000+n-1
+    shuffled from a fresh seed-1 stream."""
+    n = rec["n"]
+    t = refrand.reference_fill((1,), qformat(8, 8),
+                               gen=refrand.MT19937(99))  # unrelated stream
+    gen = refrand.MT19937(1)
+    src = np.arange(1000, 1000 + n)
+    from qublas_tpu.qtensor import from_raw
+
+    shuffled = refrand.reference_shuffle(from_raw(src, qformat(8, 8)),
+                                         gen=gen)
+    got = [int(v) for v in np.asarray(shuffled.raw()).reshape(-1)]
+    assert got == [int(v) for v in rec["out"]]
+
+
+def test_reference_shuffle_is_permutation():
+    t = refrand.reference_fill((40,), qformat(8, 8), gen=refrand.MT19937(5))
+    s = refrand.reference_shuffle(t, gen=refrand.MT19937(2))
+    assert sorted(int(v) for v in np.asarray(s.raw())) == \
+        sorted(int(v) for v in np.asarray(t.raw()))

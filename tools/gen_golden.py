@@ -597,6 +597,23 @@ _fill_dumps = "\n".join(
     for w in fill_widths)
 chunks.append(_fill_dumps)
 
+# ---------------------------------------------------------------- shuffle
+# std::shuffle(gen) permutation golden — pins refrand.reference_shuffle.
+shuffle_ns = [2, 3, 5, 7, 12, 16, 33, 100]
+_shuffle_dumps = "\n".join(
+    f"""    {{
+        gen.seed(1);
+        Qu<dim<{n}>, Qu<intBits<8>, fracBits<8>>> t;
+        for (int i = 0; i < {n}; ++i) t[i].fill(1000 + i);
+        t.shuffle();
+        out << "{{\\"kind\\":\\"shuffle\\",\\"n\\":{n},\\"out\\":[";
+        for (int i = 0; i < {n}; ++i)
+            out << t[i].data.toString() << (i < {n} - 1 ? "," : "");
+        out << "]}}\\n";
+    }}"""
+    for n in shuffle_ns)
+chunks.append(_shuffle_dumps)
+
 # ---------------------------------------------------------------- build & run
 cpp = (
     "#include \"QuBLAS.h\"\n#include <iostream>\n#include <fstream>\n"
