@@ -531,6 +531,54 @@ void qh_w_addsub(const uint64_t *a, const uint64_t *b, uint64_t *out,
     }
 }
 
+// multiword streaming tree GEMM: same binary-carry schedule as
+// qh_tree_gemm, every value a 512-bit limb vector — the reference's
+// >64-bit ArbiInt GEMM territory at C speed.
+void qh_w_tree_gemm(const uint64_t *A, const uint64_t *B, uint64_t *C,
+                    int64_t m, int64_t k, int64_t n,
+                    int32_t fa_frac, int32_t fb_frac,
+                    const Fmt *mul_fmt, const Fmt *level_fmts,
+                    const Fmt *merge_fmts, int32_t levels,
+                    const int32_t *drain_ops, int32_t n_drain,
+                    const Fmt *out_fmt) {
+    int pf = fa_frac + fb_frac;
+    W512 *slots = new W512[levels];
+    for (int64_t i = 0; i < m; ++i) {
+        for (int64_t j = 0; j < n; ++j) {
+            for (int64_t t = 0; t < k; ++t) {
+                W512 a = w_load(A + (i * k + t) * NL);
+                W512 b = w_load(B + (t * n + j) * NL);
+                W512 v = w_requantize(w_mul(a, b), pf, *mul_fmt);
+                int64_t tt = t;
+                int lvl = 0;
+                while (tt & 1) {
+                    v = w_requantize(w_add(slots[lvl], v),
+                                     level_fmts[lvl].frac_bits,
+                                     merge_fmts[lvl]);
+                    tt >>= 1;
+                    ++lvl;
+                }
+                slots[lvl] = v;
+            }
+            W512 carry = w_zero();
+            for (int32_t d = 0; d < n_drain; ++d) {
+                int op = drain_ops[2 * d], l = drain_ops[2 * d + 1];
+                if (op == 0) carry = slots[l];
+                else if (op == 1)
+                    carry = w_requantize(carry, level_fmts[l].frac_bits,
+                                         merge_fmts[l]);
+                else
+                    carry = w_requantize(w_add(slots[l], carry),
+                                         level_fmts[l].frac_bits,
+                                         merge_fmts[l]);
+            }
+            w_store(C + (i * n + j) * NL, carry);
+        }
+    }
+    delete[] slots;
+    (void)out_fmt;  // final converting assignment applied by qh_w_requantize
+}
+
 // structural shifts (reference staticShiftLeft/Right semantics on the value;
 // exposed for the wide shift-grid differential tests)
 void qh_w_shift(const uint64_t *in, uint64_t *out, size_t n, int32_t shift) {
@@ -541,6 +589,6 @@ void qh_w_shift(const uint64_t *in, uint64_t *out, size_t n, int32_t shift) {
     }
 }
 
-int32_t qh_abi_version(void) { return 2; }
+int32_t qh_abi_version(void) { return 3; }
 
 }  // extern "C"

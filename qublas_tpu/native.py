@@ -91,8 +91,15 @@ def _build() -> Optional[ctypes.CDLL]:
                                 ctypes.c_int32, ctypes.c_int32,
                                 ctypes.c_int32, fp]
     lib.qh_w_shift.argtypes = [u64p, u64p, ctypes.c_size_t, ctypes.c_int32]
+    lib.qh_w_tree_gemm.argtypes = [u64p, u64p, u64p,
+                                   ctypes.c_int64, ctypes.c_int64,
+                                   ctypes.c_int64,
+                                   ctypes.c_int32, ctypes.c_int32,
+                                   fp, fp, fp, ctypes.c_int32,
+                                   ctypes.POINTER(ctypes.c_int32),
+                                   ctypes.c_int32, fp]
     lib.qh_abi_version.restype = ctypes.c_int32
-    if lib.qh_abi_version() != 2 or lib.qh_w_limbs() != _NL:
+    if lib.qh_abi_version() != 3 or lib.qh_w_limbs() != _NL:
         return None
     return lib
 
@@ -330,44 +337,72 @@ def tree_gemm_host(A, B, fa: QFormat, fb: QFormat, mul_fmt: QFormat,
 
     a = _i64(A)
     b = _i64(B)
-    if a is None or b is None or a.ndim != 2 or b.ndim != 2:
+    A_obj = np.asarray(A, dtype=object)
+    if A_obj.ndim != 2 or np.asarray(B, dtype=object).ndim != 2:
         return None
-    m, k = a.shape
-    _, n = b.shape
+    m, k = A_obj.shape
+    n = np.asarray(B, dtype=object).shape[1]
     level_fmts, merge_fmts = level_formats(mul_fmt, add_formats, k)
-    for f in [fa, fb, mul_fmt, out_fmt] + level_fmts + merge_fmts:
-        if f.storage_bits > 64:
-            return None
-    if not _requant_fits(fa.storage_bits + fb.storage_bits,
-                         fa.frac_bits + fb.frac_bits, mul_fmt):
-        return None
-    for l, mf in enumerate(merge_fmts):
-        if not _requant_fits(level_fmts[l].storage_bits + 1,
-                             level_fmts[l].frac_bits, mf):
-            return None
     drain = drain_ops(k, len(merge_fmts))
     final_fmt = mul_fmt
     for op, l in drain:
         final_fmt = level_fmts[l] if op == "seed" else merge_fmts[l]
-    if not _requant_fits(final_fmt.storage_bits, final_fmt.frac_bits,
-                         out_fmt):
-        return None
+
+    narrow = a is not None and b is not None and all(
+        f.storage_bits <= 64
+        for f in [fa, fb, mul_fmt, out_fmt] + level_fmts + merge_fmts) \
+        and _requant_fits(fa.storage_bits + fb.storage_bits,
+                          fa.frac_bits + fb.frac_bits, mul_fmt) \
+        and all(_requant_fits(level_fmts[l].storage_bits + 1,
+                              level_fmts[l].frac_bits, mf)
+                for l, mf in enumerate(merge_fmts)) \
+        and _requant_fits(final_fmt.storage_bits, final_fmt.frac_bits,
+                          out_fmt)
 
     ops = np.array([v for op, l in drain for v in (_OPCODES[op], l)],
                    dtype=np.int32)
     lf_arr = (_Fmt * len(level_fmts))(*[_fmt(f) for f in level_fmts])
     mf_arr = (_Fmt * len(merge_fmts))(*[_fmt(f) for f in merge_fmts])
-    out = np.empty((m, n), dtype=np.int64)
-    lib.qh_tree_gemm(
-        _ptr(np.ascontiguousarray(a)), _ptr(np.ascontiguousarray(b)),
-        _ptr(out), m, k, n, fa.frac_bits, fb.frac_bits,
+    if narrow:
+        out = np.empty((m, n), dtype=np.int64)
+        lib.qh_tree_gemm(
+            _ptr(np.ascontiguousarray(a)), _ptr(np.ascontiguousarray(b)),
+            _ptr(out), m, k, n, fa.frac_bits, fb.frac_bits,
+            ctypes.byref(_fmt(mul_fmt)), lf_arr, mf_arr, len(merge_fmts),
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(drain),
+            ctypes.byref(_fmt(out_fmt)))
+        final = np.empty_like(out)
+        lib.qh_cast(_ptr(out), _ptr(final), out.size, final_fmt.frac_bits,
+                    ctypes.byref(_fmt(out_fmt)))
+        return final
+
+    # multiword engine: the reference's >64-bit GEMM territory compiled.
+    # Envelope: products and every merge intermediate must fit 512 bits.
+    if not _w_requant_fits(fa.storage_bits + fb.storage_bits,
+                           fa.frac_bits + fb.frac_bits, mul_fmt):
+        return None
+    for l, mf in enumerate(merge_fmts):
+        if not _w_requant_fits(level_fmts[l].storage_bits + 1,
+                               level_fmts[l].frac_bits, mf):
+            return None
+    if not _w_requant_fits(final_fmt.storage_bits, final_fmt.frac_bits,
+                           out_fmt):
+        return None
+    la = _to_limbs(A_obj)
+    lb = _to_limbs(np.asarray(B, dtype=object))
+    if la is None or lb is None:
+        return None
+    out = np.empty((m * n, _NL), dtype=np.uint64)
+    lib.qh_w_tree_gemm(
+        _uptr(la), _uptr(lb), _uptr(out), m, k, n,
+        fa.frac_bits, fb.frac_bits,
         ctypes.byref(_fmt(mul_fmt)), lf_arr, mf_arr, len(merge_fmts),
         ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(drain),
         ctypes.byref(_fmt(out_fmt)))
     final = np.empty_like(out)
-    lib.qh_cast(_ptr(out), _ptr(final), out.size, final_fmt.frac_bits,
-                ctypes.byref(_fmt(out_fmt)))
-    return final
+    lib.qh_w_requantize(_uptr(out), _uptr(final), m * n,
+                        final_fmt.frac_bits, ctypes.byref(_fmt(out_fmt)))
+    return _from_limbs(final).reshape(m, n)
 
 
 def pack_bits(raws, width: int) -> Optional[str]:

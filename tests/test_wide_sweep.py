@@ -181,3 +181,65 @@ def test_wide_ops_flow_through_host_binary():
                        np.asarray(r.raw(), dtype=object).reshape(-1)):
         want, _ = hostops.qmul((x, fa), (y, fb), to=to)
         assert int(g) == want
+
+
+@pytest.mark.skipif(not native.available(), reason="no native engine")
+@pytest.mark.parametrize("k", [1, 2, 5, 13, 16])
+def test_wide_native_tree_gemm_matches_oracle(k):
+    """Compiled 512-bit tree GEMM at >64-bit widths (reference multiword
+    ArbiInt GEMM territory) vs the Python golden model — streaming
+    binary-carry schedule incl. drain/odd-tail rules (measured ~40x the
+    Python loop)."""
+    from qublas_tpu import hostops
+
+    rng = np.random.RandomState(k)
+    fa, fb = QFormat(70, 30), QFormat(60, 20)
+    mul_to = QFormat(120, 40)
+    layers = (QFormat(125, 40),
+              QFormat(130, 35, True, RoundMode.RND_CONV,
+                      OverflowMode.SAT_TCPL))
+    out = QFormat(90, 20, True, RoundMode.TRN_TCPL, OverflowMode.SAT_ZERO)
+    m, n = 3, 2
+
+    def wv(fmt, num):
+        return [int(rng.randint(-2**60, 2**60))
+                << int(rng.randint(0, fmt.storage_bits - 62))
+                for _ in range(num)]
+
+    A = np.array(wv(fa, m * k), dtype=object).reshape(m, k)
+    B = np.array(wv(fb, k * n), dtype=object).reshape(k, n)
+    got = native.tree_gemm_host(A, B, fa, fb, mul_to, layers, out)
+    assert got is not None
+    ar = [[(int(A[i, p]), fa) for p in range(k)] for i in range(m)]
+    br = [[(int(B[p, j]), fb) for j in range(n)] for p in range(k)]
+    host = hostops.qgemul(ar, br, out, mul_to, layers)
+    for i in range(m):
+        for j in range(n):
+            assert int(got[i, j]) == host[i][j][0], (k, i, j)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native engine")
+def test_wide_gemm_through_public_qgemul():
+    from qublas_tpu import hostops
+    from qublas_tpu.ops.gemm import qgemul
+    from qublas_tpu.qtensor import from_raw
+
+    rng = np.random.RandomState(77)
+    fa = QFormat(100, 40)  # storage 141
+    fb = QFormat(50, 30)
+    out = QFormat(140, 40)
+    m, k, n = 2, 7, 3
+    A = np.array([int(rng.randint(-2**60, 2**60)) << 70
+                  for _ in range(m * k)], dtype=object).reshape(m, k)
+    B = np.array([int(rng.randint(-2**60, 2**60)) << 15
+                  for _ in range(k * n)], dtype=object).reshape(k, n)
+    dev = qgemul(from_raw(A, fa), from_raw(B, fb), out,
+                 mul_to=QFormat(160, 60), add_formats=(QFormat(165, 60),))
+    ar = [[(int(A[i, p]), fa) for p in range(k)] for i in range(m)]
+    br = [[(int(B[p, j]), fb) for j in range(n)] for p in range(k)]
+    host = hostops.qgemul(ar, br, out, QFormat(160, 60),
+                          (QFormat(165, 60),))
+    g = np.asarray(dev.raw(), dtype=object)
+    for i in range(m):
+        for j in range(n):
+            assert int(g[i, j]) == host[i][j][0]
