@@ -99,8 +99,25 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
     segments = list(segments)
     if not segments:
         raise ValueError("qapprox needs at least one segment")
+
+    def _bcast(br: QTensor) -> QTensor:
+        # a constant segment (single coefficient) evaluates to a scalar —
+        # broadcast it to x's shape so per-element selection works
+        if tuple(br.shape) == tuple(x.shape):
+            return br
+        if br.is_host:
+            return QTensor(np.broadcast_to(br.data, x.shape), br.fmt)
+        if br.is_pair:
+            from .ops.wideint import PairArray
+
+            return QTensor(PairArray(jnp.broadcast_to(br.data.hi, x.shape),
+                                     jnp.broadcast_to(br.data.lo, x.shape)),
+                           br.fmt)
+        return QTensor(jnp.broadcast_to(br.data, x.shape), br.fmt)
+
     # evaluate every segment's polynomial requantized into x's format
-    branches = [ew.qcast(qpoly(x, s.coeffs), x.fmt) for s in segments]
+    branches = [_bcast(ew.qcast(qpoly(x, s.coeffs), x.fmt))
+                for s in segments]
     if x.is_host:
         raws = np.asarray(x.raw(), dtype=object).reshape(-1)
         out = []
@@ -113,6 +130,21 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
             else:
                 out.append(int(np.asarray(branches[-1].raw(), dtype=object).reshape(-1)[i]))
         return from_raw(np.array(out, dtype=object).reshape(x.shape), x.fmt)
+
+    if x.is_pair:
+        # 33..64-bit storage: integer select chain in the pair domain
+        from .ops import wideint as W
+
+        xp = (x.data.hi, x.data.lo)
+        result = branches[-1].data
+        for s, br in zip(reversed(segments[:-1]), reversed(branches[:-1])):
+            thr = _raw_threshold(s.breakpoint, x.fmt.frac_bits)
+            thr = max(min(thr, 2**63 - 1), -(2**63))
+            tp = W.pair_const(thr, shape=x.data.hi.shape)
+            take = W.pair_lt(xp, tp) | W.pair_eq(xp, tp)  # x <= thr
+            result = W.PairArray(jnp.where(take, br.data.hi, result.hi),
+                                 jnp.where(take, br.data.lo, result.lo))
+        return QTensor(result, x.fmt)
 
     result = branches[-1].data
     # walk breakpoints from the last-but-one down, selecting earlier segments
@@ -210,9 +242,18 @@ class QTable:
 
         raws = self._np_table
         n = len(raws)
-        w = self.out_fmt.storage_bits
-        per = 4 if (w <= 8 and n % 4 == 0 and n >= 4) else \
-            2 if (w <= 16 and n % 2 == 0 and n >= 2) else 1
+        # pack by the ACTUAL entry range, not the declared width: a
+        # WRP_TCPL_SAT output format's identity stub stores values beyond
+        # its width (wrapped only at the machine word), so declared-width
+        # packing would truncate them (round-2 review fix)
+        vmin = int(raws.min()) if n else 0
+        vmax = int(raws.max()) if n else 0
+
+        def _fits(bits):
+            return vmin >= -(1 << (bits - 1)) and vmax < (1 << (bits - 1))
+
+        per = 4 if (_fits(8) and n % 4 == 0 and n >= 4) else \
+            2 if (_fits(16) and n % 2 == 0 and n >= 2) else 1
         if per == 1:
             def build(lo, hi):
                 if hi - lo == 1:

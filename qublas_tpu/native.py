@@ -186,20 +186,44 @@ def _requant_fits(src_bits: int, from_frac: int, to: QFormat) -> bool:
     return width <= _MAX_TOTAL_BITS and to.storage_bits <= 64
 
 
+def _eff_width(fmt: QFormat) -> int:
+    """Width actually occupied by a value stored in ``fmt``: the declared
+    storage, except WRP_TCPL_SAT (identity stub) where values wrap only at
+    the machine word — int32 / int64 / 64·ceil(w/64) bits."""
+    w = fmt.storage_bits
+    if fmt.overflow_mode != OverflowMode.WRP_TCPL_SAT:
+        return w
+    return 32 if w <= 32 else 64 if w <= 64 else 64 * ((w + 63) // 64)
+
+
+def _value_bits(arr) -> int:
+    """Max two's-complement width of the actual values (the ``fill(int)``
+    wart lets raws legally exceed their format's storage range, so envelope
+    proofs must use real value widths, not declared ones)."""
+    flat = np.asarray(arr, dtype=object).reshape(-1)
+    if flat.size == 0:
+        return 1
+    bits = 1
+    for v in flat:
+        v = int(v)
+        bits = max(bits, (v.bit_length() + 1) if v >= 0
+                   else ((-v - 1).bit_length() + 1))
+    return bits
+
+
 def requantize(raws, from_fmt: QFormat, to: QFormat) -> Optional[np.ndarray]:
     lib = get_lib()
     if lib is None:
         return None
-    if from_fmt.storage_bits <= 64 and \
-            _requant_fits(from_fmt.storage_bits, from_fmt.frac_bits, to):
+    src_bits = max(_eff_width(from_fmt), _value_bits(raws))
+    if src_bits <= 64 and _requant_fits(src_bits, from_fmt.frac_bits, to):
         a = _i64(raws)
         if a is not None:
             out = np.empty_like(a)
             lib.qh_requantize(_ptr(a), _ptr(out), a.size, from_fmt.frac_bits,
                               ctypes.byref(_fmt(to)))
             return out
-    return requantize_wide(raws, from_fmt.frac_bits, to,
-                           from_fmt.storage_bits)
+    return requantize_wide(raws, from_fmt.frac_bits, to, src_bits)
 
 
 def requantize_wide(raws, from_frac: int, to: QFormat,
@@ -236,7 +260,11 @@ def binary_op(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
     lib = get_lib()
     if lib is None:
         return None
-    if fa.storage_bits > 64 or fb.storage_bits > 64 or to.storage_bits > 64:
+    # envelope proofs use the ACTUAL value widths (max with the declared
+    # storage): the fill(int) wart lets raws exceed their format's range
+    ea = max(_eff_width(fa), _value_bits(a_raws))
+    eb = max(_eff_width(fb), _value_bits(b_raws))
+    if ea > 64 or eb > 64 or to.storage_bits > 64:
         return binary_op_wide(op, a_raws, b_raws, fa, fb, to)
     a, b = _i64(a_raws), _i64(b_raws)
     if a is None or b is None:
@@ -246,23 +274,23 @@ def binary_op(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
     b = np.ascontiguousarray(b)
     out = np.empty_like(a)
     if op == "mul":
-        if not _requant_fits(fa.storage_bits + fb.storage_bits,
-                             fa.frac_bits + fb.frac_bits, to):
-            return None
+        if not _requant_fits(ea + eb, fa.frac_bits + fb.frac_bits, to):
+            return binary_op_wide(op, a_raws, b_raws, fa, fb, to)
         lib.qh_mul(_ptr(a), _ptr(b), _ptr(out), a.size, fa.frac_bits,
                    fb.frac_bits, ctypes.byref(_fmt(to)))
     elif op in ("add", "sub"):
         f = max(fa.frac_bits, fb.frac_bits)
-        src = max(fa.storage_bits + f - fa.frac_bits,
-                  fb.storage_bits + f - fb.frac_bits) + 1
+        src = max(ea + f - fa.frac_bits, eb + f - fb.frac_bits) + 1
         if not _requant_fits(src, f, to):
-            return None
+            return binary_op_wide(op, a_raws, b_raws, fa, fb, to)
         lib.qh_addsub(_ptr(a), _ptr(b), _ptr(out), a.size, fa.frac_bits,
                       fb.frac_bits, 1 if op == "sub" else 0,
                       ctypes.byref(_fmt(to)))
     elif op == "div":
         sa = max(fb.frac_bits - fa.frac_bits, 0)
-        if fa.storage_bits + sa + max(to.frac_bits, 0) > _MAX_TOTAL_BITS:
+        sb = max(fa.frac_bits - fb.frac_bits, 0)
+        if ea + sa + max(to.frac_bits, 0) > _MAX_TOTAL_BITS or \
+                eb + sb > _MAX_TOTAL_BITS:
             return None
         lib.qh_div(_ptr(a), _ptr(b), _ptr(out), a.size, fa.frac_bits,
                    fb.frac_bits, ctypes.byref(_fmt(to)))
@@ -278,7 +306,8 @@ def binary_op_wide(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
     lib = get_lib()
     if lib is None or op == "div":  # multiword division stays on Python ints
         return None
-    sa_bits, sb_bits = fa.storage_bits, fb.storage_bits
+    sa_bits = max(_eff_width(fa), _value_bits(a_raws))
+    sb_bits = max(_eff_width(fb), _value_bits(b_raws))
     if op == "mul":
         if not _w_requant_fits(sa_bits + sb_bits,
                                fa.frac_bits + fb.frac_bits, to):
@@ -348,15 +377,19 @@ def tree_gemm_host(A, B, fa: QFormat, fb: QFormat, mul_fmt: QFormat,
     for op, l in drain:
         final_fmt = level_fmts[l] if op == "seed" else merge_fmts[l]
 
-    narrow = a is not None and b is not None and all(
-        f.storage_bits <= 64
-        for f in [fa, fb, mul_fmt, out_fmt] + level_fmts + merge_fmts) \
-        and _requant_fits(fa.storage_bits + fb.storage_bits,
-                          fa.frac_bits + fb.frac_bits, mul_fmt) \
-        and all(_requant_fits(level_fmts[l].storage_bits + 1,
+    # operand widths use ACTUAL values (fill(int) wart can exceed storage);
+    # intermediate level widths use machine-word-aware effective widths
+    # (WRP_TCPL_SAT stores beyond its declared storage)
+    ea = max(_eff_width(fa), _value_bits(A_obj))
+    eb = max(_eff_width(fb), _value_bits(B))
+    narrow = a is not None and b is not None and ea <= 64 and eb <= 64 \
+        and all(_eff_width(f) <= 64
+                for f in [mul_fmt, out_fmt] + level_fmts + merge_fmts) \
+        and _requant_fits(ea + eb, fa.frac_bits + fb.frac_bits, mul_fmt) \
+        and all(_requant_fits(_eff_width(level_fmts[l]) + 1,
                               level_fmts[l].frac_bits, mf)
                 for l, mf in enumerate(merge_fmts)) \
-        and _requant_fits(final_fmt.storage_bits, final_fmt.frac_bits,
+        and _requant_fits(_eff_width(final_fmt), final_fmt.frac_bits,
                           out_fmt)
 
     ops = np.array([v for op, l in drain for v in (_OPCODES[op], l)],
@@ -378,14 +411,13 @@ def tree_gemm_host(A, B, fa: QFormat, fb: QFormat, mul_fmt: QFormat,
 
     # multiword engine: the reference's >64-bit GEMM territory compiled.
     # Envelope: products and every merge intermediate must fit 512 bits.
-    if not _w_requant_fits(fa.storage_bits + fb.storage_bits,
-                           fa.frac_bits + fb.frac_bits, mul_fmt):
+    if not _w_requant_fits(ea + eb, fa.frac_bits + fb.frac_bits, mul_fmt):
         return None
     for l, mf in enumerate(merge_fmts):
-        if not _w_requant_fits(level_fmts[l].storage_bits + 1,
+        if not _w_requant_fits(_eff_width(level_fmts[l]) + 1,
                                level_fmts[l].frac_bits, mf):
             return None
-    if not _w_requant_fits(final_fmt.storage_bits, final_fmt.frac_bits,
+    if not _w_requant_fits(_eff_width(final_fmt), final_fmt.frac_bits,
                            out_fmt):
         return None
     la = _to_limbs(A_obj)

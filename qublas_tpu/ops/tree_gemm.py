@@ -456,10 +456,22 @@ def tree_gemm_blocked(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
     return raw.astype(dtype_for(out_fmt))
 
 
+def _clamped_tiles(m: int, n: int):
+    """Default tiles halved down to divisors of the problem (must mirror
+    the clamp inside tree_gemm_blocked)."""
+    bm, bn = _BM, _BN
+    while bm > 8 and m % bm:
+        bm //= 2
+    while bn > 8 and n % bn:
+        bn //= 2
+    return bm, bn
+
+
 def blocked_ok(m: int, n: int, k: int, blk: Optional[int] = None) -> bool:
     blk = blk if blk is not None else _BLK
+    bm, bn = _clamped_tiles(m, n)
     return (k % blk == 0 and (blk & (blk - 1)) == 0
-            and m % _BM == 0 and n % _BN == 0)
+            and m % bm == 0 and n % bn == 0)
 
 
 def tree_gemm_pallas(a_data, b_data, plan: TreePlan, out_fmt: QFormat,

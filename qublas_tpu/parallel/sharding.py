@@ -310,8 +310,9 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     if strategy == "auto":
         orf, oif = _part_formats(out_fmt)
         r_layers, i_layers = _split_layers(add_formats)
-        probe = _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers,
-                             mul_tags)
+        probe = _fast_cgemul(_crow(a, 0), _ccol(b, 0), orf, oif, algo,
+                             r_layers, i_layers, mul_tags,
+                             k_total=a.shape[-1])
         strategy = "k" if probe is not None and \
             a.shape[-1] % mesh.shape["tp"] == 0 else "mn"
     if strategy == "k":
@@ -321,6 +322,22 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
         return sharded_cgemul_mn(a, b, out_fmt, mesh, algo=algo,
                                  add_formats=add_formats, **mul_tags)
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def _crow(c, i):
+    """1-row complex slice (cheap proof/format probe operand)."""
+    from ..complex import QComplexTensor
+
+    return QComplexTensor(QTensor(c.real.data[i:i + 1, :], c.real.fmt),
+                          QTensor(c.imag.data[i:i + 1, :], c.imag.fmt))
+
+
+def _ccol(c, j):
+    """1-column complex slice."""
+    from ..complex import QComplexTensor
+
+    return QComplexTensor(QTensor(c.real.data[:, j:j + 1], c.real.fmt),
+                          QTensor(c.imag.data[:, j:j + 1], c.imag.fmt))
 
 
 def sharded_cgemul_mn(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
@@ -378,7 +395,10 @@ def sharded_cgemul_k(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
         raise ValueError(f"K={k} not divisible by tp={tp}")
     orf, oif = _part_formats(out_fmt)
     r_layers, i_layers = _split_layers(add_formats)
-    probe = _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags)
+    # 1-row x 1-col probe with the GLOBAL k: validates the proof and
+    # recovers output formats without computing the full product
+    probe = _fast_cgemul(_crow(a, 0), _ccol(b, 0), orf, oif, algo,
+                         r_layers, i_layers, mul_tags, k_total=k)
     if probe is None:
         raise ValueError(
             "K-sharded cgemul needs the lossless fast-path proof; this "
@@ -423,6 +443,8 @@ def sharded_qreduce(x: QTensor, layer_formats=(), axis: int = -1,
     if x.ndim < 2:
         raise ValueError("sharded_qreduce needs a batch axis; "
                          "use sharded_qreduce_k for 1-D inputs")
+    if batch_axis % x.ndim == axis % x.ndim:
+        raise ValueError("batch_axis must differ from the reduction axis")
     n_dev = mesh.shape["dp"] * mesh.shape["tp"]
     if x.shape[batch_axis] % n_dev:
         raise ValueError(
@@ -440,6 +462,10 @@ def sharded_qreduce(x: QTensor, layer_formats=(), axis: int = -1,
                            for i in range(x.ndim))],
                     layer_formats, axis=red_axis)
     out_fmt = probe.fmt
+    if probe.is_host:
+        raise ValueError(
+            "this reduction outgrows device lanes (host route); "
+            "sharded_qreduce cannot run it inside shard_map")
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
              out_specs=P(*out_rank_spec))

@@ -287,3 +287,39 @@ def test_wide_formats_are_device_resident():
         fa = rand_wide_fmt()
         t = from_raw(rand_raws(fa, 8), fa)
         assert t.is_pair and not t.is_host, fa
+
+
+@pytest.mark.parametrize("trial", range(16))
+def test_fuzz_wide_complex_mul(trial):
+    """Complex multiplies whose parts / step formats land on the 33..64-bit
+    pair-storage routes (round-2 device coverage)."""
+    reseed("test_fuzz_wide_complex_mul", trial)
+    from qublas_tpu import hostops
+    from qublas_tpu.complex import cmul, cmul_tf, complex_from_raw
+
+    def some_fmt():
+        return rand_wide_fmt() if rng.randint(0, 2) else rand_fmt(14)
+
+    fr, fi = some_fmt(), some_fmt()
+    algo = "tf" if rng.randint(0, 2) else "basic"
+    names = (("ab", "cd", "ba", "abc", "cdb", "bad", "AB", "BC")
+             if algo == "tf" else
+             ("ac", "bd", "ad", "bc", "acbd", "adbc"))
+    kw = {n: (some_fmt() if rng.randint(0, 2) else None) for n in names}
+    n = 8
+    a = complex_from_raw(rand_raws(fr, n), rand_raws(fi, n), fr, fi)
+    b = complex_from_raw(rand_raws(fr, n), rand_raws(fi, n), fr, fi)
+    dev = (cmul_tf if algo == "tf" else cmul)(a, b, **kw)
+    host_fn = (hostops.complex_mul_tf if algo == "tf"
+               else hostops.complex_mul_basic)
+    ar = np.asarray(a.real.raw(), dtype=object)
+    ai = np.asarray(a.imag.raw(), dtype=object)
+    br = np.asarray(b.real.raw(), dtype=object)
+    bi = np.asarray(b.imag.raw(), dtype=object)
+    dr = np.asarray(dev.real.raw(), dtype=object)
+    di = np.asarray(dev.imag.raw(), dtype=object)
+    for i in range(n):
+        hp = host_fn(((int(ar[i]), fr), (int(ai[i]), fi)),
+                     ((int(br[i]), fr), (int(bi[i]), fi)), **kw)
+        assert int(dr[i]) == hp[0][0], (algo, fr, fi, kw, i)
+        assert int(di[i]) == hp[1][0], (algo, fr, fi, kw, i)

@@ -1,0 +1,134 @@
+"""Regressions for the round-2 code-review findings."""
+
+import numpy as np
+import pytest
+
+from qublas_tpu import anus, hostops, native
+from qublas_tpu.ops import elementwise as ew
+from qublas_tpu.qformat import OverflowMode, QFormat, qformat
+from qublas_tpu.qtensor import from_raw, scalar
+
+
+def test_qapprox_on_pair_storage():
+    """qapprox must run on 33..64-bit (PairArray) tensors — pair-domain
+    select chain, same answers as the exact host path."""
+    f40 = QFormat(30, 9)
+    f100 = QFormat(100, 9)
+    vals = [123456789012, -5, 1 << 20, 0, -(1 << 35)]
+
+    def segs(fmt):
+        return [anus.Segment(0.0, [scalar(1.0, fmt)]),
+                anus.Segment(1000.0, [scalar(2.0, fmt)]),
+                anus.Segment(1e12, [scalar(3.0, fmt)])]
+
+    dev = anus.qapprox(from_raw(np.array(vals, dtype=object), f40),
+                       segs(f40))
+    assert dev.is_pair
+    host = anus.qapprox(from_raw(np.array(vals, dtype=object), f100),
+                        segs(f100))
+    np.testing.assert_array_equal(dev.to_double(), host.to_double())
+
+
+def test_qapprox_constant_segments_broadcast():
+    """Single-coefficient (constant) segments produce scalar branches that
+    must broadcast to the input's shape on every path."""
+    f = qformat(4, 4)
+    x = from_raw([-20, 5, 100], f)
+    r = anus.qapprox(x, [anus.Segment(0.0, [scalar(-1.0, f)]),
+                         anus.Segment(1.0, [scalar(0.5, f)]),
+                         anus.Segment(10.0, [scalar(7.0, f)])])
+    np.testing.assert_array_equal(r.to_double(), [-1.0, 0.5, 7.0])
+
+
+def test_qtable_wrp_tcpl_sat_entries_not_truncated():
+    """WRP_TCPL_SAT table entries legally exceed the declared width
+    (identity stub + machine-word wrap) — the packed select tree must not
+    truncate them."""
+    t = anus.QTable(lambda v: v * 100.0, qformat(3, 4),
+                    qformat(3, 4, overflow_mode=OverflowMode.WRP_TCPL_SAT))
+    x = from_raw(list(range(-40, 40)), qformat(3, 4))
+    got = np.asarray(t(x).raw())
+    for raw, g in zip(range(-40, 40), got):
+        assert int(g) == t._raws[raw & 0xFF], raw
+
+
+@pytest.mark.skipif(not native.available(), reason="no native engine")
+def test_native_envelope_uses_actual_value_widths():
+    """fill(int)-wart raws exceeding their format's storage must not be
+    silently wrapped by the native engines' width proofs."""
+    a = from_raw(np.array([1 << 500], dtype=object), QFormat(99, 0))
+    b = from_raw(np.array([0], dtype=object), QFormat(39, 60))
+    to = QFormat(300, 40)
+    r = ew.qadd(a, b, to=to)
+    want, _ = hostops.qadd(((1 << 500), QFormat(99, 0)),
+                           (0, QFormat(39, 60)), to=to)
+    assert int(np.asarray(r.raw(), dtype=object).reshape(-1)[0]) == want
+
+    a2 = from_raw(np.array([1 << 62], dtype=object), QFormat(10, 0))
+    b2 = from_raw(np.array([3], dtype=object), QFormat(5, 60))
+    r2 = ew.qadd(a2, b2, to=QFormat(200, 50))
+    want2, _ = hostops.qadd(((1 << 62), QFormat(10, 0)),
+                            (3, QFormat(5, 60)), to=QFormat(200, 50))
+    assert int(np.asarray(r2.raw(), dtype=object).reshape(-1)[0]) == want2
+
+
+def test_blocked_ok_clamps_like_the_kernel():
+    """blocked_ok must accept every shape tree_gemm_blocked handles after
+    tile clamping (n=128 regressed when the default BN became 256)."""
+    from qublas_tpu.ops import tree_gemm
+
+    assert tree_gemm.blocked_ok(128, 128, 512)
+    assert tree_gemm.blocked_ok(256, 384, 256)
+    assert tree_gemm.blocked_ok(64, 640, 128)
+    assert not tree_gemm.blocked_ok(128, 128, 100)  # k not divisible
+
+
+def test_sharded_qreduce_rejects_bad_axes():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual mesh")
+    from qublas_tpu.parallel import make_mesh, sharded_qreduce
+
+    mesh = make_mesh(dp=2, tp=4)
+    f = qformat(3, 4)
+    x = from_raw(np.zeros((8, 16), dtype=int), f)
+    with pytest.raises(ValueError):
+        sharded_qreduce(x, (), axis=0, mesh=mesh, batch_axis=0)
+    # host-route configs get a clean error instead of a tracer crash
+    wide_layers = (QFormat(100, 50),)
+    with pytest.raises(ValueError):
+        sharded_qreduce(x, wide_layers, axis=1, mesh=mesh)
+
+
+def test_sharded_cgemul_k_probe_is_cheap_and_correct():
+    """The proof probe runs on 1-row x 1-col slices; results still
+    bit-exact (guards the tiny-probe refactor)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual mesh")
+    from qublas_tpu.complex import QComplexTensor
+    from qublas_tpu.ops.cgemm import cgemul
+    from qublas_tpu.parallel import make_mesh, sharded_cgemul_k
+
+    rng = np.random.RandomState(0)
+    f = qformat(3, 4)
+    wide = qformat(20, 8)
+    mid = qformat(5, 4)
+    out = (qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO),) * 2
+
+    def rq(shape):
+        return from_raw(rng.randint(f.raw_min, f.raw_max + 1, shape), f)
+
+    a = QComplexTensor(rq((4, 16)), rq((4, 16)))
+    b = QComplexTensor(rq((16, 8)), rq((16, 8)))
+    kw = dict(algo="tf", add_formats=(wide,), ab=mid, cd=mid, ba=mid,
+              abc=wide, cdb=wide, bad=wide, AB=wide, BC=wide)
+    mesh = make_mesh(dp=2, tp=4)
+    y = sharded_cgemul_k(a, b, out, mesh, **kw)
+    ref = cgemul(a, b, out, **kw)
+    np.testing.assert_array_equal(np.asarray(y.real.raw()),
+                                  np.asarray(ref.real.raw()))
+    np.testing.assert_array_equal(np.asarray(y.imag.raw()),
+                                  np.asarray(ref.imag.raw()))
