@@ -25,7 +25,7 @@ Backends sharing the schedule:
   kernel folds each k-block's quantized products entirely in VMEM (products
   never touch HBM), then jnp pairs the per-block results through the
   remaining layers.  143 GOP/s on the canonical 512³ config (v5e, round-2
-  tuning sweep: blk=64, 128x256 tiles), ~4x the scan backend and ~9x the
+  tuning sweep: blk=32, 128x256 tiles + single-compare SAT_ZERO epilogue), ~4x the scan backend and ~9x the
   layered fallback.  Roofline context: ~72G products/s x ~14 int32 VPU ops
   per product (split-B mul + SAT_ZERO requantize + amortized tree fold)
   ~= 1.0 T int32 op/s sustained; the VPU architectural ceiling at 8x128
@@ -346,7 +346,7 @@ import os
 
 _BM = int(os.environ.get("QUBLAS_TREE_BM", "128"))
 _BN = int(os.environ.get("QUBLAS_TREE_BN", "256"))
-_BLK = int(os.environ.get("QUBLAS_TREE_BLK", "64"))
+_BLK = int(os.environ.get("QUBLAS_TREE_BLK", "32"))
 _VMEM_CAP = 12 * 1024 * 1024
 
 

@@ -300,20 +300,25 @@ def _overflow_i32(y, fmt: QFormat):
     """int_convert on an int32 value (result width <= 32 by width proof)."""
     w = fmt.storage_bits
     mode = fmt.overflow_mode
-    hi = _I32((1 << (w - 1)) - 1) if w <= 32 else None
+    hi_v = (1 << (w - 1)) - 1 if w <= 32 else None
     if mode in (OverflowMode.SAT_TCPL, OverflowMode.SAT_ZERO,
                 OverflowMode.SAT_SMGN):
         if w > 32:
             return y  # cannot overflow a 32-bit-wide intermediate
         if not fmt.signed:
-            lo = _I32(0)
+            lo_v = 0
         elif mode == OverflowMode.SAT_SMGN:
-            lo = _I32(-(1 << (w - 1)) + 1)
+            lo_v = -(1 << (w - 1)) + 1
         else:
-            lo = _I32(-(1 << (w - 1)))
+            lo_v = -(1 << (w - 1))
         if mode == OverflowMode.SAT_ZERO:
-            return jnp.where((y > hi) | (y < lo), _I32(0), y)
-        return jnp.clip(y, lo, hi)
+            # single unsigned range compare: (uint32)(y - lo) > (hi - lo)
+            # iff y outside [lo, hi] (two's-complement wrap makes y < lo
+            # land above the range) — one less VPU op than two compares +
+            # or, and it sits in every tree-GEMM product and merge
+            u = _bitcast_u32(y - _I32(lo_v))
+            return jnp.where(u > _U32(hi_v - lo_v), _I32(0), y)
+        return jnp.clip(y, _I32(lo_v), _I32(hi_v))
     if mode == OverflowMode.WRP_TCPL:
         if fmt.signed:
             if w >= 32:
