@@ -271,6 +271,47 @@ def cgemul(a, b, out_fmt, algo: str = "basic", add_formats=(),
     if fast is not None:
         return fast
 
+    # batched fast path: the lossless proof is shape-independent, so probe
+    # it on one batch element's 1-row x 1-col slice, then vmap the 2-D
+    # fast path over the flattened batch (3-4 MXU matmuls per element
+    # instead of the layered [.., m, k, n] program)
+    if (a.real.ndim == b.real.ndim > 2
+            and a.real.shape[:-2] == b.real.shape[:-2]
+            and not any(t.is_host or t.is_pair
+                        for t in (a.real, a.imag, b.real, b.imag))):
+        import jax
+
+        batch = a.real.shape[:-2]
+        m, k = a.real.shape[-2:]
+        n = b.real.shape[-1]
+        idx0 = (0,) * len(batch)
+        probe = _fast_cgemul(
+            QComplexTensor(
+                QTensor(a.real.data[idx0][:1, :], a.real.fmt),
+                QTensor(a.imag.data[idx0][:1, :], a.imag.fmt)),
+            QComplexTensor(
+                QTensor(b.real.data[idx0][:, :1], b.real.fmt),
+                QTensor(b.imag.data[idx0][:, :1], b.imag.fmt)),
+            orf, oif, algo, r_layers, i_layers, mul_tags, k_total=k)
+        if probe is not None:
+            def one(ar, ai, br, bi):
+                c = _fast_cgemul(
+                    QComplexTensor(QTensor(ar, a.real.fmt),
+                                   QTensor(ai, a.imag.fmt)),
+                    QComplexTensor(QTensor(br, b.real.fmt),
+                                   QTensor(bi, b.imag.fmt)),
+                    orf, oif, algo, r_layers, i_layers, mul_tags)
+                return c.real.data, c.imag.data
+
+            rr, ri = jax.vmap(one)(
+                a.real.data.reshape((-1, m, k)),
+                a.imag.data.reshape((-1, m, k)),
+                b.real.data.reshape((-1, k, n)),
+                b.imag.data.reshape((-1, k, n)))
+            return QComplexTensor(
+                QTensor(rr.reshape(batch + (m, n)), probe.real.fmt),
+                QTensor(ri.reshape(batch + (m, n)), probe.imag.fmt))
+
     pa = QComplexTensor(QTensor(a.real.data[..., :, :, None], a.real.fmt),
                         QTensor(a.imag.data[..., :, :, None], a.imag.fmt))
     pb = QComplexTensor(QTensor(b.real.data[..., None, :, :], b.real.fmt),

@@ -92,3 +92,55 @@ def test_lossy_configs_refuse_fast_path():
     assert _fast_cgemul(a, b, WIDE, WIDE, "tf", (WIDE,), (WIDE,),
                         dict(ab=WIDE, cd=WIDE, abc=WIDE, cdb=WIDE,
                              bad=WIDE, AB=WIDE, BC=WIDE)) is None
+
+
+def test_batched_fast_path_matches_layered():
+    """Batched complex GEMM takes the vmapped 3/4-matmul fast path when the
+    proof holds; bits must equal the layered program (round-2 feature)."""
+    import numpy as np
+
+    from qublas_tpu.complex import QComplexTensor
+    from qublas_tpu.ops.cgemm import cgemul
+    from qublas_tpu.qformat import OverflowMode, qformat
+    from qublas_tpu.qtensor import from_raw
+
+    rng = np.random.RandomState(0)
+    f = qformat(3, 4)
+    wide = qformat(20, 8)
+    mid = qformat(5, 4)
+    out = (qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO),) * 2
+    B, m, k, n = 3, 4, 8, 5
+
+    def rq(shape):
+        return from_raw(rng.randint(f.raw_min, f.raw_max + 1, shape), f)
+
+    a = QComplexTensor(rq((B, m, k)), rq((B, m, k)))
+    b = QComplexTensor(rq((B, k, n)), rq((B, k, n)))
+    kw = dict(algo="tf", add_formats=(wide,), ab=mid, cd=mid, ba=mid,
+              abc=wide, cdb=wide, bad=wide, AB=wide, BC=wide)
+    got = cgemul(a, b, out, **kw)
+    # per-batch 2-D reference (the already-verified single fast path)
+    for i in range(B):
+        one = cgemul(QComplexTensor(a.real[i], a.imag[i]),
+                     QComplexTensor(b.real[i], b.imag[i]), out, **kw)
+        np.testing.assert_array_equal(np.asarray(got.real.raw())[i],
+                                      np.asarray(one.real.raw()))
+        np.testing.assert_array_equal(np.asarray(got.imag.raw())[i],
+                                      np.asarray(one.imag.raw()))
+    # an order-sensitive config must still fall to the layered path
+    f2 = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    a2 = QComplexTensor(
+        from_raw(rng.randint(f2.raw_min, f2.raw_max + 1, (2, 3, 4)), f2),
+        from_raw(rng.randint(f2.raw_min, f2.raw_max + 1, (2, 3, 4)), f2))
+    b2 = QComplexTensor(
+        from_raw(rng.randint(f2.raw_min, f2.raw_max + 1, (2, 4, 3)), f2),
+        from_raw(rng.randint(f2.raw_min, f2.raw_max + 1, (2, 4, 3)), f2))
+    got2 = cgemul(a2, b2, (f2, f2), algo="tf")
+    for i in range(2):
+        one2 = cgemul(QComplexTensor(a2.real[i], a2.imag[i]),
+                      QComplexTensor(b2.real[i], b2.imag[i]), (f2, f2),
+                      algo="tf")
+        np.testing.assert_array_equal(np.asarray(got2.real.raw())[i],
+                                      np.asarray(one2.real.raw()))
+        np.testing.assert_array_equal(np.asarray(got2.imag.raw())[i],
+                                      np.asarray(one2.imag.raw()))
