@@ -204,6 +204,17 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
     # Pallas variant keeps the slot stack in VMEM on TPU.
     from . import tree_gemm
 
+    if not (a.is_pair or b.is_pair):
+        # prefix-lossless hybrid: when the product quantize and the first
+        # L >= 3 tree layers are provably exact, 2^L-element partial dots
+        # run on the MXU as block matmuls and only the lossy tail folds on
+        # the VPU — bit-identical to the full tree by the proof
+        hplan = tree_gemm.plan_hybrid(a.fmt, b.fmt, mul_fmt, add_formats,
+                                      k, out_fmt)
+        if hplan is not None:
+            raw = tree_gemm.tree_gemm_hybrid(a.data, b.data, hplan, out_fmt)
+            return QTensor(raw, out_fmt)
+
     tplan = None
     if not (a.is_pair or b.is_pair):  # tree kernels assume lane storage
         tplan = tree_gemm.plan_tree(a.fmt, b.fmt, mul_fmt, add_formats, k,

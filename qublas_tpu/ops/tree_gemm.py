@@ -54,6 +54,7 @@ from .reduce import layer_format
 from .widths import (
     Interval,
     dtype_for,
+    fmt_interval,
     requant_out_interval,
     route_mul,
     route_requant,
@@ -545,3 +546,135 @@ def tree_gemm_pallas(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
         ),
         interpret=interpret,
     )(a_data.T, b_data)
+
+
+# ---------------------------------------------------------------------------
+# Prefix-lossless hybrid: MXU block dots + VPU tree tail
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class HybridPlan:
+    """Proof artifact for the prefix-lossless hybrid evaluation.
+
+    When the product quantize and the first ``L`` tree layers are provably
+    lossless (every step only left-shifts, nothing rounds or saturates),
+    the value at level L of each 2^L-product subtree equals the *plain
+    integer dot* of that k-block shifted by ``dl`` — so the prefix runs on
+    the MXU as ``nb = k / 2^L`` exact block matmuls, and only the
+    remaining (order-sensitive) ⌈log₂ nb⌉ layers run as VPU requantize
+    folds.  A TPU-first strategy with no reference counterpart: the
+    reference evaluates every layer scalar-by-scalar regardless.
+    """
+
+    s: int                     # block size 2^L
+    level: int                 # first lossy layer index (= L)
+    dl: int                    # left shift from raw-product scale to level L
+    level_fmts: Tuple[QFormat, ...]
+    merge_fmts: Tuple[QFormat, ...]
+    final_fmt: QFormat
+
+
+def plan_hybrid(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
+                k: int, out_fmt: QFormat,
+                min_level: int = 3) -> Optional[HybridPlan]:
+    """Prove the longest lossless tree prefix and the routes of the lossy
+    tail.  Returns None when the prefix is shorter than ``min_level``
+    layers (the MXU dots would not amortize) or any tail step needs a
+    non-i32 route."""
+    from .gemm import _lossless_requant
+
+    if k < 2:
+        return None
+    pf = fa.frac_bits + fb.frac_bits
+    prod_iv = fmt_interval(fa) * fmt_interval(fb)
+    iv = _lossless_requant(prod_iv, pf, mul_fmt)
+    if iv is None:
+        return None
+
+    level_fmts, merge_fmts = level_formats(mul_fmt, add_formats, k)
+    cur_fmt = mul_fmt
+    lvl = 0
+    ivs = iv
+    while (1 << (lvl + 1)) <= k and k % (1 << (lvl + 1)) == 0:
+        lf = merge_fmts[lvl]
+        nxt = _lossless_requant(ivs + ivs, cur_fmt.frac_bits, lf)
+        if nxt is None:
+            break
+        ivs, cur_fmt = nxt, lf
+        lvl += 1
+    if lvl < min_level:
+        return None
+    s = 1 << lvl
+    dl = cur_fmt.frac_bits - pf
+    # the raw block dot itself and every partial sum must fit int32 (MXU
+    # accumulators), as must the shifted level-L value
+    dot_iv = Interval(min(s * prod_iv.lo, prod_iv.lo),
+                      max(s * prod_iv.hi, prod_iv.hi))
+    if not (dot_iv.fits32 and ivs.fits32 and 0 <= dl <= 31):
+        return None
+
+    # tail proof: fold nb block values through layers lvl.. with i32 routes
+    # (identical structure to plan_tree's layer walk, incl. odd tails)
+    nb = k // s
+    cur_iv, cur = ivs, cur_fmt
+    level = lvl
+    n_vals = nb
+    while n_vals > 1:
+        lf = merge_fmts[level]
+        ssum = cur_iv + cur_iv
+        if not ssum.fits32:
+            return None
+        if route_requant(ssum, cur.frac_bits, lf) != "i32":
+            return None
+        if n_vals % 2 and route_requant(cur_iv, cur.frac_bits, lf) != "i32":
+            return None
+        pair_iv, _ = requant_out_interval(ssum, cur.frac_bits, lf)
+        tail_iv, _ = requant_out_interval(cur_iv, cur.frac_bits, lf)
+        cur_iv = Interval(min(pair_iv.lo, tail_iv.lo),
+                          max(pair_iv.hi, tail_iv.hi))
+        cur = lf
+        level += 1
+        n_vals = (n_vals + 1) // 2
+    if route_requant(cur_iv, cur.frac_bits, out_fmt) != "i32":
+        return None
+    if dtype_for(out_fmt) is None:
+        return None
+    return HybridPlan(s, lvl, dl, tuple(level_fmts), tuple(merge_fmts), cur)
+
+
+def tree_gemm_hybrid(a_data, b_data, plan: HybridPlan, out_fmt: QFormat):
+    """[..., m, k] @ [..., k, n]: exact MXU block dots over the lossless
+    prefix, then the quantized tree tail (same association order as the
+    reference's vector-path reducer from level ``plan.level`` up)."""
+    import jax.numpy as jnp
+
+    s = plan.s
+    batch = jnp.broadcast_shapes(a_data.shape[:-2], b_data.shape[:-2])
+    m, k = a_data.shape[-2:]
+    n = b_data.shape[-1]
+    a32 = jnp.broadcast_to(a_data, batch + (m, k))
+    b32 = jnp.broadcast_to(b_data, batch + (k, n))
+    nb = k // s
+    As = a32.reshape(batch + (m, nb, s))
+    Bs = b32.reshape(batch + (nb, s, n))
+    dots = jnp.einsum("...mts,...tsn->...tmn", As, Bs,
+                      preferred_element_type=jnp.int32)
+    vals = jnp.moveaxis(dots, -3, 0)          # [nb, ..., m, n]
+    if plan.dl:
+        vals = vals << plan.dl
+
+    level = plan.level
+    while vals.shape[0] > 1:
+        cnt = vals.shape[0]
+        cur = plan.level_fmts[level]
+        lf = plan.merge_fmts[level]
+        pair = W.requantize_i32(vals[0 : (cnt // 2) * 2 : 2]
+                                + vals[1 : (cnt // 2) * 2 : 2],
+                                cur.frac_bits, lf)
+        if cnt % 2:
+            tail = W.requantize_i32(vals[cnt - 1 : cnt], cur.frac_bits, lf)
+            pair = jnp.concatenate([pair, tail], axis=0)
+        vals = pair
+        level += 1
+    raw = W.requantize_i32(vals[0], plan.final_fmt.frac_bits, out_fmt)
+    return raw.astype(dtype_for(out_fmt))

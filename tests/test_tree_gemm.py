@@ -127,3 +127,94 @@ def test_batched_scan():
     for i in range(2):
         np.testing.assert_array_equal(
             got[i], host_ref(A[i], B[i], F44, F44, out))
+
+
+# ---------------------------------------------------------------------------
+# Prefix-lossless hybrid (MXU block dots + VPU tail) — round-2 feature
+# ---------------------------------------------------------------------------
+
+def _hybrid_cfg():
+    from qublas_tpu.qformat import OverflowMode, qformat
+
+    fa = fb = qformat(3, 4)
+    mul_to = qformat(7, 8)
+    layers = (qformat(8, 8), qformat(9, 8), qformat(10, 8), qformat(11, 8),
+              qformat(6, 4, overflow_mode=OverflowMode.SAT_ZERO))
+    out = qformat(5, 4)
+    return fa, fb, mul_to, layers, out
+
+
+@pytest.mark.parametrize("k", [16, 48, 64, 80, 176])
+def test_hybrid_matches_oracle(k):
+    """Hybrid plan (lossless prefix -> MXU dots, lossy tail -> VPU folds)
+    must be bit-identical to the host golden tree, incl. odd block counts."""
+    from qublas_tpu.qformat import mul_merge
+
+    fa, fb, mul_to, layers, out = _hybrid_cfg()
+    hp = tree_gemm.plan_hybrid(fa, fb, mul_merge(fa, fb, mul_to), layers,
+                               k, out)
+    assert hp is not None and hp.s == 16 and hp.level == 4
+    rng2 = np.random.RandomState(k)
+    m, n = 4, 5
+    A = rng2.randint(fa.raw_min, fa.raw_max + 1, (m, k))
+    B = rng2.randint(fb.raw_min, fb.raw_max + 1, (k, n))
+    dev = qgemul(from_raw(A, fa), from_raw(B, fb), out, mul_to=mul_to,
+                 add_formats=layers)
+    ar = [[(int(A[i, p]), fa) for p in range(k)] for i in range(m)]
+    br = [[(int(B[p, j]), fb) for j in range(n)] for p in range(k)]
+    host = hostops.qgemul(ar, br, out, mul_to, layers)
+    g = np.asarray(dev.raw())
+    for i in range(m):
+        for j in range(n):
+            assert int(g[i, j]) == host[i][j][0], (k, i, j)
+
+
+def test_hybrid_with_frac_growth_shift():
+    """Prefix layers that raise frac precision (dl > 0) stay exact: the
+    MXU dot is shifted into the level format's scale."""
+    from qublas_tpu.qformat import OverflowMode, mul_merge, qformat
+
+    fa = fb = qformat(3, 4)
+    mul_to = qformat(7, 10)                 # frac 10 > 8: dl = 2
+    layers = (qformat(8, 11), qformat(9, 12), qformat(10, 12),
+              qformat(5, 6, overflow_mode=OverflowMode.SAT_ZERO))
+    out = qformat(5, 5)
+    k = 32
+    hp = tree_gemm.plan_hybrid(fa, fb, mul_merge(fa, fb, mul_to), layers,
+                               k, out)
+    assert hp is not None and hp.dl > 0
+    rng2 = np.random.RandomState(1)
+    A = rng2.randint(fa.raw_min, fa.raw_max + 1, (3, k))
+    B = rng2.randint(fb.raw_min, fb.raw_max + 1, (k, 4))
+    dev = qgemul(from_raw(A, fa), from_raw(B, fb), out, mul_to=mul_to,
+                 add_formats=layers)
+    ar = [[(int(A[i, p]), fa) for p in range(k)] for i in range(3)]
+    br = [[(int(B[p, j]), fb) for j in range(4)] for p in range(k)]
+    host = hostops.qgemul(ar, br, out, mul_to, layers)
+    g = np.asarray(dev.raw())
+    for i in range(3):
+        for j in range(4):
+            assert int(g[i, j]) == host[i][j][0]
+
+
+def test_hybrid_not_planned_for_immediately_lossy():
+    """The canonical config (product quantize drops bits) must not plan a
+    hybrid — it stays on the blocked/scan tree kernels."""
+    from qublas_tpu.qformat import OverflowMode, mul_merge, qformat
+
+    f = qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO)
+    assert tree_gemm.plan_hybrid(f, f, mul_merge(f, f), (), 512, f) is None
+
+
+def test_hybrid_batched():
+    fa, fb, mul_to, layers, out = _hybrid_cfg()
+    rng2 = np.random.RandomState(7)
+    A = rng2.randint(fa.raw_min, fa.raw_max + 1, (2, 3, 32))
+    B = rng2.randint(fb.raw_min, fb.raw_max + 1, (2, 32, 4))
+    dev = qgemul(from_raw(A, fa), from_raw(B, fb), out, mul_to=mul_to,
+                 add_formats=layers)
+    for bi in range(2):
+        one = qgemul(from_raw(A[bi], fa), from_raw(B[bi], fb), out,
+                     mul_to=mul_to, add_formats=layers)
+        np.testing.assert_array_equal(np.asarray(dev.raw())[bi],
+                                      np.asarray(one.raw()))
