@@ -88,3 +88,31 @@ def test_qreduce_args_variadic():
                                       F44) for v in vals], (qformat(5, 3),))
     assert int(np.asarray(got.raw(), dtype=object)) == want
     assert got.fmt == wf
+
+
+def test_hybrid_gemm_jit_and_grad_free_transform():
+    """The prefix-lossless hybrid GEMM dispatch is trace-compatible."""
+    import jax
+    import numpy as np
+
+    from qublas_tpu.ops.gemm import qgemul
+    from qublas_tpu.qformat import OverflowMode, qformat
+    from qublas_tpu.qtensor import QTensor, from_raw
+
+    fa = qformat(3, 4)
+    mul_to = qformat(7, 8)
+    layers = (qformat(8, 8), qformat(9, 8), qformat(10, 8), qformat(11, 8),
+              qformat(6, 4, overflow_mode=OverflowMode.SAT_ZERO))
+    out = qformat(5, 4)
+    rng = np.random.RandomState(0)
+    A = from_raw(rng.randint(fa.raw_min, fa.raw_max + 1, (4, 32)), fa)
+    B = from_raw(rng.randint(fa.raw_min, fa.raw_max + 1, (32, 4)), fa)
+
+    @jax.jit
+    def f(ad, bd):
+        return qgemul(QTensor(ad, fa), QTensor(bd, fa), out, mul_to=mul_to,
+                      add_formats=layers).data
+
+    eager = qgemul(A, B, out, mul_to=mul_to, add_formats=layers)
+    np.testing.assert_array_equal(np.asarray(f(A.data, B.data)),
+                                  np.asarray(eager.raw()))
