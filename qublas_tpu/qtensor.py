@@ -278,8 +278,8 @@ def random_fill(shape, fmt: QFormat, seed: int = 1) -> QTensor:
 
     Capability parity with the reference's ``fill()`` (QuBLAS.h:526-536:
     mt19937 seeded 1, uniform over [minimum, maximum]); the stream itself is
-    NumPy's, not mt19937-over-int64's, so cross-library values differ but
-    reproducibility (same seed → same tensor) holds.
+    NumPy's (fast, vectorized).  For the reference's *bit-identical* stream
+    use :func:`qublas_tpu.refrand.reference_fill`.
     """
     rng = np.random.RandomState(seed)
     n = int(np.prod(shape)) if shape else 1
