@@ -164,8 +164,10 @@ def route_mul(fa: QFormat, fb: QFormat, out: QFormat):
         r = "pair"  # the product itself needs 64-bit even if the shift fits
     if r == "pair" and not prod.fits64:
         r = "host"
-    if r == "pair" and storage_kind(out) == "lane" and split_mul_ok(fa, fb, out):
-        r = "split"
+    if r == "pair" and storage_kind(out) == "lane" \
+            and storage_kind(fa) == "lane" and storage_kind(fb) == "lane" \
+            and split_mul_ok(fa, fb, out):
+        r = "split"  # needs single-lane operands (pair storage can't _load_i32)
     return r, prod, from_frac
 
 

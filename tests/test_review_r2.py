@@ -132,3 +132,29 @@ def test_sharded_cgemul_k_probe_is_cheap_and_correct():
                                   np.asarray(ref.real.raw()))
     np.testing.assert_array_equal(np.asarray(y.imag.raw()),
                                   np.asarray(ref.imag.raw()))
+
+
+def test_split_route_rejected_for_pair_stored_operands():
+    """route_mul must not pick the split-B int32 trick when an operand is
+    pair-stored (35-bit WRP formats have intervals that admit the trick but
+    two-limb storage that can't load into one lane) — big-fuzz regression."""
+    from qublas_tpu.ops.widths import route_mul
+
+    fa = QFormat(-3, 7, True, None, OverflowMode.SAT_ZERO)
+    fa = qformat(-3, 7, overflow_mode=OverflowMode.SAT_ZERO)
+    from qublas_tpu.qformat import RoundMode
+
+    fb = QFormat(11, 23, False, RoundMode.RND_CONV, OverflowMode.WRP_TCPL)
+    out = QFormat(9, 21, True, RoundMode.TRN_TCPL, OverflowMode.SAT_TCPL)
+    route, _, _ = route_mul(fa, fb, out)
+    assert route != "split"
+    # and the op computes exactly via the pair route
+    rng = np.random.RandomState(0)
+    A = np.array([int(rng.randint(fa.raw_min, fa.raw_max + 1))
+                  for _ in range(8)], dtype=object)
+    B = np.array([int(rng.randint(0, 1 << 34)) for _ in range(8)],
+                 dtype=object)
+    dev = ew.qmul(from_raw(A, fa), from_raw(B, fb), to=out)
+    for x, y, g in zip(A, B, np.asarray(dev.raw(), dtype=object).reshape(-1)):
+        want, _ = hostops.qmul((int(x), fa), (int(y), fb), to=out)
+        assert int(g) == want
