@@ -20,9 +20,12 @@ Semantics replicated exactly from the reference:
   sign-extension, replicating the reference's ``std::stoi(str, nullptr, 2)``
   + ``fill(int)`` path (QuBLAS.h:4699, 2447-2452): a negative value
   round-trips to ``raw + 2**width``.  Pass ``twos_complement=True`` to
-  :func:`from_bits` for a sign-correct round-trip (an extension — the
-  reference cannot do this).  Unlike the reference there is no 31-bit
-  ``stoi`` limit (QuBLAS.h:4699): arbitrary widths parse exactly.
+  :func:`from_bits` for a *format-correct* round-trip (an extension — the
+  reference cannot do this): the MSB sign-extends only when the target
+  format is signed; unsigned formats parse unsigned either way (their
+  logical width carries no sign bit, so sign-extending would fabricate
+  negative raws their storage cannot hold).  Unlike the reference there is
+  no 31-bit ``stoi`` limit (QuBLAS.h:4699): arbitrary widths parse exactly.
 * Round-trip guarantee (same as the reference's ``toString``): only the low
   ``width`` bits serialize, so it holds exactly for raws representable in
   ``width`` bits — signed two's complement with ``twos_complement=True``,
@@ -135,10 +138,10 @@ def from_bits(bits: str, fmt: QFormat, shape=None, tensor_order=None,
 
     filtered = "".join(c for c in bits if c in "01")
     width = fmt.width
+    tc = twos_complement and fmt.signed  # unsigned widths carry no sign bit
     if shape is None:
         s = "".join(_reorder(filtered, elem_order))
-        return from_raw(np.array(parse_elem(s, twos_complement), dtype=object),
-                        fmt)
+        return from_raw(np.array(parse_elem(s, tc), dtype=object), fmt)
     n = int(np.prod(shape)) if shape else 1
     if width == 0:
         raws = [0] * n
@@ -149,7 +152,7 @@ def from_bits(bits: str, fmt: QFormat, shape=None, tensor_order=None,
         chunks = [filtered[i * width:(i + 1) * width] for i in range(n)]
         chunks = _reorder(chunks, tensor_order)
         chunks = ["".join(_reorder(c, elem_order)) for c in chunks]
-        raws = [parse_elem(c, twos_complement) for c in chunks]
+        raws = [parse_elem(c, tc) for c in chunks]
     return from_raw(np.array(raws, dtype=object).reshape(shape), fmt)
 
 
@@ -191,8 +194,10 @@ def from_bits_complex(bits: str, real_fmt: QFormat, imag_fmt: QFormat,
     if not scalar:
         chunks = _reorder(chunks, tensor_order)
     chunks = ["".join(_reorder(c, elem_order)) for c in chunks]
-    res = [parse_elem(c[:wr], twos_complement) for c in chunks]
-    ims = [parse_elem(c[wr:], twos_complement) for c in chunks]
+    res = [parse_elem(c[:wr], twos_complement and real_fmt.signed)
+           for c in chunks]
+    ims = [parse_elem(c[wr:], twos_complement and imag_fmt.signed)
+           for c in chunks]
     out_shape = () if scalar else shape
     return QComplexTensor(
         from_raw(np.array(res, dtype=object).reshape(out_shape), real_fmt),

@@ -5,8 +5,9 @@ The reference's only persistence is the ``toMatlab`` text dump
 metadata, so checkpointing is trivial and *bit-exact by construction*:
 
 * :func:`save` / :func:`load` — ``.npz`` container for any pytree of
-  QTensor / QComplexTensor / arrays; wide (object) tensors serialize through
-  the BitStream wire format.
+  QTensor / QComplexTensor / arrays; wide (host) tensors serialize as exact
+  decimal strings (every raw round-trips, including fill(int)-wart values
+  outside the format's representable range).
 * :func:`dumps_bits` / :func:`loads_bits` — the BitStream string itself as a
   self-describing interchange record (JSON header + bits), the natural
   format for exchanging golden vectors with other fixed-point tools.
@@ -41,10 +42,16 @@ def _encode(obj, arrays: dict, prefix: str):
     if isinstance(obj, QTensor):
         key = f"{prefix}a"
         if obj.is_host:
-            bits = bitstream.to_bits(obj)
-            arrays[key] = np.frombuffer(bits.encode(), dtype=np.uint8)
+            # exact decimal encoding: the BitStream wire format serializes
+            # only the logical width, which is lossy for fill(int)-wart
+            # raws outside the representable range — a checkpoint must
+            # round-trip EVERY stored raw bit-for-bit
+            dec = ",".join(str(int(v))
+                           for v in np.asarray(obj.raw(),
+                                               dtype=object).reshape(-1))
+            arrays[key] = np.frombuffer(dec.encode(), dtype=np.uint8)
             return {"__qt__": key, "fmt": _fmt_to_list(obj.fmt),
-                    "shape": list(obj.shape), "wide": True}
+                    "shape": list(obj.shape), "wide": True, "enc": "dec"}
         arrays[key] = np.asarray(obj.raw())
         return {"__qt__": key, "fmt": _fmt_to_list(obj.fmt), "wide": False}
     if isinstance(obj, QComplexTensor):
@@ -70,6 +77,11 @@ def _decode(spec, arrays: dict):
         fmt = _fmt_from_list(spec["fmt"])
         data = arrays[spec["__qt__"]]
         if spec["wide"]:
+            if spec.get("enc") == "dec":
+                raws = [int(s) for s in bytes(data).decode().split(",")]
+                return from_raw(np.array(raws, dtype=object).reshape(
+                    tuple(spec["shape"])), fmt)
+            # legacy (round-1) checkpoints: BitStream-encoded
             bits = bytes(data).decode()
             return bitstream.from_bits(bits, fmt, tuple(spec["shape"]),
                                        twos_complement=True)

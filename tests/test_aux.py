@@ -94,3 +94,25 @@ def test_requant_stats_wrp_counts_wraps():
                              dtype=object), qformat(40, 4))
     st_h = diagnostics.requant_stats(host, dst)
     assert int(st_h.saturated) == 2 and int(st_h.rounded) == 0
+
+
+def test_checkpoint_wide_wart_raws_exact(tmp_path):
+    """Checkpoints must round-trip raws OUTSIDE the format's representable
+    range (fill(int) wart) — the wide encoding is exact decimal, not the
+    width-lossy BitStream wire format."""
+    import numpy as np
+
+    from qublas_tpu import checkpoint
+    from qublas_tpu.qformat import qformat
+    from qublas_tpu.qtensor import from_raw
+
+    f = qformat(60, 40, signed=False)  # wide unsigned
+    raws = np.array([-5, int(f.raw_max) + 99, 7, -(1 << 90)], dtype=object)
+    t = from_raw(raws, f)
+    assert t.is_host
+    p = str(tmp_path / "wart.npz")
+    checkpoint.save(p, t)
+    back = checkpoint.load(p)
+    got = [int(v) for v in np.asarray(back.raw(), dtype=object).reshape(-1)]
+    assert got == [int(v) for v in raws]
+    assert back.fmt == f

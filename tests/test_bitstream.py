@@ -145,3 +145,44 @@ def test_qtensor_to_bits_method():
     f = qformat(6, 3)
     t = from_raw(rng.randint(f.raw_min, f.raw_max + 1, size=4), f)
     assert t.to_bits() == bs.to_bits(t)
+
+
+def test_unsigned_round_trip_with_twos_complement_flag():
+    """twos_complement=True must not fabricate negative raws for unsigned
+    formats (their logical width has no sign bit) — deep-fuzz regression;
+    checkpoint.load used this path for wide unsigned tensors."""
+    for f in (qformat(17, 1, signed=False), qformat(50, 8, signed=False),
+              qformat(8, 5, signed=False)):
+        rng = np.random.RandomState(f.storage_bits)
+        raws = np.array([0, 1, int(f.raw_max), int(f.raw_max) - 1,
+                         (int(f.raw_max) + 1) // 2], dtype=object)
+        t = from_raw(raws, f)
+        bits = bs.to_bits(t)
+        back = bs.from_bits(bits, f, t.shape, twos_complement=True)
+        np.testing.assert_array_equal(
+            np.asarray(back.raw(), dtype=object).astype(object),
+            raws)
+
+
+def test_checkpoint_wide_unsigned_round_trip(tmp_path):
+    from qublas_tpu import checkpoint
+
+    f = qformat(100, 40, signed=False)  # wide unsigned -> bitstream path
+    raws = np.array([int(f.raw_max), 1, (int(f.raw_max) + 1) // 2],
+                    dtype=object)
+    t = from_raw(raws, f)
+    assert t.is_host
+    p = str(tmp_path / "wu.npz")
+    checkpoint.save(p, t)
+    back = checkpoint.load(p)
+    np.testing.assert_array_equal(
+        np.asarray(back.raw(), dtype=object).astype(object), raws)
+
+
+def test_misaligned_chunk_raises_like_reference():
+    """r2l(chunk) on a length not divisible by chunk throws — exact parity
+    with SingleString_s<r2l<n>>::convert (QuBLAS.h:4594-4599)."""
+    f = qformat(11, 12, signed=False)  # width 23
+    t = from_raw([1, 2], f)
+    with pytest.raises(ValueError):
+        bs.to_bits(t, None, bs.r2l(3))
