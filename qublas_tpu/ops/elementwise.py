@@ -204,7 +204,9 @@ def qabs(a: QTensor) -> QTensor:
     if a.is_host or storage_kind(out) is None or not (
             iv.fits64 and neg_iv.fits64):
         return _host_unary(hostops.qabs, a)
-    if iv.fits32 and storage_kind(out) == "lane" and not _is_pair(a):
+    if iv.fits32 and neg_iv.fits32 and storage_kind(out) == "lane" \
+            and not _is_pair(a):
+        # neg_iv.fits32 guards -INT32_MIN lane overflow
         x = _load_i32(a)
         return _finish(jnp.where(x < 0, -x, x), out)
     p = _load_pair(a)
@@ -225,7 +227,8 @@ def qneg(a: QTensor) -> QTensor:
     if a.is_host or storage_kind(out) is None or not (
             iv.fits64 and neg_iv.fits64):
         return _host_unary(hostops.qneg, a)
-    if iv.fits32 and storage_kind(out) == "lane" and not _is_pair(a):
+    if iv.fits32 and neg_iv.fits32 and storage_kind(out) == "lane" \
+            and not _is_pair(a):
         return _finish(-_load_i32(a), out)
     raw = W.pair_neg(_load_pair(a))
     if storage_kind(out) == "lane":

@@ -349,7 +349,11 @@ def requantize_i32(x, from_frac: int, fmt: QFormat):
     elif mode == RoundMode.TRN_TCPL:
         y = x >> d
     elif mode == RoundMode.TRN_SMGN:
-        y = jnp.where(x < 0, -((-x) >> d), x >> d)
+        # truncate toward zero via bias-add: (x + (2^d - 1)) >> d for
+        # negative x.  The naive -((-x) >> d) wraps at x = INT32_MIN
+        # (negation overflows the lane) — caught by deep fuzz
+        bias = jnp.where(x < 0, _I32((1 << d) - 1), _I32(0))
+        y = (x + bias) >> d
     else:
         xh = x >> d
         xl = x & _I32((1 << d) - 1) if d < 32 else x - (xh << d)

@@ -5,7 +5,7 @@ import pytest
 
 from qublas_tpu import anus, hostops, native
 from qublas_tpu.ops import elementwise as ew
-from qublas_tpu.qformat import OverflowMode, QFormat, qformat
+from qublas_tpu.qformat import OverflowMode, QFormat, RoundMode, qformat
 from qublas_tpu.qtensor import from_raw, scalar
 
 
@@ -158,3 +158,36 @@ def test_split_route_rejected_for_pair_stored_operands():
     for x, y, g in zip(A, B, np.asarray(dev.raw(), dtype=object).reshape(-1)):
         want, _ = hostops.qmul((int(x), fa), (int(y), fb), to=out)
         assert int(g) == want
+
+
+def test_trn_smgn_int32_min_boundary():
+    """TRN_SMGN requantize at x = INT32_MIN: the naive -((-x) >> d) wraps
+    in int32 lanes (deep-fuzz catch); the bias-add form is exact."""
+    from qublas_tpu import hostint
+
+    src = QFormat(15, 16, True, RoundMode.TRN_TCPL, OverflowMode.SAT_TCPL)
+    for dst in (QFormat(19, -6, True, RoundMode.TRN_SMGN,
+                        OverflowMode.SAT_SMGN),
+                QFormat(8, 4, True, RoundMode.TRN_SMGN,
+                        OverflowMode.SAT_ZERO),
+                QFormat(10, 2, True, RoundMode.TRN_SMGN,
+                        OverflowMode.WRP_TCPL)):
+        vals = [-(1 << 31), (1 << 31) - 1, -1, 0, -(1 << 30) - 3]
+        r = ew.qcast(from_raw(vals, src), dst)
+        for v, g in zip(vals, np.asarray(r.raw(), dtype=object).reshape(-1)):
+            assert int(g) == hostint.requantize(v, src.frac_bits, dst), \
+                (dst, v)
+
+
+def test_qabs_qneg_int32_min_boundary():
+    from qublas_tpu.qformat import RoundMode
+
+    f32 = QFormat(20, 11, True, RoundMode.TRN_TCPL, OverflowMode.SAT_TCPL)
+    vals = [-(1 << 31), (1 << 31) - 1, 5, -5, 0]
+    x = from_raw(vals, f32)
+    ab, ng = ew.qabs(x), ew.qneg(x)
+    for v, ga, gn in zip(vals,
+                         np.asarray(ab.raw(), dtype=object).reshape(-1),
+                         np.asarray(ng.raw(), dtype=object).reshape(-1)):
+        assert int(ga) == hostops.qabs((v, f32))[0]
+        assert int(gn) == hostops.qneg((v, f32))[0]
