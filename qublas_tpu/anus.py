@@ -113,6 +113,11 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
             return QTensor(PairArray(jnp.broadcast_to(br.data.hi, x.shape),
                                      jnp.broadcast_to(br.data.lo, x.shape)),
                            br.fmt)
+        if br.is_limb:
+            from .ops.limbint import LimbArray, lbroadcast_elem
+
+            return QTensor(LimbArray(lbroadcast_elem(br.data.limbs, x.shape)),
+                           br.fmt)
         return QTensor(jnp.broadcast_to(br.data, x.shape), br.fmt)
 
     # evaluate every segment's polynomial requantized into x's format
@@ -145,6 +150,23 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
             result = W.PairArray(jnp.where(take, br.data.hi, result.hi),
                                  jnp.where(take, br.data.lo, result.lo))
         return QTensor(result, x.fmt)
+
+    if x.is_limb:
+        # 65..256-bit storage: the same select chain in the limb domain
+        from .ops import limbint as L
+
+        K = x.data.nlimbs
+        xl = x.data.limbs
+        result = branches[-1].data.limbs
+        for s, br in zip(reversed(segments[:-1]), reversed(branches[:-1])):
+            thr = _raw_threshold(s.breakpoint, x.fmt.frac_bits)
+            word = 1 << (32 * K - 1)
+            tl = L.lconst(max(min(thr, word - 1), -word), K, x.shape)
+            take = L.llt(xl, tl) | L.leq(xl, tl)  # x <= thr
+            result = L.lselect(take, br.data.limbs, result)
+        from .ops.limbint import LimbArray
+
+        return QTensor(LimbArray(result), x.fmt)
 
     result = branches[-1].data
     # walk breakpoints from the last-but-one down, selecting earlier segments

@@ -41,11 +41,13 @@ def _fmt_from_list(v) -> QFormat:
 def _encode(obj, arrays: dict, prefix: str):
     if isinstance(obj, QTensor):
         key = f"{prefix}a"
-        if obj.is_host:
+        if obj.is_host or obj.is_limb:
             # exact decimal encoding: the BitStream wire format serializes
             # only the logical width, which is lossy for fill(int)-wart
             # raws outside the representable range — a checkpoint must
-            # round-trip EVERY stored raw bit-for-bit
+            # round-trip EVERY stored raw bit-for-bit.  Limb-stored device
+            # tensors take the same path (object raws; from_raw rebuilds
+            # the device limb storage on load)
             dec = ",".join(str(int(v))
                            for v in np.asarray(obj.raw(),
                                                dtype=object).reshape(-1))

@@ -84,7 +84,8 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
         return None
     far, fai = a.real.fmt, a.imag.fmt
     fbr, fbi = b.real.fmt, b.imag.fmt
-    if any(t.is_host or t.is_pair for t in (a.real, a.imag, b.real, b.imag)):
+    if any(t.is_host or t.is_pair or t.is_limb
+           for t in (a.real, a.imag, b.real, b.imag)):
         return None
     k = k_total if k_total is not None else a.shape[-1]
     ar = _Step(fmt_interval(far), far)
@@ -277,7 +278,7 @@ def cgemul(a, b, out_fmt, algo: str = "basic", add_formats=(),
     # instead of the layered [.., m, k, n] program)
     if (a.real.ndim == b.real.ndim > 2
             and a.real.shape[:-2] == b.real.shape[:-2]
-            and not any(t.is_host or t.is_pair
+            and not any(t.is_host or t.is_pair or t.is_limb
                         for t in (a.real, a.imag, b.real, b.imag))):
         import jax
 

@@ -25,11 +25,15 @@ from jax import lax
 from .. import hostops
 from ..qformat import QFormat, add_merge, mul_merge
 from ..qtensor import QTensor, from_float, from_raw
+from . import limbint as L
 from . import wideint as W
 from .widths import (
+    LIMB_INTER_MAX_BITS,
     Interval,
     dtype_for,
     fmt_interval,
+    limb_count,
+    requant_work_bits,
     route_addsub,
     route_div,
     route_mul,
@@ -87,9 +91,15 @@ def _host_unary(fn, a: QTensor) -> QTensor:
 
 def _finish(raw, out_fmt: QFormat) -> QTensor:
     """Store a device result per the output format's storage kind: narrow
-    to the single lane dtype, or keep/widen into a (hi, lo) limb pair."""
-    if storage_kind(out_fmt) == "lane":
+    to the single lane dtype, keep/widen into a (hi, lo) limb pair, or wrap
+    stacked limbs."""
+    kind = storage_kind(out_fmt)
+    if kind == "lane":
         return QTensor(raw.astype(dtype_for(out_fmt)), out_fmt)
+    if kind == "limb":
+        if not isinstance(raw, L.LimbArray):
+            raw = L.LimbArray(raw)
+        return QTensor(raw, out_fmt)
     if isinstance(raw, tuple):
         return QTensor(W.PairArray(*raw), out_fmt)
     return QTensor(W.PairArray(*W.widen(raw)), out_fmt)
@@ -99,9 +109,13 @@ def _is_pair(t: QTensor) -> bool:
     return isinstance(t.data, W.PairArray)
 
 
+def _is_limb(t: QTensor) -> bool:
+    return isinstance(t.data, L.LimbArray)
+
+
 def _load_i32(t: QTensor):
     """Load as a single int32 lane (caller proved values fit int32)."""
-    assert not _is_pair(t)
+    assert not _is_pair(t) and not _is_limb(t)
     return t.data.astype(jnp.int32)
 
 
@@ -112,12 +126,30 @@ def _load_pair(t: QTensor):
     return W.widen(t.data.astype(jnp.int32))
 
 
+def _load_limb(t: QTensor, K: int):
+    """Load any device storage kind as K stacked uint32 limbs."""
+    if _is_limb(t):
+        return L.lext(t.data.limbs, K)
+    if _is_pair(t):
+        stacked = jnp.stack(
+            [t.data.lo, lax.bitcast_convert_type(t.data.hi, jnp.uint32)],
+            axis=0)
+        return L.lext(stacked, K)
+    x = t.data.astype(jnp.int32)
+    return L.lext(lax.bitcast_convert_type(x, jnp.uint32)[None], K)
+
+
+def _limb_work(*bit_counts) -> int:
+    """Working limb count covering every listed bit width."""
+    return L.bits_to_limbs(max(bit_counts))
+
+
 def qmul(a, b, to=None, full_prec: bool = False) -> QTensor:
     """Quantized multiply: exact product → round → saturate
     (QuBLAS.h:3146-3171)."""
     a, b = _coerce_pair(a, b)
     out = mul_merge(a.fmt, b.fmt, to, full_prec)
-    route, _, from_frac = route_mul(a.fmt, b.fmt, out)
+    route, prod, from_frac = route_mul(a.fmt, b.fmt, out)
     if a.is_host or b.is_host or route == "host":
         return _host_binary(hostops.qmul, a, b, to=to, full_prec=full_prec)
     if route == "i32":
@@ -125,6 +157,12 @@ def qmul(a, b, to=None, full_prec: bool = False) -> QTensor:
     elif route == "split":
         raw = W.requantize_split_mul(_load_i32(a), _load_i32(b), from_frac,
                                      out)
+    elif route == "limb":
+        K = _limb_work(prod.bits, requant_work_bits(prod, from_frac, out))
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        la = L.lbroadcast_elem(_load_limb(a, K), shape)
+        lb = L.lbroadcast_elem(_load_limb(b, K), shape)
+        raw = L.requantize_limb(L.lmul(la, lb, K), from_frac, out)
     else:
         if _is_pair(a) or _is_pair(b):
             p = W.pair_mul(_load_pair(a), _load_pair(b))
@@ -148,6 +186,17 @@ def _addsub(a, b, to, full_prec, sub: bool) -> QTensor:
         x, y = _load_i32(a), _load_i32(b)
         s = (x << sa) - (y << sb) if sub else (x << sa) + (y << sb)
         raw = W.requantize_i32(s, f, out)
+    elif route == "limb":
+        ia = fmt_interval(a.fmt) << sa
+        ib = fmt_interval(b.fmt) << sb
+        siv = (ia - ib) if sub else (ia + ib)
+        K = _limb_work(ia.bits, ib.bits, siv.bits,
+                       requant_work_bits(siv, f, out))
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        xs = L.lshl(L.lbroadcast_elem(_load_limb(a, K), shape), sa)
+        ys = L.lshl(L.lbroadcast_elem(_load_limb(b, K), shape), sb)
+        s = L.lsub(xs, ys) if sub else L.ladd(xs, ys)
+        raw = L.requantize_limb(s, f, out)
     else:
         xp = W.pair_shl(_load_pair(a), sa)
         yp = W.pair_shl(_load_pair(b), sb)
@@ -201,20 +250,26 @@ def qabs(a: QTensor) -> QTensor:
                   a.fmt.round_mode, a.fmt.overflow_mode)
     iv = fmt_interval(a.fmt)
     neg_iv = Interval(-iv.hi, -iv.lo)
-    if a.is_host or storage_kind(out) is None or not (
-            iv.fits64 and neg_iv.fits64):
+    if a.is_host or storage_kind(out) is None or \
+            max(iv.bits, neg_iv.bits) > LIMB_INTER_MAX_BITS:
         return _host_unary(hostops.qabs, a)
     if iv.fits32 and neg_iv.fits32 and storage_kind(out) == "lane" \
-            and not _is_pair(a):
+            and not _is_pair(a) and not _is_limb(a):
         # neg_iv.fits32 guards -INT32_MIN lane overflow
         x = _load_i32(a)
         return _finish(jnp.where(x < 0, -x, x), out)
-    p = _load_pair(a)
-    n = W.pair_neg(p)
-    neg = W.pair_is_neg(p)
-    raw = (jnp.where(neg, n[0], p[0]), jnp.where(neg, n[1], p[1]))
-    if storage_kind(out) == "lane":
-        return _finish(W.pair_to_int32(raw), out)
+    if iv.fits64 and neg_iv.fits64 and storage_kind(out) in ("lane", "pair") \
+            and not _is_limb(a):
+        p = _load_pair(a)
+        n = W.pair_neg(p)
+        neg = W.pair_is_neg(p)
+        raw = (jnp.where(neg, n[0], p[0]), jnp.where(neg, n[1], p[1]))
+        if storage_kind(out) == "lane":
+            return _finish(W.pair_to_int32(raw), out)
+        return _finish(raw, out)
+    K = _limb_work(iv.bits, neg_iv.bits)
+    x = _load_limb(a, K)
+    raw = L.store_limbs(L.lselect(L.lis_neg(x), L.lneg(x), x), out)
     return _finish(raw, out)
 
 
@@ -224,15 +279,20 @@ def qneg(a: QTensor) -> QTensor:
                   a.fmt.round_mode, a.fmt.overflow_mode)
     iv = fmt_interval(a.fmt)
     neg_iv = Interval(-iv.hi, -iv.lo)
-    if a.is_host or storage_kind(out) is None or not (
-            iv.fits64 and neg_iv.fits64):
+    if a.is_host or storage_kind(out) is None or \
+            max(iv.bits, neg_iv.bits) > LIMB_INTER_MAX_BITS:
         return _host_unary(hostops.qneg, a)
     if iv.fits32 and neg_iv.fits32 and storage_kind(out) == "lane" \
-            and not _is_pair(a):
+            and not _is_pair(a) and not _is_limb(a):
         return _finish(-_load_i32(a), out)
-    raw = W.pair_neg(_load_pair(a))
-    if storage_kind(out) == "lane":
-        return _finish(W.pair_to_int32(raw), out)
+    if iv.fits64 and neg_iv.fits64 and storage_kind(out) in ("lane", "pair") \
+            and not _is_limb(a):
+        raw = W.pair_neg(_load_pair(a))
+        if storage_kind(out) == "lane":
+            return _finish(W.pair_to_int32(raw), out)
+        return _finish(raw, out)
+    K = _limb_work(iv.bits, neg_iv.bits)
+    raw = L.store_limbs(L.lneg(_load_limb(a, K)), out)
     return _finish(raw, out)
 
 
@@ -241,12 +301,18 @@ def _aligned(a: QTensor, b: QTensor):
     sa, sb = f - a.fmt.frac_bits, f - b.fmt.frac_bits
     ia = fmt_interval(a.fmt) << sa
     ib = fmt_interval(b.fmt) << sb
-    if a.is_host or b.is_host or not (ia.fits64 and ib.fits64):
+    if a.is_host or b.is_host or max(ia.bits, ib.bits) > LIMB_INTER_MAX_BITS:
         return None
-    if ia.fits32 and ib.fits32 and not (_is_pair(a) or _is_pair(b)):
+    if ia.fits32 and ib.fits32 and not (_is_pair(a) or _is_pair(b)) \
+            and not (_is_limb(a) or _is_limb(b)):
         return (_load_i32(a) << sa, _load_i32(b) << sb), "i32"
-    return (W.pair_shl(_load_pair(a), sa),
-            W.pair_shl(_load_pair(b), sb)), "pair"
+    if ia.fits64 and ib.fits64 and not (_is_limb(a) or _is_limb(b)):
+        return (W.pair_shl(_load_pair(a), sa),
+                W.pair_shl(_load_pair(b), sb)), "pair"
+    K = _limb_work(ia.bits, ib.bits)
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    return (L.lshl(L.lbroadcast_elem(_load_limb(a, K), shape), sa),
+            L.lshl(L.lbroadcast_elem(_load_limb(b, K), shape), sb)), "limb"
 
 
 def qcmp(a, b):
@@ -263,6 +329,10 @@ def qcmp(a, b):
     (x, y), kind = al
     if kind == "i32":
         return (x > y).astype(jnp.int8) - (x < y).astype(jnp.int8)
+    if kind == "limb":
+        lt = L.llt(x, y)
+        gt = L.llt(y, x)
+        return gt.astype(jnp.int8) - lt.astype(jnp.int8)
     lt = W.pair_lt(x, y)
     gt = W.pair_lt(y, x)
     return gt.astype(jnp.int8) - lt.astype(jnp.int8)
@@ -281,6 +351,8 @@ def qeq(a, b):
     (x, y), kind = al
     if kind == "i32":
         return x == y
+    if kind == "limb":
+        return L.leq(x, y)
     return W.pair_eq(x, y)
 
 
@@ -289,11 +361,15 @@ def qcast(a: QTensor, fmt: QFormat) -> QTensor:
     reference converting copy ctor (QuBLAS.h:2758-2830)."""
     if a.fmt == fmt:
         return QTensor(a.data, fmt)
-    route = route_requant(fmt_interval(a.fmt), a.fmt.frac_bits, fmt)
+    iv = fmt_interval(a.fmt)
+    route = route_requant(iv, a.fmt.frac_bits, fmt)
     if a.is_host or route == "host":
         return _host_unary(lambda v: hostops.convert(v, fmt), a)
     if route == "i32":
         raw = W.requantize_i32(_load_i32(a), a.fmt.frac_bits, fmt)
+    elif route == "limb" or _is_limb(a):
+        K = _limb_work(iv.bits, requant_work_bits(iv, a.fmt.frac_bits, fmt))
+        raw = L.requantize_limb(_load_limb(a, K), a.fmt.frac_bits, fmt)
     else:
         req = W.requantize_pair if storage_kind(fmt) == "lane" \
             else W.requantize_pair_keep

@@ -204,7 +204,7 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
     # Pallas variant keeps the slot stack in VMEM on TPU.
     from . import tree_gemm
 
-    if not (a.is_pair or b.is_pair):
+    if not (a.is_pair or b.is_pair or a.is_limb or b.is_limb):
         # prefix-lossless hybrid: when the product quantize and the first
         # L >= 3 tree layers are provably exact, 2^L-element partial dots
         # run on the MXU as block matmuls and only the lossy tail folds on
@@ -216,7 +216,8 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
             return QTensor(raw, out_fmt)
 
     tplan = None
-    if not (a.is_pair or b.is_pair):  # tree kernels assume lane storage
+    if not (a.is_pair or b.is_pair
+            or a.is_limb or b.is_limb):  # tree kernels assume lane storage
         tplan = tree_gemm.plan_tree(a.fmt, b.fmt, mul_fmt, add_formats, k,
                                     out_fmt)
     if tplan is not None:

@@ -126,22 +126,33 @@ def qreduce(x: QTensor, layer_formats=(), axis=None) -> QTensor:
 def _moveaxis(arr, src, dst):
     import jax.numpy as jnp
 
+    from .limbint import LimbArray
     from .wideint import PairArray
 
     if isinstance(arr, PairArray):
         return PairArray(jnp.moveaxis(arr.hi, src, dst),
                          jnp.moveaxis(arr.lo, src, dst))
+    if isinstance(arr, LimbArray):
+        nd = arr.ndim
+        return LimbArray(jnp.moveaxis(arr.limbs, src % nd + 1, dst % nd + 1))
     return jnp.moveaxis(arr, src, dst)
 
 
 def _concat(parts):
     import jax.numpy as jnp
 
+    from .limbint import LimbArray
     from .wideint import PairArray
 
     if isinstance(parts[0], PairArray):
         return PairArray(jnp.concatenate([p.hi for p in parts], axis=0),
                          jnp.concatenate([p.lo for p in parts], axis=0))
+    if isinstance(parts[0], LimbArray):
+        k = max(p.nlimbs for p in parts)
+        from .limbint import lext
+
+        return LimbArray(jnp.concatenate([lext(p.limbs, k) for p in parts],
+                                         axis=1))
     return jnp.concatenate(parts, axis=0)
 
 

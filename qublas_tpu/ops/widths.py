@@ -31,6 +31,13 @@ I32_MIN, I32_MAX = -(1 << 31), (1 << 31) - 1
 # never overflow the 64-bit emulation
 I64_MIN, I64_MAX = -(1 << 63) + 1, (1 << 63) - 1
 
+# device N-limb storage envelope: formats up to 256-bit physical storage are
+# device-resident as stacked uint32 limbs (the reference's generated ArbiInt
+# grids top out at 200-bit formats); op intermediates (products, alignment
+# shifts, tie thresholds) may use working widths up to 1024 bits
+LIMB_STORE_MAX_BITS = 256
+LIMB_INTER_MAX_BITS = 1024
+
 
 @dataclass(frozen=True)
 class Interval:
@@ -60,6 +67,17 @@ class Interval:
     @property
     def fits64(self):
         return self.fits(I64_MIN, I64_MAX)
+
+    @property
+    def bits(self) -> int:
+        """Signed two's-complement bits needed for every value in the
+        interval, plus one spare value of negation headroom (mirrors the
+        I64_MIN+1 margin of the pair path)."""
+        need = 1
+        for v in (self.lo, self.hi):
+            w = (v.bit_length() + 1) if v >= 0 else ((-v).bit_length() + 1)
+            need = max(need, w)
+        return need
 
 
 def fmt_interval(fmt: QFormat) -> Interval:
@@ -116,17 +134,40 @@ def route_requant(iv: Interval, from_frac: int, fmt: QFormat) -> str:
     "i32" also requires the *output* to fit one int32 lane; "pair" covers
     both int32-storable results computed through 64-bit intermediates and
     results stored as (hi, lo) limb pairs (storage 33..64 — see
-    :func:`storage_kind`); beyond 64 bits -> "host".
+    :func:`storage_kind`); "limb" computes through stacked N-limb uint32
+    intermediates (65..1024-bit working widths) into any device storage
+    kind; beyond that -> "host".
     """
     out, inters = requant_out_interval(iv, from_frac, fmt)
     all_iv = inters + [out]
+    kind = storage_kind(fmt)
     if all(v.fits32 for v in all_iv) and _shift_ok(from_frac, fmt, 31) \
-            and storage_kind(fmt) == "lane":
+            and kind == "lane":
         return "i32"
     if all(v.fits64 for v in all_iv) and _shift_ok(from_frac, fmt, 63) \
-            and storage_kind(fmt) is not None:
+            and kind in ("lane", "pair"):
         return "pair"
+    if kind is not None and requant_work_bits(iv, from_frac, fmt) \
+            <= LIMB_INTER_MAX_BITS:
+        return "limb"
     return "host"
+
+
+def requant_work_bits(iv: Interval, from_frac: int, fmt: QFormat) -> int:
+    """Working width (bits) the limb requantize needs for values in ``iv``:
+    every rounding intermediate, the 2^(d-1) tie threshold, and one bit of
+    negation headroom (TRN_SMGN negates)."""
+    _out, inters = requant_out_interval(iv, from_frac, fmt)
+    d = from_frac - fmt.frac_bits
+    need = max(v.bits for v in inters + [_out])
+    if d > 0:
+        need = max(need, d + 2)
+    # the overflow stage materializes CONSTANTS in the working width —
+    # saturation bounds 2^(w-1)-1 / -(2^(w-1)), wrap masks and the
+    # -(2^wb) sign-extension addend — which can be wider than the value
+    # interval when the destination is wider than the source
+    need = max(need, fmt.storage_bits + 2)
+    return need
 
 
 def split_mul_ok(fa: QFormat, fb: QFormat, out: QFormat) -> bool:
@@ -163,6 +204,11 @@ def route_mul(fa: QFormat, fb: QFormat, out: QFormat):
     if r == "i32" and not prod.fits32:
         r = "pair"  # the product itself needs 64-bit even if the shift fits
     if r == "pair" and not prod.fits64:
+        r = "limb"
+    if r == "limb" and (storage_kind(fa) is None or storage_kind(fb) is None
+                        or max(prod.bits,
+                               requant_work_bits(prod, from_frac, out))
+                        > LIMB_INTER_MAX_BITS):
         r = "host"
     if r == "pair" and storage_kind(out) == "lane" \
             and storage_kind(fa) == "lane" and storage_kind(fb) == "lane" \
@@ -182,7 +228,12 @@ def route_addsub(fa: QFormat, fb: QFormat, out: QFormat, sub: bool):
             r = "pair"
     for iv in (ia, ib, s):
         if r == "pair" and not iv.fits64:
-            r = "host"
+            r = "limb"
+    if r == "limb" and (storage_kind(fa) is None or storage_kind(fb) is None
+                        or max(ia.bits, ib.bits, s.bits,
+                               requant_work_bits(s, f, out))
+                        > LIMB_INTER_MAX_BITS):
+        r = "host"
     return r, s, f
 
 
@@ -232,15 +283,32 @@ def storage_kind(fmt: QFormat):
     * ``"lane"`` — one int8/int16/int32 lane per element (storage <= 32),
     * ``"pair"`` — two 32-bit limb arrays per tensor (storage 33..64;
       reference multiword ``ArbiInt``, QuBLAS.h:566-912),
-    * ``None``  — wider than 64 bits: host-side Python-int object arrays.
+    * ``"limb"`` — stacked (K, ...) uint32 limb array (storage 65..256:
+      the reference's deep multiword territory — its generated ArbiInt
+      grids go to 200-bit formats),
+    * ``None``  — wider still: host-side Python-int object arrays.
 
     For WRP_TCPL_SAT (the reference identity stub) storage is the machine
-    word: the int32 word up to 32 bits, the 64-bit pair up to 64 bits —
-    wrapping at the word boundary is exactly the stub's store semantics.
+    word: the int32 word up to 32 bits, the 64-bit pair up to 64 bits, a
+    64-bit-multiple limb count beyond — wrapping at the word boundary is
+    exactly the stub's store semantics (mod 2^(32K) truncation at the
+    store IS the word wrap).
     """
     s = fmt.storage_bits
     if s <= 32:
         return "lane"
     if s <= 64:
         return "pair"
+    if s <= LIMB_STORE_MAX_BITS:
+        return "limb"
     return None
+
+
+def limb_count(fmt: QFormat) -> int:
+    """Stacked-limb count of a "limb"-storage format: ceil(storage/32),
+    except WRP_TCPL_SAT where the store wraps at the 64-bit-multiple
+    machine word (``native._eff_width`` models the same rule host-side)."""
+    s = fmt.storage_bits
+    if fmt.overflow_mode == OverflowMode.WRP_TCPL_SAT:
+        return 2 * ((s + 63) // 64)
+    return (s + 31) // 32

@@ -452,8 +452,11 @@ def sharded_qreduce(x: QTensor, layer_formats=(), axis: int = -1,
     axes = ("dp", "tp")
     spec = [None] * x.ndim
     spec[batch_axis] = axes
-    spec = P(*spec)
-    xd = jax.device_put(x.data, NamedSharding(mesh, spec))
+    # limb-stored tensors stack K uint32 limbs on a LEADING axis
+    # (ops/limbint.py) — the sharding spec needs a leading None so the
+    # batch axis, not the limb axis, is what shards
+    in_spec = P(None, *spec) if x.is_limb else P(*spec)
+    xd = jax.device_put(x.data, NamedSharding(mesh, in_spec))
     red_axis = axis % x.ndim
     out_rank_spec = [s for i, s in enumerate(spec) if i != red_axis]
 
@@ -466,9 +469,11 @@ def sharded_qreduce(x: QTensor, layer_formats=(), axis: int = -1,
         raise ValueError(
             "this reduction outgrows device lanes (host route); "
             "sharded_qreduce cannot run it inside shard_map")
+    out_spec = P(None, *out_rank_spec) if probe.is_limb \
+        else P(*out_rank_spec)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(spec,),
-             out_specs=P(*out_rank_spec))
+    @partial(jax.shard_map, mesh=mesh, in_specs=(in_spec,),
+             out_specs=out_spec)
     def block(data):
         return qreduce(QTensor(data, x.fmt), layer_formats,
                        axis=red_axis).data

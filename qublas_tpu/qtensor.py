@@ -91,11 +91,22 @@ class QTensor:
 
         return isinstance(self.data, PairArray)
 
+    @property
+    def is_limb(self) -> bool:
+        """True when storage is the device stacked (K, ...) uint32 limb
+        array (formats with 65..256-bit physical storage)."""
+        from .ops.limbint import LimbArray
+
+        return isinstance(self.data, LimbArray)
+
     # --- conversions ---------------------------------------------------------
     def raw(self) -> np.ndarray:
-        """Raw storage integers as a NumPy array (host transfer if needed)."""
+        """Raw storage integers as a NumPy array (host transfer if needed);
+        object dtype of Python ints for limb-stored wide formats."""
         if self.is_pair:
             return self.data.to_numpy_int64()
+        if self.is_limb:
+            return self.data.to_numpy_ints()
         return np.asarray(self.data)
 
     def raw_list(self):
@@ -227,6 +238,16 @@ def from_raw(values: Any, fmt: QFormat, validate: bool = False) -> QTensor:
         from .ops.wideint import pair_from_int64_np
 
         return QTensor(pair_from_int64_np(arr), fmt)
+    if kind == "limb":
+        from .ops.limbint import LimbArray, limbs_from_ints
+        from .ops.widths import limb_count
+
+        K = limb_count(fmt)
+        word = 1 << (32 * K - 1)
+        if flat and (vmin < -word or vmax >= word):
+            # fill(int) wart beyond the storage word: keep exact host ints
+            return QTensor(arr, fmt)
+        return QTensor(LimbArray(limbs_from_ints(arr, K)), fmt)
     floor_dt = dtype_for(fmt)
     dt = _min_dtype_for_values(vmin, vmax, floor_dt)
     if dt is None:
@@ -270,6 +291,13 @@ def zeros(shape, fmt: QFormat) -> QTensor:
 
         return QTensor(PairArray(jnp.zeros(shape, dtype=jnp.int32),
                                  jnp.zeros(shape, dtype=jnp.uint32)), fmt)
+    if kind == "limb":
+        from .ops.limbint import LimbArray
+        from .ops.widths import limb_count
+
+        K = limb_count(fmt)
+        return QTensor(
+            LimbArray(jnp.zeros((K,) + tuple(shape), dtype=jnp.uint32)), fmt)
     return QTensor(jnp.zeros(shape, dtype=dtype_for(fmt)), fmt)
 
 
@@ -286,7 +314,8 @@ def random_fill(shape, fmt: QFormat, seed: int = 1) -> QTensor:
     if fmt.storage_bits <= 63:
         vals = rng.randint(fmt.raw_min, fmt.raw_max + 1, size=n, dtype=np.int64)
         return from_raw(vals.reshape(shape), fmt)
-    # wide formats: compose from 32-bit draws
+    # wide formats: compose from 32-bit draws (from_raw picks the storage —
+    # device limbs up to 256-bit formats, host ints beyond)
     words = math.ceil(fmt.storage_bits / 32)
     flat = []
     span = fmt.raw_max - fmt.raw_min + 1
@@ -295,4 +324,4 @@ def random_fill(shape, fmt: QFormat, seed: int = 1) -> QTensor:
         for _w in range(words + 1):
             v = (v << 32) | int(rng.randint(0, 1 << 32, dtype=np.int64))
         flat.append(fmt.raw_min + (v % span))
-    return QTensor(np.array(flat, dtype=object).reshape(shape), fmt)
+    return from_raw(np.array(flat, dtype=object).reshape(shape), fmt)

@@ -171,7 +171,7 @@ def test_checkpoint_wide_unsigned_round_trip(tmp_path):
     raws = np.array([int(f.raw_max), 1, (int(f.raw_max) + 1) // 2],
                     dtype=object)
     t = from_raw(raws, f)
-    assert t.is_host
+    assert t.is_limb  # 140-bit storage is device-limb-resident
     p = str(tmp_path / "wu.npz")
     checkpoint.save(p, t)
     back = checkpoint.load(p)

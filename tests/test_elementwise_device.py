@@ -120,7 +120,7 @@ def test_wide_format_host_fallback():
     wide = QFormat(40, 30)
     a = random_fill((8,), wide, seed=2)
     b = random_fill((8,), wide, seed=3)
-    assert a.is_host
+    assert a.is_limb  # 71-bit storage is device-limb-resident now
     got = E.qmul(a, b, to=QFormat(8, 8))
     for g, x, y in zip(got.raw_list(), a.raw_list(), b.raw_list()):
         assert g == H.qmul((x, wide), (y, wide), to=QFormat(8, 8))[0]

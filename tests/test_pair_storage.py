@@ -39,7 +39,9 @@ def test_storage_kind_boundaries():
     assert storage_kind(qformat(23, 8)) == "lane"      # 32
     assert storage_kind(qformat(24, 8)) == "pair"      # 33
     assert storage_kind(qformat(33, 30)) == "pair"     # 64
-    assert storage_kind(qformat(34, 30)) is None       # 65
+    assert storage_kind(qformat(34, 30)) == "limb"     # 65
+    assert storage_kind(qformat(200, 55)) == "limb"    # 256
+    assert storage_kind(qformat(201, 55)) is None      # 257
     # WRP_TCPL_SAT wraps at the machine word: pair up to 64
     w = qformat(40, 8, overflow_mode=OverflowMode.WRP_TCPL_SAT)
     assert storage_kind(w) == "pair"

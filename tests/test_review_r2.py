@@ -95,10 +95,20 @@ def test_sharded_qreduce_rejects_bad_axes():
     x = from_raw(np.zeros((8, 16), dtype=int), f)
     with pytest.raises(ValueError):
         sharded_qreduce(x, (), axis=0, mesh=mesh, batch_axis=0)
-    # host-route configs get a clean error instead of a tracer crash
-    wide_layers = (QFormat(100, 50),)
+    # 65..256-bit layer formats are limb-device-resident now; only truly
+    # host-route configs (storage > 256) get the clean error
     with pytest.raises(ValueError):
-        sharded_qreduce(x, wide_layers, axis=1, mesh=mesh)
+        sharded_qreduce(x, (QFormat(400, 50),), axis=1, mesh=mesh)
+    # and the limb route must be bit-exact through shard_map
+    from qublas_tpu.ops.reduce import qreduce
+
+    wide_layers = (QFormat(100, 50),)
+    r = sharded_qreduce(x, wide_layers, axis=1, mesh=mesh)
+    ref = qreduce(x, wide_layers, axis=1)
+    got = np.asarray(r.raw(), dtype=object).reshape(-1)
+    want = np.asarray(ref.raw(), dtype=object).reshape(-1)
+    assert r.fmt == ref.fmt
+    assert [int(v) for v in got] == [int(v) for v in want]
 
 
 def test_sharded_cgemul_k_probe_is_cheap_and_correct():

@@ -160,12 +160,15 @@ def test_wide_binary_ops_match_hostops():
 
 @pytest.mark.skipif(not native.available(), reason="no native engine")
 def test_wide_ops_flow_through_host_binary():
-    """The elementwise host path routes 65+-bit formats through the
-    compiled multiword engine transparently; results must equal the pure
-    loop (and QTensor round-trip)."""
+    """The elementwise host path routes wide HOST-stored tensors through
+    the compiled multiword engine transparently; results must equal the
+    pure loop (and QTensor round-trip).  65..256-bit formats are normally
+    device-limb-resident now, so host storage is constructed directly —
+    the path still serves wart raws beyond the limb word and >256-bit
+    formats."""
     from qublas_tpu import hostops
     from qublas_tpu.ops import elementwise as ew
-    from qublas_tpu.qtensor import from_raw
+    from qublas_tpu.qtensor import QTensor
 
     fa = qformat(100, 40)
     fb = qformat(80, 30)
@@ -173,9 +176,9 @@ def test_wide_ops_flow_through_host_binary():
     rng = np.random.RandomState(6)
     avals = [int(rng.randint(-2**60, 2**60)) << 60 for _ in range(12)]
     bvals = [int(rng.randint(-2**60, 2**60)) << 40 for _ in range(12)]
-    a = from_raw(np.array(avals, dtype=object), fa)
-    b = from_raw(np.array(bvals, dtype=object), fb)
-    assert a.is_host  # 141-bit storage stays host-side
+    a = QTensor(np.array(avals, dtype=object), fa)
+    b = QTensor(np.array(bvals, dtype=object), fb)
+    assert a.is_host
     r = ew.qmul(a, b, to=to)
     for x, y, g in zip(avals, bvals,
                        np.asarray(r.raw(), dtype=object).reshape(-1)):
