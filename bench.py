@@ -291,8 +291,62 @@ def bench_wide():
     }))
 
 
+def bench_limb():
+    """Round-2 feature: 65..256-bit-storage formats on device as stacked
+    N-limb uint32 arrays vs the exact Python host loop they previously
+    required.  vs_baseline = speedup over that loop."""
+    from qublas_tpu.ops import elementwise as ew
+    from qublas_tpu.ops.limbint import LimbArray
+    from qublas_tpu.qtensor import QTensor, from_raw
+
+    fa = qformat(100, 40)          # 141-bit storage -> 5 limbs
+    fb = qformat(10, 4)
+    n = 512 * 512
+    rng = np.random.RandomState(0)
+    raws_a = np.array([(int(h) << 64) | int(l) for h, l in zip(
+        rng.randint(-(1 << 62), 1 << 62, size=n, dtype=np.int64),
+        rng.randint(0, 1 << 63, size=n, dtype=np.int64))], dtype=object)
+    raws_b = rng.randint(-(1 << 13), 1 << 13, size=n, dtype=np.int64)
+    a = from_raw(raws_a, fa)
+    b = from_raw(raws_b.astype(object), fb)
+    assert a.is_limb
+
+    @jax.jit
+    def dev(limbs, bd):
+        x = QTensor(LimbArray(limbs), fa)
+        y = QTensor(bd, fb)
+        # multiply-requantize back into the input format so the output
+        # chains as the next input (same limb count)
+        return ew.qmul(x, y, to=fa).data.limbs
+
+    limbs = dev(a.data.limbs, b.data)
+    np.asarray(limbs[0, :128])  # warm-up + sync
+    t0 = time.perf_counter()
+    iters = 0
+    while time.perf_counter() - t0 < 10.0 and iters < 64:
+        limbs = dev(limbs, b.data)
+        iters += 1
+    np.asarray(limbs[0, :128])
+    t_dev = (time.perf_counter() - t0) / iters
+
+    from qublas_tpu import hostops
+
+    m = 8192
+    t0 = time.perf_counter()
+    for x, y in zip(raws_a[:m], raws_b[:m]):
+        hostops.qmul((int(x), fa), (int(y), fb), to=fa)
+    t_host = (time.perf_counter() - t0) * (n / m)
+    print(json.dumps({
+        "metric": "limb_qmul_melems",
+        "value": round(n / t_dev / 1e6, 2),
+        "unit": "Melem/s",
+        "vs_baseline": round(t_host / t_dev, 1),  # speedup over host loop
+    }))
+
+
 EXTRA = {"tree": bench_tree_gemm, "reduce": bench_reduce,
-         "lut": bench_lut_gemm, "cgemm": bench_cgemm, "wide": bench_wide}
+         "lut": bench_lut_gemm, "cgemm": bench_cgemm, "wide": bench_wide,
+         "limb": bench_limb}
 
 
 def main():

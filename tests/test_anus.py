@@ -165,3 +165,40 @@ def test_qtable_mode_variants_accepted():
     y = table(x)
     ref = table(from_float([1.0, 2.25], f1))
     np.testing.assert_array_equal(np.asarray(y.raw()), np.asarray(ref.raw()))
+
+
+def test_qpoly_qapprox_limb_formats():
+    """Horner chains and segment selection on 65..256-bit limb-stored
+    tensors (device N-limb route) vs the host recursion."""
+    fw = qformat(80, 40)           # 121-bit storage -> limb
+    fc = qformat(90, 30)
+    xs = np.array([(int(v) << 57) + 12345 for v in
+                   rng.randint(-2**40, 2**40, size=10)], dtype=object)
+    x = from_raw(xs, fw)
+    assert x.is_limb
+    coeffs = [from_raw(np.array(3 << 29, dtype=object), fc),
+              from_raw(np.array(-(5 << 27), dtype=object), fc),
+              from_raw(np.array(7 << 25, dtype=object), fc)]
+    dev = anus.qpoly(x, coeffs)
+    cpairs = [(int(np.asarray(c.raw(), dtype=object).reshape(())), c.fmt)
+              for c in coeffs]
+    draw = np.asarray(dev.raw(), dtype=object).reshape(-1)
+    for i, xv in enumerate(xs):
+        hr, hf = host_qpoly((int(xv), fw), cpairs)
+        assert int(draw[i]) == hr, i
+        assert dev.fmt == hf
+
+    segs = [
+        anus.Segment(0.0, [coeffs[0], coeffs[1]]),
+        anus.Segment(1.0, [coeffs[1], coeffs[2]]),
+    ]
+    dev = anus.qapprox(x, segs)
+    assert dev.fmt == fw and dev.is_limb
+    draw = np.asarray(dev.raw(), dtype=object).reshape(-1)
+    cp0 = [cpairs[0], cpairs[1]]
+    cp1 = [cpairs[1], cpairs[2]]
+    for i, xv in enumerate(xs):
+        val = hostint.raw_to_double(int(xv), fw)
+        pair = host_qpoly((int(xv), fw), cp0 if val < 0.0 else cp1)
+        expect = hostops.convert(pair, fw)[0]
+        assert int(draw[i]) == expect, (i, int(xv))

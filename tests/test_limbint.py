@@ -352,3 +352,38 @@ def test_limb_tensor_utilities():
     d = t.to_double()
     for v, x in zip(d.reshape(-1), raws):
         assert v == float(int(x)) * 2.0 ** -fa.frac_bits
+
+
+@pytest.mark.parametrize("trial", range(10))
+def test_fuzz_limb_complex_mul(trial):
+    """Complex multiplies whose parts / step formats land on the 65..256-bit
+    limb routes."""
+    reseed("limb_cmul", trial)
+    from qublas_tpu.complex import cmul, cmul_tf, complex_from_raw
+
+    def some_fmt():
+        return rand_limb_fmt(140) if rng.randint(0, 2) else rand_narrow_fmt()
+
+    fr, fi = some_fmt(), some_fmt()
+    algo = "tf" if rng.randint(0, 2) else "basic"
+    names = (("ab", "cd", "ba", "abc", "cdb", "bad", "AB", "BC")
+             if algo == "tf" else
+             ("ac", "bd", "ad", "bc", "acbd", "adbc"))
+    kw = {n: (some_fmt() if rng.randint(0, 2) else None) for n in names}
+    n = 6
+    a = complex_from_raw(rand_raws(fr, n), rand_raws(fi, n), fr, fi)
+    b = complex_from_raw(rand_raws(fr, n), rand_raws(fi, n), fr, fi)
+    dev = (cmul_tf if algo == "tf" else cmul)(a, b, **kw)
+    host_fn = (hostops.complex_mul_tf if algo == "tf"
+               else hostops.complex_mul_basic)
+    ar = np.asarray(a.real.raw(), dtype=object)
+    ai = np.asarray(a.imag.raw(), dtype=object)
+    br = np.asarray(b.real.raw(), dtype=object)
+    bi = np.asarray(b.imag.raw(), dtype=object)
+    dr = np.asarray(dev.real.raw(), dtype=object)
+    di = np.asarray(dev.imag.raw(), dtype=object)
+    for i in range(n):
+        hp = host_fn(((int(ar[i]), fr), (int(ai[i]), fi)),
+                     ((int(br[i]), fr), (int(bi[i]), fi)), **kw)
+        assert int(dr[i]) == hp[0][0], (algo, fr, fi, kw, i)
+        assert int(di[i]) == hp[1][0], (algo, fr, fi, kw, i)

@@ -91,3 +91,47 @@ def test_replay_static_shift_right_grid():
             got = native.shift_wide(np.array([v], dtype=object), -shift)
             if got is not None:
                 assert int(got[0]) == shifted, (n, shift)
+
+
+def _wide_grid_values(fname: str, kind: str):
+    """Replay the stream and collect the >64-bit cases: (n, shift, value)."""
+    cases = _cases(fname, kind)
+    gen = refrand.MT19937(1)
+    out = []
+    for n, shift in cases:
+        v = refrand.fill_raw(gen, n)
+        if n > 64:
+            out.append((n, shift, v))
+    return out
+
+
+def test_replay_shift_grids_device_limbs():
+    """The same reference-generated vectors, pushed through the DEVICE
+    N-limb shift primitives (ops/limbint.py lshl/lshr) in batched jnp
+    calls — the reference's structural shift grid running on TPU lanes."""
+    from collections import defaultdict
+
+    from qublas_tpu.ops import limbint as L
+
+    groups = defaultdict(list)  # (K, shift, 'l'|'r') -> [(v, want)]
+    for n, shift, v in _wide_grid_values("staticShiftLeft.cpp",
+                                         "staticShiftLeft"):
+        K = L.bits_to_limbs(n + shift + 1)
+        if 32 * K <= 1024:
+            groups[(K, shift, "l")].append((v, v << shift))
+    for n, shift, v in _wide_grid_values("staticShiftRight.cpp",
+                                         "staticShiftRight"):
+        K = L.bits_to_limbs(n + 1)
+        groups[(K, shift, "r")].append((v, v >> shift))
+    assert groups, "no wide cases parsed"
+    total = 0
+    for (K, shift, side), pairs in groups.items():
+        vals = np.array([p[0] for p in pairs], dtype=object)
+        limbs = L.limbs_from_ints(vals, K)
+        res = L.lshl(limbs, shift) if side == "l" else L.lshr(limbs, shift)
+        got = [int(x) for x in L.ints_from_limbs(res)]
+        want = [p[1] for p in pairs]
+        assert got == want, (K, shift, side)
+        total += len(pairs)
+    # every reference wide case (n in 65..200) must have been replayed
+    assert total > 2000, total
