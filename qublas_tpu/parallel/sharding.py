@@ -89,8 +89,47 @@ def make_mesh(dp: int = 1, tp: Optional[int] = None,
     return Mesh(devices.reshape(dp, tp), ("dp", "tp"))
 
 
+def _check_traceable(pa: QTensor, pb: QTensor, out_fmt, mul_to, add_formats,
+                     kw, who: str) -> None:
+    """Trace-time probe on 1-element slices: wide (pair/limb) configs whose
+    routes fall off the device (host Python-int paths) cannot run inside
+    shard_map — fail with a clean error instead of a tracer crash.  Lane
+    configs skip the probe (their routes never go host)."""
+    if not (pa.is_pair or pb.is_pair or pa.is_limb or pb.is_limb):
+        return
+    try:
+        jax.eval_shape(
+            lambda ad, bd: qgemul(QTensor(ad, pa.fmt), QTensor(bd, pb.fmt),
+                                  out_fmt, mul_to=mul_to,
+                                  add_formats=add_formats, **kw).data,
+            pa.data, pb.data)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError) as e:
+        raise ValueError(
+            f"this GEMM config outgrows device lanes (host route); "
+            f"{who} cannot run it inside shard_map") from e
+
+
+def _in_spec(t: QTensor, spec: P) -> P:
+    """Adjust an element-rank PartitionSpec to ``t``'s storage leaf: limb
+    tensors stack K uint32 limbs on a LEADING axis (ops/limbint.py), so the
+    leaf needs a leading None; pair tensors have two element-rank leaves
+    that take the spec as-is."""
+    return P(None, *spec) if t.is_limb else spec
+
+
+def _out_spec(fmt: QFormat, spec: P) -> P:
+    """Same adjustment for an output leaf, decided by the format's storage
+    kind (static at trace time)."""
+    from ..ops.widths import storage_kind
+
+    return P(None, *spec) if storage_kind(fmt) == "limb" else spec
+
+
 def _device_put(t: QTensor, mesh: Mesh, spec: P) -> QTensor:
-    return QTensor(jax.device_put(t.data, NamedSharding(mesh, spec)), t.fmt)
+    return QTensor(jax.device_put(t.data,
+                                  NamedSharding(mesh, _in_spec(t, spec))),
+                   t.fmt)
 
 
 def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
@@ -108,7 +147,11 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                                 kw.get("mul_full_prec", False))
             plan = exact_plan(a.fmt, b.fmt, mul_fmt, add_formats,
                               a.shape[-1])
-            strategy = "k" if plan is not None else "mn"
+            # K needs int32 partial dots + a lane output on top of the
+            # lossless proof (wide configs can be lossless yet not fit)
+            strategy = "k" if (plan is not None
+                               and plan.dot_interval.fits32
+                               and dtype_for(out_fmt) is not None) else "mn"
     if strategy == "k":
         return sharded_qgemul_k(a, b, out_fmt, mesh, mul_to=mul_to,
                                 add_formats=add_formats, **kw)
@@ -131,13 +174,19 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
 def sharded_qgemul_mn(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                       mul_to=None, add_formats=(), **kw) -> QTensor:
     """Shard M over dp, N over tp; each chip computes full dot products for
-    its output tile, so any accumulation config stays bit-exact."""
+    its output tile, so any accumulation config stays bit-exact.  Wide
+    (pair/limb) operands and outputs shard like any other storage; configs
+    that outgrow the device limb envelope raise cleanly (host routes cannot
+    run inside shard_map)."""
+    _check_traceable(a[0:1, :], b[:, 0:1], out_fmt, mul_to, add_formats, kw,
+                     "sharded_qgemul_mn")
     a = _device_put(a, mesh, P("dp", None))
     b = _device_put(b, mesh, P(None, "tp"))
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("dp", None), P(None, "tp")),
-             out_specs=P("dp", "tp"))
+             in_specs=(_in_spec(a, P("dp", None)),
+                       _in_spec(b, P(None, "tp"))),
+             out_specs=_out_spec(out_fmt, P("dp", "tp")))
     def block(ad, bd):
         return qgemul(QTensor(ad, a.fmt), QTensor(bd, b.fmt), out_fmt,
                       mul_to=mul_to, add_formats=add_formats, **kw).data
@@ -276,6 +325,10 @@ def sharded_qgemul_dp(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
     across hosts")."""
     if a.ndim < 3:
         raise ValueError("dp strategy needs a batched LHS [batch, m, k]")
+    pa = a[(0,) * (a.ndim - 2)][0:1, :]
+    pb = (b[(0,) * (b.ndim - 2)] if b.ndim > 2 else b)[:, 0:1]
+    _check_traceable(pa, pb, out_fmt, mul_to, add_formats, kw,
+                     "sharded_qgemul_dp")
     axes = ("dp", "tp")
     spec_a = P(axes, *([None] * (a.ndim - 1)))
     spec_b = P(axes, *([None] * (b.ndim - 1))) if b.ndim == a.ndim else \
@@ -283,8 +336,9 @@ def sharded_qgemul_dp(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
     a = _device_put(a, mesh, spec_a)
     b = _device_put(b, mesh, spec_b)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(spec_a, spec_b),
-             out_specs=spec_a)
+    @partial(jax.shard_map, mesh=mesh,
+             in_specs=(_in_spec(a, spec_a), _in_spec(b, spec_b)),
+             out_specs=_out_spec(out_fmt, spec_a))
     def block(ad, bd):
         return qgemul(QTensor(ad, a.fmt), QTensor(bd, b.fmt), out_fmt,
                       mul_to=mul_to, add_formats=add_formats, **kw).data

@@ -387,3 +387,93 @@ def test_fuzz_limb_complex_mul(trial):
                      ((int(br[i]), fr), (int(bi[i]), fi)), **kw)
         assert int(dr[i]) == hp[0][0], (algo, fr, fi, kw, i)
         assert int(di[i]) == hp[1][0], (algo, fr, fi, kw, i)
+
+
+# ---------------------------------------------------------------------------
+# Sharded execution of wide (pair/limb) GEMMs on the virtual mesh
+# ---------------------------------------------------------------------------
+
+def _mesh_or_skip():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    from qublas_tpu.parallel import make_mesh
+
+    return make_mesh(dp=2, tp=4)
+
+
+def test_sharded_mn_gemm_limb_operands():
+    # 3-limb formats: shard_map compile cost grows with the unrolled
+    # K^2 limb products, so keep the working width minimal here (deep
+    # widths are swept by the unsharded fuzz above)
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import sharded_qgemul_mn
+
+    reseed("shard_mn_limb", 0)
+    fa = qformat(40, 28)       # 69-bit: 3 limbs
+    fb = qformat(8, 8)
+    out = qformat(50, 30, True, RoundMode.RND_CONV,
+                  OverflowMode.SAT_TCPL)    # 81-bit: 3 limbs
+    m, k, n = 4, 6, 8
+    A = rand_raws(fa, m * k).reshape(m, k)
+    B = rand_raws(fb, k * n).reshape(k, n)
+    ta, tb = from_raw(A, fa), from_raw(B, fb)
+    mul_to = qformat(48, 40)   # 89-bit product format
+    got = sharded_qgemul_mn(ta, tb, out, mesh, mul_to=mul_to)
+    ref = qgemul(ta, tb, out, mul_to=mul_to)
+    assert got.fmt == ref.fmt
+    g = np.asarray(got.raw(), dtype=object)
+    w = np.asarray(ref.raw(), dtype=object)
+    assert [int(v) for v in g.reshape(-1)] == [int(v) for v in w.reshape(-1)]
+
+
+def test_sharded_dp_gemm_limb_operands():
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import sharded_qgemul_dp
+
+    reseed("shard_dp_limb", 0)
+    fa = qformat(40, 30)       # 71-bit: 3-limb operand
+    fb = qformat(8, 8)
+    out = qformat(50, 20)      # 71-bit: 3-limb output
+    batch, m, k, n = 8, 2, 3, 4
+    A = rand_raws(fa, batch * m * k).reshape(batch, m, k)
+    B = rand_raws(fb, k * n).reshape(k, n)
+    ta, tb = from_raw(A, fa), from_raw(B, fb)
+    got = sharded_qgemul_dp(ta, tb, out, mesh)
+    ref = qgemul(ta, tb, out)
+    g = np.asarray(got.raw(), dtype=object)
+    w = np.asarray(ref.raw(), dtype=object)
+    assert g.shape == w.shape == (batch, m, n)
+    assert [int(v) for v in g.reshape(-1)] == [int(v) for v in w.reshape(-1)]
+
+
+def test_sharded_mn_gemm_host_route_raises():
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import sharded_qgemul_mn
+
+    fa = qformat(200, 55)      # 256-bit storage: limb, but products blow
+    fb = qformat(200, 50)      # past the 1024-bit working envelope -> host
+    A = from_raw(np.ones((4, 4), dtype=object), fa)
+    B = from_raw(np.ones((4, 8), dtype=object), fb)
+    with pytest.raises(ValueError):
+        sharded_qgemul_mn(A, B, qformat(200, 55), mesh,
+                          mul_to=qformat(250, 100))
+
+
+def test_shard_qgemul_auto_wide_picks_mn():
+    """Auto strategy must not route wide (non-int32) configs to K."""
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import shard_qgemul
+
+    reseed("shard_auto_wide", 0)
+    fa = qformat(40, 30)       # 3-limb operand
+    fb = qformat(8, 8)
+    out = qformat(50, 30)      # 3-limb output
+    A = from_raw(rand_raws(fa, 4 * 8).reshape(4, 8), fa)
+    B = from_raw(rand_raws(fb, 8 * 4).reshape(8, 4), fb)
+    got = shard_qgemul(A, B, out, mesh, mul_to=qformat(48, 40))
+    ref = qgemul(A, B, out, mul_to=qformat(48, 40))
+    g = np.asarray(got.raw(), dtype=object)
+    w = np.asarray(ref.raw(), dtype=object)
+    assert [int(v) for v in g.reshape(-1)] == [int(v) for v in w.reshape(-1)]
