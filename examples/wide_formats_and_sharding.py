@@ -5,7 +5,10 @@ territory, QuBLAS.h:566-912) end-to-end:
 
 1. 33–64-bit formats live ON DEVICE as (hi, lo) 32-bit limb pairs — the
    elementwise pipeline, reductions and GEMMs run there bit-exactly.
-2. 65–200-bit formats run on the compiled 512-bit multiword host engine.
+2. 65–256-bit formats ALSO live on device, as stacked uint32 N-limb
+   storage (ops/limbint.py); only >256-bit formats (and fill(int)-wart
+   raws beyond the storage word) fall back to exact host ints, served by
+   the compiled 512-bit multiword engine where its envelope fits.
 3. The same programs shard over a `jax.sharding.Mesh` (run with
    XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu
    to see the virtual 8-device mesh).
@@ -39,13 +42,14 @@ def main():
     r = q.qreduce(y, (QFormat(44, 10),), axis=1)  # wide tree reduce
     print("wide qreduce:", r.to_double())
 
-    # -- 2. 141-bit formats: compiled multiword host engine --------------
+    # -- 2. 141-bit formats: device-resident stacked N-limb storage ------
     wide = QFormat(100, 40)
     a = q.from_raw(np.array([(1 << 90) + 12345, -(1 << 95)], dtype=object),
                    wide)
+    print(f"\n141-bit tensor: is_limb={a.is_limb} (device N-limb storage)")
     b = q.from_float([2.0, 0.5], q.qformat(3, 4))
     p = q.qmul(a, b, to=QFormat(110, 40))
-    print(f"\n141-bit qmul (compiled multiword): {p.raw()}")
+    print(f"141-bit qmul (device limb lanes): {p.raw()}")
 
     # -- 3. sharded execution over a mesh --------------------------------
     n_dev = len(jax.devices())

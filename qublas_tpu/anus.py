@@ -144,8 +144,9 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
         result = branches[-1].data
         for s, br in zip(reversed(segments[:-1]), reversed(branches[:-1])):
             thr = _raw_threshold(s.breakpoint, x.fmt.frac_bits)
-            thr = max(min(thr, 2**63 - 1), -(2**63))
-            tp = W.pair_const(thr, shape=x.data.hi.shape)
+            if thr < -(2**63):
+                continue  # breakpoint below every storable x: never taken
+            tp = W.pair_const(min(thr, 2**63 - 1), shape=x.data.hi.shape)
             take = W.pair_lt(xp, tp) | W.pair_eq(xp, tp)  # x <= thr
             result = W.PairArray(jnp.where(take, br.data.hi, result.hi),
                                  jnp.where(take, br.data.lo, result.lo))
@@ -161,7 +162,9 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
         for s, br in zip(reversed(segments[:-1]), reversed(branches[:-1])):
             thr = _raw_threshold(s.breakpoint, x.fmt.frac_bits)
             word = 1 << (32 * K - 1)
-            tl = L.lconst(max(min(thr, word - 1), -word), K, x.shape)
+            if thr < -word:
+                continue  # breakpoint below every storable x: never taken
+            tl = L.lconst(min(thr, word - 1), K, x.shape)
             take = L.llt(xl, tl) | L.leq(xl, tl)  # x <= thr
             result = L.lselect(take, br.data.limbs, result)
         from .ops.limbint import LimbArray
@@ -172,8 +175,9 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
     # walk breakpoints from the last-but-one down, selecting earlier segments
     for s, br in zip(reversed(segments[:-1]), reversed(branches[:-1])):
         thr = _raw_threshold(s.breakpoint, x.fmt.frac_bits)
-        take = x.data.astype(jnp.int32) <= jnp.int32(
-            max(min(thr, 2**31 - 1), -(2**31)))
+        if thr < -(2**31):
+            continue  # breakpoint below every storable x: never taken
+        take = x.data.astype(jnp.int32) <= jnp.int32(min(thr, 2**31 - 1))
         result = jnp.where(take, br.data, result)
     return QTensor(result, x.fmt)
 

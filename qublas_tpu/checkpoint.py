@@ -80,7 +80,8 @@ def _decode(spec, arrays: dict):
         data = arrays[spec["__qt__"]]
         if spec["wide"]:
             if spec.get("enc") == "dec":
-                raws = [int(s) for s in bytes(data).decode().split(",")]
+                txt = bytes(data).decode()
+                raws = [int(s) for s in txt.split(",")] if txt else []
                 return from_raw(np.array(raws, dtype=object).reshape(
                     tuple(spec["shape"])), fmt)
             # legacy (round-1) checkpoints: BitStream-encoded

@@ -241,6 +241,20 @@ def qdiv(a, b, to=None, full_prec: bool = False) -> QTensor:
     return _finish(raw, out)
 
 
+def _neg_storable(out: QFormat, bits: int) -> bool:
+    """The exact (unwrapped) negation must fit ``out``'s physical device
+    storage word — the oracle never wraps (hostops.qabs/qneg return the
+    widened raw as-is), so a store that would truncate at the word (e.g.
+    WRP_TCPL_SAT word-minimum raws, whose negation needs one bit more than
+    the word) must route to host instead."""
+    kind = storage_kind(out)
+    if kind == "lane":
+        return bits <= 32
+    if kind == "pair":
+        return bits <= 64
+    return bits <= 32 * limb_count(out)
+
+
 def qabs(a: QTensor) -> QTensor:
     """Absolute value (QuBLAS.h:3273-3300): unsigned is identity; signed
     widens int_bits by one, no requantization."""
@@ -251,7 +265,8 @@ def qabs(a: QTensor) -> QTensor:
     iv = fmt_interval(a.fmt)
     neg_iv = Interval(-iv.hi, -iv.lo)
     if a.is_host or storage_kind(out) is None or \
-            max(iv.bits, neg_iv.bits) > LIMB_INTER_MAX_BITS:
+            max(iv.bits, neg_iv.bits) > LIMB_INTER_MAX_BITS or \
+            not _neg_storable(out, max(iv.bits, neg_iv.bits)):
         return _host_unary(hostops.qabs, a)
     if iv.fits32 and neg_iv.fits32 and storage_kind(out) == "lane" \
             and not _is_pair(a) and not _is_limb(a):
@@ -280,7 +295,8 @@ def qneg(a: QTensor) -> QTensor:
     iv = fmt_interval(a.fmt)
     neg_iv = Interval(-iv.hi, -iv.lo)
     if a.is_host or storage_kind(out) is None or \
-            max(iv.bits, neg_iv.bits) > LIMB_INTER_MAX_BITS:
+            max(iv.bits, neg_iv.bits) > LIMB_INTER_MAX_BITS or \
+            not _neg_storable(out, max(iv.bits, neg_iv.bits)):
         return _host_unary(hostops.qneg, a)
     if iv.fits32 and neg_iv.fits32 and storage_kind(out) == "lane" \
             and not _is_pair(a) and not _is_limb(a):

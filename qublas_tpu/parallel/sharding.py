@@ -91,11 +91,20 @@ def make_mesh(dp: int = 1, tp: Optional[int] = None,
 
 def _check_traceable(pa: QTensor, pb: QTensor, out_fmt, mul_to, add_formats,
                      kw, who: str) -> None:
-    """Trace-time probe on 1-element slices: wide (pair/limb) configs whose
-    routes fall off the device (host Python-int paths) cannot run inside
-    shard_map — fail with a clean error instead of a tracer crash.  Lane
-    configs skip the probe (their routes never go host)."""
-    if not (pa.is_pair or pb.is_pair or pa.is_limb or pb.is_limb):
+    """Trace-time probe on 1-element slices: configs whose routes fall off
+    the device (host Python-int paths) cannot run inside shard_map — fail
+    with a clean error instead of a tracer crash.  The probe is skipped
+    only for all-lane configs (lane operands AND every explicit format
+    lane-stored): their products/sums fit the pair/limb working envelope,
+    so those routes never go host.  A wide ``mul_to``/``out_fmt``/
+    ``add_formats`` entry CAN push a lane-operand GEMM onto the host route,
+    so any non-lane format forces the probe too."""
+    from ..ops.widths import storage_kind
+
+    fmts = [out_fmt] + ([mul_to] if mul_to is not None else []) \
+        + list(add_formats)
+    if not (pa.is_pair or pb.is_pair or pa.is_limb or pb.is_limb
+            or any(storage_kind(f) != "lane" for f in fmts)):
         return
     try:
         jax.eval_shape(

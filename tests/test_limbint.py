@@ -173,11 +173,12 @@ def test_limb_formats_are_device_resident():
     for trial in range(20):
         reseed("resident", trial)
         fa = rand_limb_fmt()
-        t = from_raw(rand_raws(fa, 8), fa)
+        raws = rand_raws(fa, 8)
+        t = from_raw(raws, fa)
         assert t.is_limb and not t.is_host, fa
         # raws round-trip bit-for-bit through the device storage
         back = [int(v) for v in np.asarray(t.raw(), dtype=object).reshape(-1)]
-        assert back == [int(v) for v in rand_raws(fa, 0)] or True
+        assert back == [int(v) for v in raws], fa
     # >256-bit storage falls back to host object arrays
     f = qformat(250, 60)
     t = from_raw(np.array([1, -2], dtype=object), f)

@@ -150,10 +150,7 @@ def test_split_route_rejected_for_pair_stored_operands():
     two-limb storage that can't load into one lane) — big-fuzz regression."""
     from qublas_tpu.ops.widths import route_mul
 
-    fa = QFormat(-3, 7, True, None, OverflowMode.SAT_ZERO)
     fa = qformat(-3, 7, overflow_mode=OverflowMode.SAT_ZERO)
-    from qublas_tpu.qformat import RoundMode
-
     fb = QFormat(11, 23, False, RoundMode.RND_CONV, OverflowMode.WRP_TCPL)
     out = QFormat(9, 21, True, RoundMode.TRN_TCPL, OverflowMode.SAT_TCPL)
     route, _, _ = route_mul(fa, fb, out)
@@ -190,8 +187,6 @@ def test_trn_smgn_int32_min_boundary():
 
 
 def test_qabs_qneg_int32_min_boundary():
-    from qublas_tpu.qformat import RoundMode
-
     f32 = QFormat(20, 11, True, RoundMode.TRN_TCPL, OverflowMode.SAT_TCPL)
     vals = [-(1 << 31), (1 << 31) - 1, 5, -5, 0]
     x = from_raw(vals, f32)
@@ -201,3 +196,100 @@ def test_qabs_qneg_int32_min_boundary():
                          np.asarray(ng.raw(), dtype=object).reshape(-1)):
         assert int(ga) == hostops.qabs((v, f32))[0]
         assert int(gn) == hostops.qneg((v, f32))[0]
+
+
+# ---------------------------------------------------------------------------
+# Round-2 follow-up review findings
+# ---------------------------------------------------------------------------
+
+def test_qapprox_below_range_breakpoint_never_selects():
+    """A breakpoint below every storable raw must select NOTHING — the old
+    clamp-to-word-minimum made elements at exactly raw-min take the dead
+    segment (device select flipped vs the host oracle)."""
+    # limb storage (128-bit): raw-min element at the word boundary
+    f = qformat(87, 40)
+    x = from_raw(np.array([-(1 << 127), 0], dtype=object), f)
+    assert x.is_limb
+    segs = [anus.Segment(-1e60, [scalar(1.0, f)]),
+            anus.Segment(1e60, [scalar(2.0, f)])]
+    dev = anus.qapprox(x, segs)
+    host = anus.qapprox(from_raw(np.array([-(1 << 127), 0], dtype=object),
+                                 qformat(300, 40)), segs)
+    assert [int(v) for v in np.asarray(dev.raw(), dtype=object)] == \
+        [int(v) for v in np.asarray(host.raw(), dtype=object)]
+    # pair storage (64-bit word)
+    f2 = QFormat(30, 9)  # 40-bit storage -> pair
+    x2 = from_raw(np.array([-(1 << 39), 3], dtype=object), f2)
+    assert x2.is_pair
+    segs2 = [anus.Segment(-1e30, [scalar(1.0, f2)]),
+             anus.Segment(1e30, [scalar(2.0, f2)])]
+    dev2 = anus.qapprox(x2, segs2)
+    host2 = anus.qapprox(from_raw(np.array([-(1 << 39), 3], dtype=object),
+                                  qformat(300, 9)), segs2)
+    assert [int(v) for v in np.asarray(dev2.raw(), dtype=object)] == \
+        [int(v) for v in np.asarray(host2.raw(), dtype=object)]
+    # i32 lane storage
+    f3 = qformat(10, 8)
+    x3 = from_raw(np.array([-(1 << 18), 5], dtype=object), f3)
+    segs3 = [anus.Segment(-1e12, [scalar(1.0, f3)]),
+             anus.Segment(1e12, [scalar(2.0, f3)])]
+    dev3 = anus.qapprox(x3, segs3)
+    host3 = anus.qapprox(from_raw(np.array([-(1 << 18), 5], dtype=object),
+                                  qformat(300, 8)), segs3)
+    assert [int(v) for v in np.asarray(dev3.raw(), dtype=object)] == \
+        [int(v) for v in np.asarray(host3.raw(), dtype=object)]
+
+
+def test_checkpoint_empty_wide_tensor_round_trips(tmp_path):
+    from qublas_tpu import checkpoint
+
+    p = str(tmp_path / "empty.npz")
+    t = from_raw(np.array([], dtype=object).reshape(0,), qformat(60, 40))
+    checkpoint.save(p, {"w": t, "x": from_raw(np.array([], dtype=object)
+                                              .reshape(2, 0), qformat(200, 9))})
+    r = checkpoint.load(p)
+    assert r["w"].shape == (0,) and r["w"].fmt == t.fmt
+    assert r["x"].shape == (2, 0)
+
+
+def test_qabs_qneg_word_minimum_routes_exact():
+    """Negating a storage-word-minimum raw is not representable in the
+    output's device word — the op must route to host and return the exact
+    (unwrapped) oracle value, never a wrapped store."""
+    cases = [
+        # limb WRP_TCPL_SAT: 96-bit storage -> 128-bit word, iv covers it
+        QFormat(55, 40, True, RoundMode.TRN_TCPL, OverflowMode.WRP_TCPL_SAT),
+        # lane WRP_TCPL_SAT: 21-bit storage -> int32 word
+        QFormat(10, 10, True, RoundMode.TRN_TCPL, OverflowMode.WRP_TCPL_SAT),
+        # pair WRP_TCPL_SAT: 40-bit storage -> 64-bit word
+        QFormat(30, 9, True, RoundMode.TRN_TCPL, OverflowMode.WRP_TCPL_SAT),
+    ]
+    words = [128, 32, 64]
+    for f, w in zip(cases, words):
+        vals = [-(1 << (w - 1)), (1 << (w - 1)) - 1, -7, 0]
+        x = from_raw(np.array(vals, dtype=object), f)
+        ab, ng = ew.qabs(x), ew.qneg(x)
+        for v, ga, gn in zip(vals,
+                             np.asarray(ab.raw(), dtype=object).reshape(-1),
+                             np.asarray(ng.raw(), dtype=object).reshape(-1)):
+            assert int(ga) == hostops.qabs((v, f))[0], (f, v)
+            assert int(gn) == hostops.qneg((v, f))[0], (f, v)
+
+
+def test_sharded_mn_lane_operands_wide_mul_to_raises_cleanly():
+    """Lane-stored int8 operands with a host-route mul_to (303-bit product
+    format) must get the clean 'outgrows device lanes' ValueError, not a
+    raw tracer crash inside shard_map."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual mesh")
+    from qublas_tpu.parallel import make_mesh, sharded_qgemul_mn
+
+    mesh = make_mesh(dp=2, tp=4)
+    f8 = qformat(3, 4)
+    A = from_raw(np.zeros((4, 8), dtype=int), f8)
+    B = from_raw(np.zeros((8, 4), dtype=int), f8)
+    with pytest.raises(ValueError, match="outgrows device lanes"):
+        sharded_qgemul_mn(A, B, qformat(3, 4), mesh,
+                          mul_to=QFormat(300, 2))
