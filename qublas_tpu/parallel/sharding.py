@@ -89,6 +89,32 @@ def make_mesh(dp: int = 1, tp: Optional[int] = None,
     return Mesh(devices.reshape(dp, tp), ("dp", "tp"))
 
 
+def _freeze(x):
+    """Recursively hashable view of a config value (lists/dicts -> tuples)."""
+    if isinstance(x, (list, tuple)):
+        return tuple(_freeze(v) for v in x)
+    if isinstance(x, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in x.items()))
+    return x
+
+
+_PROGRAM_CACHE: dict = {}
+
+
+def _cached(key, build):
+    """Memoize jitted shard_map programs by static config.  The entry
+    points below construct their ``block`` closures per call; without this
+    cache every call would re-trace and re-compile the whole sharded
+    program (for 3-limb GEMMs that is minutes of compile per call)."""
+    fn = _PROGRAM_CACHE.get(key)
+    if fn is None:
+        fn = _PROGRAM_CACHE[key] = jax.jit(build())
+    return fn
+
+
+_PROBE_CACHE: dict = {}
+
+
 def _check_traceable(pa: QTensor, pb: QTensor, out_fmt, mul_to, add_formats,
                      kw, who: str) -> None:
     """Trace-time probe on 1-element slices: configs whose routes fall off
@@ -106,17 +132,25 @@ def _check_traceable(pa: QTensor, pb: QTensor, out_fmt, mul_to, add_formats,
     if not (pa.is_pair or pb.is_pair or pa.is_limb or pb.is_limb
             or any(storage_kind(f) != "lane" for f in fmts)):
         return
-    try:
-        jax.eval_shape(
-            lambda ad, bd: qgemul(QTensor(ad, pa.fmt), QTensor(bd, pb.fmt),
-                                  out_fmt, mul_to=mul_to,
-                                  add_formats=add_formats, **kw).data,
-            pa.data, pb.data)
-    except (jax.errors.TracerArrayConversionError,
-            jax.errors.ConcretizationTypeError) as e:
+    key = (pa.fmt, pb.fmt, out_fmt, mul_to, add_formats, _freeze(kw),
+           pa.shape, pb.shape, who)
+    verdict = _PROBE_CACHE.get(key)
+    if verdict is None:
+        try:
+            jax.eval_shape(
+                lambda ad, bd: qgemul(QTensor(ad, pa.fmt),
+                                      QTensor(bd, pb.fmt),
+                                      out_fmt, mul_to=mul_to,
+                                      add_formats=add_formats, **kw).data,
+                pa.data, pb.data)
+            verdict = _PROBE_CACHE[key] = True
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            verdict = _PROBE_CACHE[key] = False
+    if verdict is False:
         raise ValueError(
             f"this GEMM config outgrows device lanes (host route); "
-            f"{who} cannot run it inside shard_map") from e
+            f"{who} cannot run it inside shard_map")
 
 
 def _in_spec(t: QTensor, spec: P) -> P:
@@ -191,16 +225,22 @@ def sharded_qgemul_mn(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                      "sharded_qgemul_mn")
     a = _device_put(a, mesh, P("dp", None))
     b = _device_put(b, mesh, P(None, "tp"))
+    in_a = _in_spec(a, P("dp", None))
+    in_b = _in_spec(b, P(None, "tp"))
+    out_s = _out_spec(out_fmt, P("dp", "tp"))
+    fa, fb = a.fmt, b.fmt
 
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(_in_spec(a, P("dp", None)),
-                       _in_spec(b, P(None, "tp"))),
-             out_specs=_out_spec(out_fmt, P("dp", "tp")))
-    def block(ad, bd):
-        return qgemul(QTensor(ad, a.fmt), QTensor(bd, b.fmt), out_fmt,
-                      mul_to=mul_to, add_formats=add_formats, **kw).data
+    def build():
+        @partial(jax.shard_map, mesh=mesh, in_specs=(in_a, in_b),
+                 out_specs=out_s)
+        def block(ad, bd):
+            return qgemul(QTensor(ad, fa), QTensor(bd, fb), out_fmt,
+                          mul_to=mul_to, add_formats=add_formats, **kw).data
+        return block
 
-    return QTensor(block(a.data, b.data), out_fmt)
+    fn = _cached(("mn", fa, fb, out_fmt, mul_to, add_formats, _freeze(kw),
+                  mesh, in_a, in_b, out_s), build)
+    return QTensor(fn(a.data, b.data), out_fmt)
 
 
 # ---------------------------------------------------------------------------
@@ -237,29 +277,34 @@ def sharded_qgemul_k(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
     a = _device_put(a, mesh, P(None, "tp"))
     b = _device_put(b, mesh, P("tp", None))
     out_dtype = dtype_for(out_fmt)
+    prod_frac = plan.prod_frac
 
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(None, "tp"), P("tp", None)),
-             out_specs=P(None, "tp") if reduce_scatter else P(None, None))
-    def block(ad, bd):
-        x = ad if ad.dtype == jnp.int8 else ad.astype(jnp.int32)
-        y = bd if bd.dtype == jnp.int8 else bd.astype(jnp.int32)
-        partial_dot = jnp.matmul(x, y, preferred_element_type=jnp.int32)
-        if reduce_scatter:
-            dot = jax.lax.psum_scatter(partial_dot, "tp", scatter_dimension=1,
-                                       tiled=True)
-        else:
-            dot = jax.lax.psum(partial_dot, "tp")
-        raw = W.requantize_i32(dot, plan.prod_frac, out_fmt)
-        raw = raw.astype(out_dtype)
-        if epilogue_lut is not None:
-            # ANUS ROM fused after the collective: each chip maps its own
-            # output tile, so the LUT rides every K strategy
-            raw = epilogue_lut(QTensor(raw, out_fmt)).data
-        return raw
+    def build():
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(None, "tp"), P("tp", None)),
+                 out_specs=P(None, "tp") if reduce_scatter else P(None, None))
+        def block(ad, bd):
+            x = ad if ad.dtype == jnp.int8 else ad.astype(jnp.int32)
+            y = bd if bd.dtype == jnp.int8 else bd.astype(jnp.int32)
+            partial_dot = jnp.matmul(x, y, preferred_element_type=jnp.int32)
+            if reduce_scatter:
+                dot = jax.lax.psum_scatter(partial_dot, "tp",
+                                           scatter_dimension=1, tiled=True)
+            else:
+                dot = jax.lax.psum(partial_dot, "tp")
+            raw = W.requantize_i32(dot, prod_frac, out_fmt)
+            raw = raw.astype(out_dtype)
+            if epilogue_lut is not None:
+                # ANUS ROM fused after the collective: each chip maps its
+                # own output tile, so the LUT rides every K strategy
+                raw = epilogue_lut(QTensor(raw, out_fmt)).data
+            return raw
+        return block
 
+    fn = _cached(("k", prod_frac, out_fmt, bool(reduce_scatter),
+                  epilogue_lut, mesh), build)
     res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
-    return QTensor(block(a.data, b.data), res_fmt)
+    return QTensor(fn(a.data, b.data), res_fmt)
 
 
 def sharded_qgemul_k_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
@@ -297,29 +342,33 @@ def sharded_qgemul_k_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
     b = _device_put(b, mesh, P("tp", None))
     out_dtype = dtype_for(out_fmt)
     perm = [(j, (j + 1) % tp) for j in range(tp)]
+    prod_frac = plan.prod_frac
 
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(None, "tp"), P("tp", None)),
-             out_specs=P(None, "tp"))
-    def block(ad, bd):
-        x = ad if ad.dtype == jnp.int8 else ad.astype(jnp.int32)
-        y = bd if bd.dtype == jnp.int8 else bd.astype(jnp.int32)
-        idx = jax.lax.axis_index("tp")
-        m_loc = x.shape[0]
-        acc = jnp.zeros((m_loc, bn), dtype=jnp.int32)
-        for i in range(tp):
-            blk = (idx + tp - 1 - i) % tp
-            yb = jax.lax.dynamic_slice_in_dim(y, blk * bn, bn, axis=1)
-            p = jnp.matmul(x, yb, preferred_element_type=jnp.int32)
-            acc = jax.lax.ppermute(acc, "tp", perm) + p
-        raw = W.requantize_i32(acc, plan.prod_frac, out_fmt)
-        raw = raw.astype(out_dtype)
-        if epilogue_lut is not None:
-            raw = epilogue_lut(QTensor(raw, out_fmt)).data
-        return raw
+    def build():
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(None, "tp"), P("tp", None)),
+                 out_specs=P(None, "tp"))
+        def block(ad, bd):
+            x = ad if ad.dtype == jnp.int8 else ad.astype(jnp.int32)
+            y = bd if bd.dtype == jnp.int8 else bd.astype(jnp.int32)
+            idx = jax.lax.axis_index("tp")
+            m_loc = x.shape[0]
+            acc = jnp.zeros((m_loc, bn), dtype=jnp.int32)
+            for i in range(tp):
+                blk = (idx + tp - 1 - i) % tp
+                yb = jax.lax.dynamic_slice_in_dim(y, blk * bn, bn, axis=1)
+                p = jnp.matmul(x, yb, preferred_element_type=jnp.int32)
+                acc = jax.lax.ppermute(acc, "tp", perm) + p
+            raw = W.requantize_i32(acc, prod_frac, out_fmt)
+            raw = raw.astype(out_dtype)
+            if epilogue_lut is not None:
+                raw = epilogue_lut(QTensor(raw, out_fmt)).data
+            return raw
+        return block
 
+    fn = _cached(("kp", prod_frac, out_fmt, epilogue_lut, mesh, bn), build)
     res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
-    return QTensor(block(a.data, b.data), res_fmt)
+    return QTensor(fn(a.data, b.data), res_fmt)
 
 
 # ---------------------------------------------------------------------------
@@ -344,15 +393,21 @@ def sharded_qgemul_dp(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
         P(*([None] * b.ndim))
     a = _device_put(a, mesh, spec_a)
     b = _device_put(b, mesh, spec_b)
+    in_a, in_b = _in_spec(a, spec_a), _in_spec(b, spec_b)
+    out_s = _out_spec(out_fmt, spec_a)
+    fa, fb = a.fmt, b.fmt
 
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(_in_spec(a, spec_a), _in_spec(b, spec_b)),
-             out_specs=_out_spec(out_fmt, spec_a))
-    def block(ad, bd):
-        return qgemul(QTensor(ad, a.fmt), QTensor(bd, b.fmt), out_fmt,
-                      mul_to=mul_to, add_formats=add_formats, **kw).data
+    def build():
+        @partial(jax.shard_map, mesh=mesh, in_specs=(in_a, in_b),
+                 out_specs=out_s)
+        def block(ad, bd):
+            return qgemul(QTensor(ad, fa), QTensor(bd, fb), out_fmt,
+                          mul_to=mul_to, add_formats=add_formats, **kw).data
+        return block
 
-    return QTensor(block(a.data, b.data), out_fmt)
+    fn = _cached(("dp", fa, fb, out_fmt, mul_to, add_formats, _freeze(kw),
+                  mesh, in_a, in_b, out_s), build)
+    return QTensor(fn(a.data, b.data), out_fmt)
 
 
 # ---------------------------------------------------------------------------
@@ -418,17 +473,22 @@ def sharded_cgemul_mn(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     br = jax.device_put(b.real.data, NamedSharding(mesh, P(None, "tp")))
     bi = jax.device_put(b.imag.data, NamedSharding(mesh, P(None, "tp")))
 
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P("dp", None), P("dp", None),
-                       P(None, "tp"), P(None, "tp")),
-             out_specs=(P("dp", "tp"), P("dp", "tp")))
-    def block(ard, aid, brd, bid):
-        c = cgemul(QComplexTensor(QTensor(ard, far), QTensor(aid, fai)),
-                   QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi)),
-                   out_fmt, algo=algo, add_formats=add_formats, **mul_tags)
-        return c.real.data, c.imag.data
+    def build():
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P("dp", None), P("dp", None),
+                           P(None, "tp"), P(None, "tp")),
+                 out_specs=(P("dp", "tp"), P("dp", "tp")))
+        def block(ard, aid, brd, bid):
+            c = cgemul(QComplexTensor(QTensor(ard, far), QTensor(aid, fai)),
+                       QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi)),
+                       out_fmt, algo=algo, add_formats=add_formats,
+                       **mul_tags)
+            return c.real.data, c.imag.data
+        return block
 
-    rr, ri = block(ar, ai, br, bi)
+    fn = _cached(("cmn", far, fai, fbr, fbi, _freeze(out_fmt), algo,
+                  _freeze(add_formats), _freeze(mul_tags), mesh), build)
+    rr, ri = fn(ar, ai, br, bi)
     from ..ops.cgemm import _part_formats
 
     orf, oif = _part_formats(out_fmt)
@@ -473,21 +533,26 @@ def sharded_cgemul_k(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     br = jax.device_put(b.real.data, NamedSharding(mesh, P("tp", None)))
     bi = jax.device_put(b.imag.data, NamedSharding(mesh, P("tp", None)))
 
-    @partial(jax.shard_map, mesh=mesh,
-             in_specs=(P(None, "tp"), P(None, "tp"),
-                       P("tp", None), P("tp", None)),
-             out_specs=(P(None, None), P(None, None)))
-    def block(ard, aid, brd, bid):
-        la = QComplexTensor(QTensor(ard, far), QTensor(aid, fai))
-        lb = QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi))
-        c = _fast_cgemul(la, lb, orf, oif, algo, r_layers, i_layers,
-                         mul_tags,
-                         dot_reduce=lambda d: jax.lax.psum(d, "tp"),
-                         k_total=k)
-        # probe above proved the plan; local slices share the same formats
-        return c.real.data, c.imag.data
+    def build():
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(None, "tp"), P(None, "tp"),
+                           P("tp", None), P("tp", None)),
+                 out_specs=(P(None, None), P(None, None)))
+        def block(ard, aid, brd, bid):
+            la = QComplexTensor(QTensor(ard, far), QTensor(aid, fai))
+            lb = QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi))
+            c = _fast_cgemul(la, lb, orf, oif, algo, r_layers, i_layers,
+                             mul_tags,
+                             dot_reduce=lambda d: jax.lax.psum(d, "tp"),
+                             k_total=k)
+            # probe above proved the plan; local slices share the formats
+            return c.real.data, c.imag.data
+        return block
 
-    rr, ri = block(ar, ai, br, bi)
+    fn = _cached(("ck", far, fai, fbr, fbi, orf, oif, algo,
+                  _freeze(r_layers), _freeze(i_layers), _freeze(mul_tags),
+                  mesh, k), build)
+    rr, ri = fn(ar, ai, br, bi)
     return QComplexTensor(QTensor(rr, probe.real.fmt),
                           QTensor(ri, probe.imag.fmt))
 
@@ -535,13 +600,19 @@ def sharded_qreduce(x: QTensor, layer_formats=(), axis: int = -1,
     out_spec = P(None, *out_rank_spec) if probe.is_limb \
         else P(*out_rank_spec)
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(in_spec,),
-             out_specs=out_spec)
-    def block(data):
-        return qreduce(QTensor(data, x.fmt), layer_formats,
-                       axis=red_axis).data
+    fmt = x.fmt
 
-    return QTensor(block(xd), out_fmt)
+    def build():
+        @partial(jax.shard_map, mesh=mesh, in_specs=(in_spec,),
+                 out_specs=out_spec)
+        def block(data):
+            return qreduce(QTensor(data, fmt), layer_formats,
+                           axis=red_axis).data
+        return block
+
+    fn = _cached(("qr", fmt, _freeze(layer_formats), red_axis, in_spec,
+                  out_spec, mesh), build)
+    return QTensor(fn(xd), out_fmt)
 
 
 def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTensor:
@@ -573,13 +644,17 @@ def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTenso
     out_dtype = dtype_for(final_fmt)
 
     xd = jax.device_put(x.data, NamedSharding(mesh, P("tp")))
+    frac = x.fmt.frac_bits
 
-    @partial(jax.shard_map, mesh=mesh, in_specs=(P("tp"),),
-             out_specs=P())
-    def block(data):
-        s = jnp.sum(data.astype(jnp.int32), keepdims=True)
-        tot = jax.lax.psum(s, "tp")
-        raw = W.requantize_i32(tot, x.fmt.frac_bits, final_fmt)
-        return raw.astype(out_dtype)
+    def build():
+        @partial(jax.shard_map, mesh=mesh, in_specs=(P("tp"),),
+                 out_specs=P())
+        def block(data):
+            s = jnp.sum(data.astype(jnp.int32), keepdims=True)
+            tot = jax.lax.psum(s, "tp")
+            raw = W.requantize_i32(tot, frac, final_fmt)
+            return raw.astype(out_dtype)
+        return block
 
-    return QTensor(block(xd)[0], final_fmt)
+    fn = _cached(("qrk", frac, final_fmt, mesh), build)
+    return QTensor(fn(xd)[0], final_fmt)
