@@ -358,9 +358,70 @@ def bench_limb():
     }))
 
 
+def bench_wide_gemm():
+    """Streaming wide GEMM (binary-carry over k-chunks): pair-storage
+    operands on device.  value = G products/s of the streaming path at
+    1024^3 (whose layered [m,k,n] pair materialization would need ~17 GB
+    and cannot fit HBM); vs_baseline = streaming/layered speed ratio at
+    512^3 where both fit."""
+    from qublas_tpu.ops import gemm as G
+    from qublas_tpu.ops.wideint import PairArray
+    from qublas_tpu.qtensor import QTensor, from_raw
+
+    f40 = qformat(30, 9)  # 40-bit storage: pair lanes; out = same (saturating
+    # tree -> order-sensitive, so the MXU fast path cannot take it)
+    rng = np.random.RandomState(0)
+
+    def mk(m, k):
+        raws = rng.randint(-(1 << 39), 1 << 39, size=m * k, dtype=np.int64)
+        return from_raw(raws.astype(object).reshape(m, k), f40)
+
+    RG = 4
+
+    def build(sz, min_elems):
+        a, b = mk(sz, sz), mk(sz, sz)
+        saved = G._STREAM_MIN_ELEMS
+        G._STREAM_MIN_ELEMS = min_elems
+
+        @jax.jit
+        def f(ah, al, bh, bl):
+            bq = QTensor(PairArray(bh, bl), f40)
+
+            def body(i, c):
+                x = QTensor(PairArray(c[0], c[1]), f40)
+                r = G.qgemul(x, bq, f40)
+                return (r.data.hi, r.data.lo)
+            return jax.lax.fori_loop(0, RG, body, (a.data.hi, a.data.lo))
+
+        def run():
+            hi, lo = f(a.data.hi, a.data.lo, b.data.hi, b.data.lo)
+            np.asarray(lo[:8, :128])  # warm-up + sync
+            t0 = time.perf_counter()
+            hi, lo = f(a.data.hi, a.data.lo, b.data.hi, b.data.lo)
+            np.asarray(lo[:8, :128])
+            return (time.perf_counter() - t0) / RG
+
+        try:
+            return run()
+        finally:
+            G._STREAM_MIN_ELEMS = saved
+
+    cmp_sz = 512
+    t_stream = build(cmp_sz, 0)
+    t_layer = build(cmp_sz, 1 << 60)
+    big = 1024
+    t_big = build(big, 0)
+    print(json.dumps({
+        "metric": "wide_gemm_stream_gprod",
+        "value": round(big ** 3 / t_big / 1e9, 2),
+        "unit": "Gprod/s",
+        "vs_baseline": round(t_layer / t_stream, 2),  # vs layered at 512^3
+    }))
+
+
 EXTRA = {"tree": bench_tree_gemm, "reduce": bench_reduce,
          "lut": bench_lut_gemm, "cgemm": bench_cgemm, "wide": bench_wide,
-         "limb": bench_limb}
+         "limb": bench_limb, "wide-gemm": bench_wide_gemm}
 
 
 def main():

@@ -27,7 +27,11 @@ proof (trace time, free at runtime):
   result is association-order-sensitive; we replicate the exact balanced-tree
   pairing incl. the odd-tail converting assignment (QuBLAS.h:4977-4980) as a
   log-depth vectorized program: quantized outer products ``[..., m, k, n]``
-  reduced over ``k`` by :func:`qublas_tpu.ops.reduce.qreduce`.
+  reduced over ``k`` by :func:`qublas_tpu.ops.reduce.qreduce`.  Wide
+  (pair/limb) configs at scale use :func:`_stream_gemm_wide` instead — the
+  same tree as a binary-carry stream of k-chunks, peak memory
+  ``[.., m, chunk, n]``, which admits shapes whose full product tensor
+  cannot fit HBM.
 
 Formats too wide for device lanes fall back to the exact host golden model.
 """
@@ -243,6 +247,15 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
             raw = tree_gemm.tree_gemm_scan(a.data, b.data, tplan, out_fmt)
         return QTensor(raw, out_fmt)
 
+    # streaming wide path: binary-carry over k-chunks at the QTensor level
+    # (pair/limb values) — peak memory [.., m, chunk, n] instead of the
+    # layered [.., m, k, n], which enables large wide GEMMs that cannot
+    # materialize the full product tensor in HBM
+    res = _stream_gemm_wide(a, b, out_fmt, mul_to, add_formats,
+                            mul_full_prec)
+    if res is not None:
+        return res
+
     # layered fallback: materialized quantized products + explicit tree
     prod = ew.qmul(QTensor(a.data[..., :, :, None], a.fmt),
                    QTensor(b.data[..., None, :, :], b.fmt),
@@ -251,6 +264,84 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
         return _host_gemm(a, b, out_fmt, mul_to, add_formats, mul_full_prec)
     acc = qreduce(prod, add_formats, axis=-2)
     return ew.qcast(acc, out_fmt)
+
+
+# ---------------------------------------------------------------------------
+# Streaming wide GEMM (binary-carry over k-chunks, QTensor values)
+# ---------------------------------------------------------------------------
+
+# stream only when the layered [.., m, k, n] materialization would be large
+# enough to matter (HBM pressure / log-k full-tensor passes); small eager
+# cases stay layered (fewer dispatches).  Tests lower this to force the path.
+_STREAM_MIN_ELEMS = 1 << 22
+_STREAM_CHUNK = 64
+_STREAM_MAX_CHUNKS = 512
+
+
+def _stream_gemm_wide(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to,
+                      add_formats, mul_full_prec) -> Optional[QTensor]:
+    """Evaluate the order-sensitive tree GEMM as a stream of k-chunks.
+
+    Same binary-counter schedule as :mod:`.tree_gemm` (each merge combines
+    two adjacent complete subtrees, so the add sequence is exactly the
+    reference's balanced-tree pairing, QuBLAS.h:4960-4990), but the values
+    are whole :class:`QTensor`\\ s — the elementwise ops route each merge to
+    the right storage (lane / 64-bit pair / N-limb), so this is the
+    production path for wide formats.  Each chunk's products materialize at
+    ``[.., m, chunk, n]`` and fold through the chunk's complete subtree via
+    :func:`qreduce` (layers ``0..log2(chunk)-1``); chunk results then merge
+    at layers ``log2(chunk)+j`` with the same ``TypeAt`` layer formats.
+
+    Returns None when streaming is not applicable/profitable (k has no
+    power-of-two factor >= 8, a single chunk covers k, or the product
+    tensor is small enough that the layered path is cheaper to dispatch).
+    """
+    from .tree_gemm import drain_ops
+
+    k = a.shape[-1]
+    chunk = min(k & -k, _STREAM_CHUNK)
+    nchunks = k // chunk
+    m = a.shape[-2]
+    n = b.shape[-1]
+    if chunk < 8 or nchunks < 2 or nchunks > _STREAM_MAX_CHUNKS \
+            or m * k * n < _STREAM_MIN_ELEMS:
+        return None
+    in_levels = chunk.bit_length() - 1
+
+    def products(t):
+        lo = t * chunk
+        ca = QTensor(a.data[..., :, lo:lo + chunk, None], a.fmt)
+        rb = QTensor(b.data[..., None, lo:lo + chunk, :], b.fmt)
+        return ew.qmul(ca, rb, to=mul_to, full_prec=mul_full_prec)
+
+    def merge_fmt(carry_fmt: QFormat, j: int):
+        lf = layer_format(add_formats, in_levels + j)
+        return lf if lf is not None else add_merge(carry_fmt, carry_fmt)
+
+    slots = {}
+    for t in range(nchunks):
+        prod = products(t)
+        if prod.is_host:
+            return _host_gemm(a, b, out_fmt, mul_to, add_formats,
+                              mul_full_prec)
+        v = qreduce(prod, add_formats, axis=-2)   # chunk's complete subtree
+        j = 0
+        while t & (1 << j):
+            left = slots.pop(j)
+            v = ew.qadd(left, v, to=layer_format(add_formats, in_levels + j))
+            j += 1
+        slots[j] = v
+
+    carry = None
+    for op, l in drain_ops(nchunks, max(nchunks.bit_length(), 1)):
+        if op == "seed":
+            carry = slots[l]
+        elif op == "convert":
+            carry = ew.qcast(carry, merge_fmt(carry.fmt, l))
+        else:  # add: slot l is the earlier (left) subtree
+            carry = ew.qadd(slots[l], carry,
+                            to=layer_format(add_formats, in_levels + l))
+    return ew.qcast(carry, out_fmt)
 
 
 def qgemv(a: QTensor, x: QTensor, out_fmt: QFormat, mul_to=None,

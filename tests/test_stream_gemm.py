@@ -1,0 +1,151 @@
+"""Streaming wide GEMM (binary-carry over k-chunks at the QTensor level).
+
+The streaming path must be bit-identical to the layered fallback (which is
+pinned to the host golden model elsewhere) for every chunk-count pattern:
+the binary-carry merge order equals the reference's balanced-tree pairing
+(QuBLAS.h:4960-4990) including the ragged drain edge.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import jax
+
+from qublas_tpu import from_raw, hostops, qformat
+from qublas_tpu.ops import gemm
+from qublas_tpu.qformat import OverflowMode, QFormat, RoundMode
+from qublas_tpu.qtensor import QTensor
+
+
+def rand_raws(fmt, n, seed):
+    rng = random.Random(f"{seed}:{fmt.storage_bits}:{n}")
+    lo = -(1 << (fmt.storage_bits - 1))
+    hi = (1 << (fmt.storage_bits - 1)) - 1
+    return np.array([rng.randint(lo, hi) for _ in range(n)], dtype=object)
+
+
+@pytest.fixture
+def force_stream(monkeypatch):
+    monkeypatch.setattr(gemm, "_STREAM_MIN_ELEMS", 0)
+
+
+def _layered(ta, tb, out, **kw):
+    """The layered fallback result (streaming disabled)."""
+    saved = gemm._STREAM_MIN_ELEMS
+    gemm._STREAM_MIN_ELEMS = 1 << 60
+    try:
+        return gemm.qgemul(ta, tb, out, **kw)
+    finally:
+        gemm._STREAM_MIN_ELEMS = saved
+
+
+def _assert_same(got, ref):
+    assert got.fmt == ref.fmt
+    g = np.asarray(got.raw(), dtype=object)
+    w = np.asarray(ref.raw(), dtype=object)
+    assert g.shape == w.shape
+    assert [int(v) for v in g.reshape(-1)] == [int(v) for v in w.reshape(-1)]
+
+
+# k values covering distinct chunk/drain patterns: 48 = 16*3 (drain add),
+# 40 = 8*101b (seed+convert+add), 56 = 8*7 (all-add drain), 128 = 64*2
+@pytest.mark.parametrize("k", [48, 40, 56, 128])
+def test_stream_pair_matches_layered(force_stream, k):
+    fa = qformat(30, 9)           # 40-bit storage: pair
+    fb = qformat(8, 8)
+    out = QFormat(30, 9, True, RoundMode.RND_CONV, OverflowMode.SAT_TCPL)
+    m, n = 3, 4
+    ta = from_raw(rand_raws(fa, m * k, 1).reshape(m, k), fa)
+    tb = from_raw(rand_raws(fb, k * n, 2).reshape(k, n), fb)
+    assert ta.is_pair
+    kw = dict(mul_to=qformat(38, 17), add_formats=(qformat(34, 12),))
+    got = gemm.qgemul(ta, tb, out, **kw)
+    _assert_same(got, _layered(ta, tb, out, **kw))
+
+
+def test_stream_pair_default_merger(force_stream):
+    fa = fb = qformat(30, 9)
+    out = qformat(33, 9)
+    m, k, n = 3, 40, 4
+    ta = from_raw(rand_raws(fa, m * k, 3).reshape(m, k), fa)
+    tb = from_raw(rand_raws(fb, k * n, 4).reshape(k, n), fb)
+    got = gemm.qgemul(ta, tb, out)
+    _assert_same(got, _layered(ta, tb, out))
+
+
+def test_stream_limb_matches_layered(force_stream):
+    fa = qformat(40, 28)          # 69-bit storage: limb
+    fb = qformat(8, 8)
+    out = QFormat(50, 30, True, RoundMode.RND_CONV, OverflowMode.SAT_TCPL)
+    m, k, n = 2, 48, 3
+    ta = from_raw(rand_raws(fa, m * k, 5).reshape(m, k), fa)
+    tb = from_raw(rand_raws(fb, k * n, 6).reshape(k, n), fb)
+    assert ta.is_limb
+    kw = dict(mul_to=qformat(48, 40))
+    got = gemm.qgemul(ta, tb, out, **kw)
+    _assert_same(got, _layered(ta, tb, out, **kw))
+
+
+def test_stream_batched(force_stream):
+    fa = fb = qformat(30, 9)
+    out = qformat(33, 9)
+    b, m, k, n = 2, 2, 40, 3
+    ta = from_raw(rand_raws(fa, b * m * k, 7).reshape(b, m, k), fa)
+    tb = from_raw(rand_raws(fb, k * n, 8).reshape(k, n), fb)
+    got = gemm.qgemul(ta, tb, out)
+    _assert_same(got, _layered(ta, tb, out))
+
+
+def test_stream_vs_host_oracle(force_stream):
+    """Direct pin to the golden model on a small streamed case (24 = 8*3)."""
+    fa = qformat(30, 9)
+    fb = qformat(8, 8)
+    out = qformat(30, 9)
+    m, k, n = 2, 24, 2
+    A = rand_raws(fa, m * k, 9).reshape(m, k)
+    B = rand_raws(fb, k * n, 10).reshape(k, n)
+    got = gemm.qgemul(from_raw(A, fa), from_raw(B, fb), out)
+    ho = hostops.qgemul(
+        [[(int(A[i, j]), fa) for j in range(k)] for i in range(m)],
+        [[(int(B[i, j]), fb) for j in range(n)] for i in range(k)], out)
+    g = np.asarray(got.raw(), dtype=object)
+    assert all(int(g[i][j]) == ho[i][j][0]
+               for i in range(m) for j in range(n))
+
+
+def test_stream_jit_compatible(force_stream):
+    fa = fb = qformat(30, 9)
+    out = qformat(33, 9)
+    m, k, n = 3, 48, 3
+    ta = from_raw(rand_raws(fa, m * k, 11).reshape(m, k), fa)
+    tb = from_raw(rand_raws(fb, k * n, 12).reshape(k, n), fb)
+    f = jax.jit(lambda ad, bd: gemm.qgemul(
+        QTensor(ad, fa), QTensor(bd, fb), out).data)
+    got = QTensor(f(ta.data, tb.data), out)
+    _assert_same(got, _layered(ta, tb, out))
+
+
+def test_stream_policy_gates():
+    """Streaming engages only when it can help: a power-of-two chunk >= 8,
+    at least two chunks, and a product tensor big enough to matter."""
+    fa = fb = qformat(30, 9)
+    out = qformat(33, 9)
+
+    def mk(m, k, n):
+        return (from_raw(rand_raws(fa, m * k, 13).reshape(m, k), fa),
+                from_raw(rand_raws(fb, k * n, 14).reshape(k, n), fb))
+
+    # single chunk covers k
+    ta, tb = mk(2, 32, 2)
+    assert gemm._stream_gemm_wide(ta, tb, out, None, (), False) is None
+    # odd k: no power-of-two factor
+    ta, tb = mk(2, 33, 2)
+    assert gemm._stream_gemm_wide(ta, tb, out, None, (), False) is None
+    # small product tensor under the default threshold
+    ta, tb = mk(2, 48, 2)
+    assert gemm._stream_gemm_wide(ta, tb, out, None, (), False) is None
+    # the qgemul entry still computes all of these correctly (layered)
+    got = gemm.qgemul(ta, tb, out)
+    _assert_same(got, _layered(ta, tb, out))
