@@ -127,6 +127,50 @@ def test_stream_jit_compatible(force_stream):
     _assert_same(got, _layered(ta, tb, out))
 
 
+@pytest.mark.parametrize("trial", range(8))
+def test_fuzz_stream_vs_layered(force_stream, trial):
+    """Random wide configs + random chunk patterns: the streamed tree must
+    equal the layered tree bit-for-bit (the layered path is pinned to the
+    oracle by the differential fuzz elsewhere)."""
+    import zlib
+
+    rng = np.random.RandomState(
+        zlib.crc32(f"stream_fuzz:{trial}".encode()) % (2**31))
+
+    def rfmt(lo_bits, hi_bits):
+        while True:
+            i = int(rng.randint(-6, hi_bits))
+            f = int(rng.randint(-6, hi_bits))
+            w = i + f
+            if lo_bits <= w <= hi_bits:
+                break
+        return qformat(i, f, bool(rng.randint(0, 2)),
+                       RoundMode(rng.randint(0, 7)),
+                       OverflowMode(rng.randint(0, 5)))
+
+    def raws(fmt, n):
+        lo = max(fmt.raw_min, -(1 << 62))
+        hi = min(fmt.raw_max, (1 << 62) - 1)
+        return np.array([int(rng.randint(lo, hi + 1)) for _ in range(n)],
+                        dtype=object)
+
+    fa = rfmt(33, 48) if trial % 2 else rfmt(65, 80)   # pair / limb operand
+    fb = rfmt(4, 16)
+    out = rfmt(20, 48)
+    k = int(rng.choice([16, 8, 32])) * int(rng.randint(2, 6))
+    m, n = 2, 3
+    ta = from_raw(raws(fa, m * k).reshape(m, k), fa)
+    tb = from_raw(raws(fb, k * n).reshape(k, n), fb)
+    kw = {}
+    if rng.randint(0, 2):
+        kw["mul_to"] = rfmt(40, 70)
+    if rng.randint(0, 2):
+        kw["add_formats"] = tuple(rfmt(30, 60)
+                                  for _ in range(rng.randint(1, 3)))
+    got = gemm.qgemul(ta, tb, out, **kw)
+    _assert_same(got, _layered(ta, tb, out, **kw))
+
+
 def test_stream_policy_gates():
     """Streaming engages only when it can help: a power-of-two chunk >= 8,
     at least two chunks, and a product tensor big enough to matter."""
