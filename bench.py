@@ -395,22 +395,34 @@ def bench_wide_gemm():
 
         def run():
             hi, lo = f(a.data.hi, a.data.lo, b.data.hi, b.data.lo)
-            np.asarray(lo[:8, :128])  # warm-up + sync
+            np.asarray(lo[:8, :128])  # sync
+            return None
+
+        def timed():
             t0 = time.perf_counter()
-            hi, lo = f(a.data.hi, a.data.lo, b.data.hi, b.data.lo)
-            np.asarray(lo[:8, :128])
+            run()
             return (time.perf_counter() - t0) / RG
 
         try:
-            return run()
+            run()  # compile + warm-up
+            return timed
         finally:
             G._STREAM_MIN_ELEMS = saved
 
+    # interleave stream/layered passes with best-of per side so tunnel
+    # drift between back-to-back passes cannot land in the ratio
+    # (CLAUDE.md methodology, same as the headline bench)
     cmp_sz = 512
-    t_stream = build(cmp_sz, 0)
-    t_layer = build(cmp_sz, 1 << 60)
+    stream_t = build(cmp_sz, 0)
+    layer_t = build(cmp_sz, 1 << 60)
+    t_stream = min(stream_t(), stream_t())
+    t_layer = min(layer_t(), layer_t())
+    for _ in range(2):
+        t_stream = min(t_stream, stream_t())
+        t_layer = min(t_layer, layer_t())
     big = 1024
-    t_big = build(big, 0)
+    big_t = build(big, 0)
+    t_big = min(big_t(), big_t())
     print(json.dumps({
         "metric": "wide_gemm_stream_gprod",
         "value": round(big ** 3 / t_big / 1e9, 2),

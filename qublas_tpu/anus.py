@@ -248,6 +248,24 @@ class QTable:
             self._device_table = jnp.asarray(self._np_table)
         return self._device_table
 
+    # value semantics: two tables with the same formats and entries are the
+    # same ROM — lets compiled-program caches (parallel/sharding.py) hit
+    # across separately-built instances instead of keying on identity
+    def __eq__(self, other):
+        if self is other:
+            return True
+        if not isinstance(other, QTable):
+            return NotImplemented
+        return (self.in_fmt == other.in_fmt and self.out_fmt == other.out_fmt
+                and self._raws == other._raws)
+
+    def __hash__(self):
+        h = getattr(self, "_hash", None)
+        if h is None:
+            h = self._hash = hash((self.in_fmt, self.out_fmt,
+                                   tuple(self._raws)))
+        return h
+
     # Beyond this many entries the balanced select tree's trace gets large;
     # gather (slow on TPU but O(1) trace) takes over.
     SELECT_TREE_MAX = 1 << 10

@@ -275,7 +275,9 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
 # cases stay layered (fewer dispatches).  Tests lower this to force the path.
 _STREAM_MIN_ELEMS = 1 << 22
 _STREAM_CHUNK = 64
-_STREAM_MAX_CHUNKS = 512
+# trace-size bound: each chunk unrolls its subtree into the program; past
+# this many chunks (k > 64Ki with chunk 64) the layered path takes over
+_STREAM_MAX_CHUNKS = 1024
 
 
 def _stream_gemm_wide(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to,
@@ -303,8 +305,11 @@ def _stream_gemm_wide(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to,
     nchunks = k // chunk
     m = a.shape[-2]
     n = b.shape[-1]
+    batch = 1
+    for d in np.broadcast_shapes(a.shape[:-2], b.shape[:-2]):
+        batch *= d
     if chunk < 8 or nchunks < 2 or nchunks > _STREAM_MAX_CHUNKS \
-            or m * k * n < _STREAM_MIN_ELEMS:
+            or batch * m * k * n < _STREAM_MIN_ELEMS:
         return None
     in_levels = chunk.bit_length() - 1
 

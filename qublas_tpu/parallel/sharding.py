@@ -98,17 +98,27 @@ def _freeze(x):
     return x
 
 
-_PROGRAM_CACHE: dict = {}
+_PROGRAM_CACHE: dict = {}      # insertion-ordered (dict) -> LRU eviction
+_PROGRAM_CACHE_MAX = 512
 
 
 def _cached(key, build):
     """Memoize jitted shard_map programs by static config.  The entry
     points below construct their ``block`` closures per call; without this
     cache every call would re-trace and re-compile the whole sharded
-    program (for 3-limb GEMMs that is minutes of compile per call)."""
-    fn = _PROGRAM_CACHE.get(key)
+    program (for 3-limb GEMMs that is minutes of compile per call).
+
+    Every key component is passed through :func:`_freeze` so callers may
+    hand in lists (e.g. ``add_formats``) without tripping hashability, and
+    the cache is LRU-bounded so pathological key churn cannot retain
+    compiled programs forever."""
+    key = _freeze(key)
+    fn = _PROGRAM_CACHE.pop(key, None)
     if fn is None:
-        fn = _PROGRAM_CACHE[key] = jax.jit(build())
+        fn = jax.jit(build())
+        while len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
+            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
+    _PROGRAM_CACHE[key] = fn   # re-insert: most recently used
     return fn
 
 
@@ -132,8 +142,8 @@ def _check_traceable(pa: QTensor, pb: QTensor, out_fmt, mul_to, add_formats,
     if not (pa.is_pair or pb.is_pair or pa.is_limb or pb.is_limb
             or any(storage_kind(f) != "lane" for f in fmts)):
         return
-    key = (pa.fmt, pb.fmt, out_fmt, mul_to, add_formats, _freeze(kw),
-           pa.shape, pb.shape, who)
+    key = _freeze((pa.fmt, pb.fmt, out_fmt, mul_to, add_formats, kw,
+                   pa.shape, pb.shape, who))
     verdict = _PROBE_CACHE.get(key)
     if verdict is None:
         try:
@@ -143,10 +153,14 @@ def _check_traceable(pa: QTensor, pb: QTensor, out_fmt, mul_to, add_formats,
                                       out_fmt, mul_to=mul_to,
                                       add_formats=add_formats, **kw).data,
                 pa.data, pb.data)
-            verdict = _PROBE_CACHE[key] = True
+            _PROBE_CACHE[key] = True
+            return
         except (jax.errors.TracerArrayConversionError,
-                jax.errors.ConcretizationTypeError):
-            verdict = _PROBE_CACHE[key] = False
+                jax.errors.ConcretizationTypeError) as e:
+            _PROBE_CACHE[key] = False
+            raise ValueError(
+                f"this GEMM config outgrows device lanes (host route); "
+                f"{who} cannot run it inside shard_map") from e
     if verdict is False:
         raise ValueError(
             f"this GEMM config outgrows device lanes (host route); "

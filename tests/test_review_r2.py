@@ -293,3 +293,77 @@ def test_sharded_mn_lane_operands_wide_mul_to_raises_cleanly():
     with pytest.raises(ValueError, match="outgrows device lanes"):
         sharded_qgemul_mn(A, B, qformat(3, 4), mesh,
                           mul_to=QFormat(300, 2))
+
+
+# ---------------------------------------------------------------------------
+# Round-2 session-3 review findings
+# ---------------------------------------------------------------------------
+
+def test_sharded_mn_accepts_list_add_formats():
+    """Program-cache keys must freeze unhashable args: a list add_formats
+    crashed the cache lookup with TypeError after caching was added."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual mesh")
+    from qublas_tpu.ops.gemm import qgemul
+    from qublas_tpu.parallel import make_mesh, sharded_qgemul_mn
+
+    mesh = make_mesh(dp=2, tp=4)
+    f8 = qformat(3, 4)
+    A = from_raw(np.arange(-16, 16, dtype=int).reshape(4, 8), f8)
+    B = from_raw(np.arange(32, dtype=int).reshape(8, 4) - 16, f8)
+    out = qformat(10, 6)
+    got = sharded_qgemul_mn(A, B, out, mesh, add_formats=[qformat(12, 6)])
+    ref = qgemul(A, B, out, add_formats=(qformat(12, 6),))
+    assert (np.asarray(got.raw()) == np.asarray(ref.raw())).all()
+
+
+def test_qtable_value_semantics():
+    """Two separately built identical QTables must compare/hash equal (so
+    compiled-program caches hit across instances); different ROMs differ."""
+    f = qformat(3, 4)
+    t1 = anus.QTable(anus.rsqrt_func, f)
+    t2 = anus.QTable(anus.rsqrt_func, f)
+    t3 = anus.QTable(anus.reciprocal_func, f)
+    assert t1 == t2 and hash(t1) == hash(t2)
+    assert t1 != t3
+
+
+def test_stream_gate_counts_batch_dims():
+    """The streaming gate must include leading batch dims in the product-
+    tensor size: a big-batch small-mn GEMM is exactly the case whose layered
+    materialization explodes."""
+    from qublas_tpu.ops import gemm
+
+    fa = qformat(30, 9)
+    # batch 8192 x [2, 128] @ [128, 2]: m*k*n = 512 elements but the
+    # batched product tensor is 8192x bigger -- the gate must see it
+    A = from_raw(np.zeros((8192, 2, 128), dtype=int), fa)
+    B = from_raw(np.zeros((128, 2), dtype=int), fa)
+    out = qformat(33, 9)
+    res = gemm._stream_gemm_wide(A, B, out, None, (), False)
+    assert res is not None
+    ref = gemm.qgemul(A, B, out)
+    assert res.shape == ref.shape and res.fmt == ref.fmt
+
+
+def test_probe_error_chains_cause():
+    """The clean 'outgrows device lanes' error must chain the underlying
+    tracer error on first (uncached) failure."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual mesh")
+    from qublas_tpu.parallel import make_mesh, sharded_qgemul_mn
+    from qublas_tpu.parallel import sharding as sh
+
+    sh._PROBE_CACHE.clear()
+    mesh = make_mesh(dp=2, tp=4)
+    f8 = qformat(3, 4)
+    A = from_raw(np.zeros((4, 8), dtype=int), f8)
+    B = from_raw(np.zeros((8, 4), dtype=int), f8)
+    with pytest.raises(ValueError, match="outgrows device lanes") as ei:
+        sharded_qgemul_mn(A, B, qformat(3, 4), mesh,
+                          mul_to=QFormat(300, 2))
+    assert ei.value.__cause__ is not None
