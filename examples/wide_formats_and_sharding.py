@@ -51,6 +51,17 @@ def main():
     p = q.qmul(a, b, to=QFormat(110, 40))
     print(f"141-bit qmul (device limb lanes): {p.raw()}")
 
+    # -- 2b. wide GEMM: streams over k-chunks at scale -------------------
+    # (qgemul on pair/limb operands picks the streaming binary-carry tree
+    # automatically when the layered [m, k, n] product tensor would be
+    # large — peak memory [m, 64, n], so e.g. a 1024^3 40-bit GEMM runs
+    # where the ~17 GB layered materialization cannot; see
+    # `bench.py --wide-gemm`.)
+    ga = refrand.reference_fill((4, 48), acc40, gen=refrand.MT19937(7))
+    gb = refrand.reference_fill((48, 4), small, gen=refrand.MT19937(8))
+    big = q.qgemul(ga, gb, QFormat(34, 9))
+    print("wide GEMM out fmt:", big.fmt, "| [0,0] =", big.to_double()[0][0])
+
     # -- 3. sharded execution over a mesh --------------------------------
     n_dev = len(jax.devices())
     if n_dev >= 2:

@@ -86,6 +86,24 @@ def main() -> int:
     assert int(np.asarray(jax.device_get(y3.data))) == int(ref3.raw())
     assert y3.fmt == ref3.fmt
 
+    # 4) wide (pair-storage) operands streamed dp across the process
+    #    boundary: the 40-bit (hi, lo) leaves shard like any other storage
+    f40 = qformat(30, 9)
+    Aw = from_raw(rng.randint(-(1 << 39), 1 << 39, (8, 2, 6),
+                              dtype=np.int64).astype(object), f40)
+    assert Aw.is_pair
+    Bw = from_raw(rng.randint(fa.raw_min, fa.raw_max + 1, (6, 3)), fa)
+    y4 = sharded_qgemul_dp(Aw, Bw, qformat(33, 9), mesh)
+    ref4 = qgemul(Aw, Bw, qformat(33, 9))
+    ref4_hi = np.asarray(ref4.data.hi)
+    ref4_lo = np.asarray(ref4.data.lo)
+    for shard in y4.data.hi.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data),
+                                      ref4_hi[shard.index])
+    for shard in y4.data.lo.addressable_shards:
+        np.testing.assert_array_equal(np.asarray(shard.data),
+                                      ref4_lo[shard.index])
+
     print(f"DCN_WORKER_OK {pid}", flush=True)
     return 0
 

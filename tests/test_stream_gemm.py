@@ -171,6 +171,26 @@ def test_fuzz_stream_vs_layered(force_stream, trial):
     _assert_same(got, _layered(ta, tb, out, **kw))
 
 
+def test_stream_inside_shard_map(force_stream):
+    """Streaming composes with the sharded entry points: the local tiles'
+    qgemul streams inside shard_map and still matches the unsharded tree.
+    Formats are unique to this test so the program cache can't hand back a
+    layered-trace program compiled by another test."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual mesh")
+    from qublas_tpu.parallel import make_mesh, sharded_qgemul_mn
+
+    mesh = make_mesh(dp=2, tp=4)
+    fa = qformat(29, 10)          # pair storage, unique to this test
+    fb = qformat(7, 7)
+    out = qformat(31, 8)
+    m, k, n = 4, 48, 8
+    ta = from_raw(rand_raws(fa, m * k, 21).reshape(m, k), fa)
+    tb = from_raw(rand_raws(fb, k * n, 22).reshape(k, n), fb)
+    got = sharded_qgemul_mn(ta, tb, out, mesh)
+    _assert_same(got, gemm.qgemul(ta, tb, out))
+
+
 def test_stream_policy_gates():
     """Streaming engages only when it can help: a power-of-two chunk >= 8,
     at least two chunks, and a product tensor big enough to matter."""
