@@ -400,6 +400,16 @@ inline int w_cmp(const W512 &a, const W512 &b) {
     return 0;
 }
 
+// unsigned compare: -1/0/+1 (for d-bit fraction patterns, where bit 511
+// is a value bit, not a sign — e.g. the d=512 tie threshold 2^511)
+inline int w_cmp_u(const W512 &a, const W512 &b) {
+    for (int i = NL - 1; i >= 0; --i) {
+        if (a.l[i] < b.l[i]) return -1;
+        if (a.l[i] > b.l[i]) return 1;
+    }
+    return 0;
+}
+
 // 2^k (k < 511)
 inline W512 w_pow2(int k) {
     W512 r = w_zero(); r.l[k / 64] = 1ull << (k % 64); return r;
@@ -431,9 +441,18 @@ inline W512 w_frac_convert(const W512 &val, int d, int mode) {
     if (mode == TRN_TCPL) return xh;
     if (mode == TRN_SMGN)
         return w_is_neg(val) ? w_neg(w_sar(w_neg(val), d)) : xh;
-    W512 xl = w_mask_low(val, d);
-    W512 t = w_pow2(d - 1);
-    int c = w_cmp(xl, t);  // xl, t both non-negative
+    int c;
+    if (d - 1 >= WBITS) {
+        // |val| < 2^511 <= 2^(d-1): a negative value's unsigned d-bit
+        // fraction (2^d + val) strictly exceeds the tie threshold, a
+        // non-negative one is strictly below it — and w_pow2(d - 1)
+        // would write past the limb array
+        c = w_is_neg(val) ? 1 : -1;
+    } else {
+        W512 xl = w_mask_low(val, d);
+        W512 t = w_pow2(d - 1);
+        c = w_cmp_u(xl, t);  // unsigned d-bit patterns (d may be 512)
+    }
     bool carry;
     bool neg = w_is_neg(val), zero = w_is_zero(val);
     switch (mode) {

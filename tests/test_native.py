@@ -180,3 +180,27 @@ def test_tree_gemm_host_wide_formats_work():
                      for row in hostops.qgemul(ar, br, out, None, (mul_fmt,),
                                                mul_full_prec=True)])
     np.testing.assert_array_equal(got, want)
+
+
+def test_w_requant_extreme_right_shifts():
+    """Requantize shifts at and beyond the 512-bit engine word: d == 512
+    needs an UNSIGNED tie compare (2^511 sets the W512 sign bit) and
+    d >= 513 must not build the threshold at all (w_pow2(d-1) would write
+    past the limb array — stack corruption before the fix).  All RND modes,
+    positive/negative/tiny values, vs the exact host model."""
+    fa = QFormat(200, 100)
+    fb = QFormat(10, 4)
+    vals = np.array([(1 << 250) + 12345, -(1 << 280), -((1 << 300) - 7),
+                     7, -1, 0], dtype=object)
+    bv = np.array([9, -3, 11, 5, -128, 1], dtype=object)
+    for rm in RoundMode:
+        # d = 104 - to_frac: covers 534, 524, 516, 513, 512, 511, 504
+        for to_frac in (-430, -420, -412, -409, -408, -407, -400):
+            to = QFormat(480, to_frac, True, rm, OverflowMode.SAT_TCPL)
+            res = native.binary_op_wide("mul", vals, bv, fa, fb, to)
+            if res is None:
+                continue  # engine rejected the envelope: host path serves it
+            for x, y, g in zip(vals, bv, res):
+                want = hostops.qmul((int(x), fa), (int(y), fb), to=to)[0]
+                assert int(g) == want, (rm, to_frac, int(x), int(y),
+                                        int(g), want)
