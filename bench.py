@@ -391,7 +391,7 @@ def bench_wide_gemm():
                 x = QTensor(PairArray(c[0], c[1]), f40)
                 r = G.qgemul(x, bq, f40)
                 return (r.data.hi, r.data.lo)
-            return jax.lax.fori_loop(0, RG, body, (a.data.hi, a.data.lo))
+            return jax.lax.fori_loop(0, RG, body, (ah, al))
 
         def run():
             hi, lo = f(a.data.hi, a.data.lo, b.data.hi, b.data.lo)

@@ -177,7 +177,7 @@ def qmul(a, b, to=None, full_prec: bool = False) -> QTensor:
 def _addsub(a, b, to, full_prec, sub: bool) -> QTensor:
     a, b = _coerce_pair(a, b)
     out = add_merge(a.fmt, b.fmt, to, full_prec)
-    route, _, f = route_addsub(a.fmt, b.fmt, out, sub)
+    route, siv, f, ia, ib = route_addsub(a.fmt, b.fmt, out, sub)
     host_fn = hostops.qsub if sub else hostops.qadd
     if a.is_host or b.is_host or route == "host":
         return _host_binary(host_fn, a, b, to=to, full_prec=full_prec)
@@ -187,9 +187,7 @@ def _addsub(a, b, to, full_prec, sub: bool) -> QTensor:
         s = (x << sa) - (y << sb) if sub else (x << sa) + (y << sb)
         raw = W.requantize_i32(s, f, out)
     elif route == "limb":
-        ia = fmt_interval(a.fmt) << sa
-        ib = fmt_interval(b.fmt) << sb
-        siv = (ia - ib) if sub else (ia + ib)
+        # working width from the SAME intervals the route proof used
         K = _limb_work(ia.bits, ib.bits, siv.bits,
                        requant_work_bits(siv, f, out))
         shape = jnp.broadcast_shapes(a.shape, b.shape)

@@ -351,6 +351,17 @@ _BLK = int(os.environ.get("QUBLAS_TREE_BLK", "32"))
 _VMEM_CAP = 12 * 1024 * 1024
 
 
+def _clamp_tiles(m: int, n: int, bm: int, bn: int):
+    """Halve the tile sizes down to divisors of the problem (the tuned
+    defaults may exceed small operands).  The single source of truth for
+    every kernel entry and for :func:`blocked_ok`'s dispatch check."""
+    while bm > 8 and m % bm:
+        bm //= 2
+    while bn > 8 and n % bn:
+        bn //= 2
+    return bm, bn
+
+
 def pallas_tree_ok(m: int, n: int, k: int, plan: TreePlan,
                    ndim_a: int, ndim_b: int) -> bool:
     if ndim_a != 2 or ndim_b != 2:
@@ -396,12 +407,7 @@ def tree_gemm_blocked(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
     bn = bn if bn is not None else _BN
     m, k = a_data.shape
     _, n = b_data.shape
-    # clamp tiles to divisors of the problem (the tuned defaults may exceed
-    # small operands)
-    while bm > 8 and m % bm:
-        bm //= 2
-    while bn > 8 and n % bn:
-        bn //= 2
+    bm, bn = _clamp_tiles(m, n, bm, bn)
     assert m % bm == 0 and n % bn == 0, (m, n, bm, bn)
     assert k % blk == 0 and (blk & (blk - 1)) == 0
     c = blk.bit_length() - 1          # in-kernel fold levels
@@ -457,20 +463,9 @@ def tree_gemm_blocked(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
     return raw.astype(dtype_for(out_fmt))
 
 
-def _clamped_tiles(m: int, n: int):
-    """Default tiles halved down to divisors of the problem (must mirror
-    the clamp inside tree_gemm_blocked)."""
-    bm, bn = _BM, _BN
-    while bm > 8 and m % bm:
-        bm //= 2
-    while bn > 8 and n % bn:
-        bn //= 2
-    return bm, bn
-
-
 def blocked_ok(m: int, n: int, k: int, blk: Optional[int] = None) -> bool:
     blk = blk if blk is not None else _BLK
-    bm, bn = _clamped_tiles(m, n)
+    bm, bn = _clamp_tiles(m, n, _BM, _BN)
     return (k % blk == 0 and (blk & (blk - 1)) == 0
             and m % bm == 0 and n % bn == 0)
 
@@ -496,11 +491,7 @@ def tree_gemm_pallas(a_data, b_data, plan: TreePlan, out_fmt: QFormat,
         interpret = jax.default_backend() != "tpu"
     m, k = a_data.shape
     _, n = b_data.shape
-    bm, bn = _BM, _BN
-    while bm > 8 and m % bm:
-        bm //= 2
-    while bn > 8 and n % bn:
-        bn //= 2
+    bm, bn = _clamp_tiles(m, n, _BM, _BN)
     out_dtype = dtype_for(out_fmt)
 
     def kernel(at_ref, b_ref, out_ref, slots_ref):

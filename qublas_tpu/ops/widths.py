@@ -218,6 +218,10 @@ def route_mul(fa: QFormat, fb: QFormat, out: QFormat):
 
 
 def route_addsub(fa: QFormat, fb: QFormat, out: QFormat, sub: bool):
+    """Route an aligned add/sub.  Returns (route, sum_iv, common_frac,
+    ia, ib) — the shifted operand intervals are returned so the device
+    path sizes its limb working width from the SAME proof inputs that
+    picked the route."""
     f = max(fa.frac_bits, fb.frac_bits)
     ia = fmt_interval(fa) << (f - fa.frac_bits)
     ib = fmt_interval(fb) << (f - fb.frac_bits)
@@ -234,7 +238,7 @@ def route_addsub(fa: QFormat, fb: QFormat, out: QFormat, sub: bool):
                                requant_work_bits(s, f, out))
                         > LIMB_INTER_MAX_BITS):
         r = "host"
-    return r, s, f
+    return r, s, f, ia, ib
 
 
 def route_div(fa: QFormat, fb: QFormat, out: QFormat):

@@ -288,9 +288,13 @@ def sharded_qgemul_k(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
     if k % tp:
         raise ValueError(f"K={k} not divisible by tp={tp}")
 
+    out_dtype = dtype_for(out_fmt)
+    if out_dtype is None:
+        raise ValueError(
+            "K-sharding writes int32 lanes; this output format needs "
+            "wider storage - use strategy='mn'")
     a = _device_put(a, mesh, P(None, "tp"))
     b = _device_put(b, mesh, P("tp", None))
-    out_dtype = dtype_for(out_fmt)
     prod_frac = plan.prod_frac
 
     def build():
@@ -352,9 +356,13 @@ def sharded_qgemul_k_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
     if k % tp or n % tp:
         raise ValueError(f"K={k} and N={n} must divide tp={tp}")
     bn = n // tp
+    out_dtype = dtype_for(out_fmt)
+    if out_dtype is None:
+        raise ValueError(
+            "K-sharding writes int32 lanes; this output format needs "
+            "wider storage - use strategy='mn'")
     a = _device_put(a, mesh, P(None, "tp"))
     b = _device_put(b, mesh, P("tp", None))
-    out_dtype = dtype_for(out_fmt)
     perm = [(j, (j + 1) % tp) for j in range(tp)]
     prod_frac = plan.prod_frac
 
@@ -456,6 +464,54 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     raise ValueError(f"unknown strategy {strategy!r}")
 
 
+def _cgemul_probe(a, b, out_fmt, algo, add_formats, mul_tags,
+                  who: str):
+    """Trace-time (eval_shape) probe of a 1-row x 1-col complex GEMM with
+    the global K: validates the config never routes to host (clean error
+    instead of a tracer crash inside shard_map) and recovers the output
+    part formats (static trace metadata) when ``out_fmt`` leaves them to
+    inference.  Memoized — formats and verdicts are static per config."""
+    from ..complex import QComplexTensor
+    from ..ops.cgemm import cgemul
+
+    far, fai = a.real.fmt, a.imag.fmt
+    fbr, fbi = b.real.fmt, b.imag.fmt
+    if a.real.is_host or a.imag.is_host or b.real.is_host or b.imag.is_host:
+        raise ValueError(
+            f"this complex GEMM config outgrows device lanes (host "
+            f"route); {who} cannot run it inside shard_map")
+    key = _freeze(("cprobe", far, fai, fbr, fbi, out_fmt, algo,
+                   add_formats, mul_tags, a.shape[-1]))
+    hit = _PROBE_CACHE.get(key)
+    if hit is False:
+        raise ValueError(
+            f"this complex GEMM config outgrows device lanes (host "
+            f"route); {who} cannot run it inside shard_map")
+    if hit is not None:
+        return hit
+    box = {}
+
+    def probe(ard, aid, brd, bid):
+        c = cgemul(QComplexTensor(QTensor(ard, far), QTensor(aid, fai)),
+                   QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi)),
+                   out_fmt, algo=algo, add_formats=add_formats, **mul_tags)
+        box["fmts"] = (c.real.fmt, c.imag.fmt)
+        return c.real.data, c.imag.data
+
+    try:
+        jax.eval_shape(probe,
+                       a.real.data[..., :1, :], a.imag.data[..., :1, :],
+                       b.real.data[..., :, :1], b.imag.data[..., :, :1])
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError) as e:
+        _PROBE_CACHE[key] = False
+        raise ValueError(
+            f"this complex GEMM config outgrows device lanes (host "
+            f"route); {who} cannot run it inside shard_map") from e
+    _PROBE_CACHE[key] = box["fmts"]
+    return box["fmts"]
+
+
 def _crow(c, i):
     """1-row complex slice (cheap proof/format probe operand)."""
     from ..complex import QComplexTensor
@@ -480,6 +536,8 @@ def sharded_cgemul_mn(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     from ..complex import QComplexTensor
     from ..ops.cgemm import cgemul
 
+    orf, oif = _cgemul_probe(a, b, out_fmt, algo, add_formats, mul_tags,
+                             "sharded_cgemul_mn")
     far, fai = a.real.fmt, a.imag.fmt
     fbr, fbi = b.real.fmt, b.imag.fmt
     ar = jax.device_put(a.real.data, NamedSharding(mesh, P("dp", None)))
@@ -503,16 +561,6 @@ def sharded_cgemul_mn(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     fn = _cached(("cmn", far, fai, fbr, fbi, _freeze(out_fmt), algo,
                   _freeze(add_formats), _freeze(mul_tags), mesh), build)
     rr, ri = fn(ar, ai, br, bi)
-    from ..ops.cgemm import _part_formats
-
-    orf, oif = _part_formats(out_fmt)
-    if orf is None:
-        # output formats were inferred: recover them from a tiny probe
-        from ..ops.cgemm import cgemul as _cg
-
-        probe = _cg(a[..., :1, :], b[..., :, :1], out_fmt, algo=algo,
-                    add_formats=add_formats, **mul_tags)
-        orf, oif = probe.real.fmt, probe.imag.fmt
     return QComplexTensor(QTensor(rr, orf), QTensor(ri, oif))
 
 
@@ -656,6 +704,10 @@ def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTenso
     if not total_iv.fits32:
         raise ValueError("sum interval exceeds int32")
     out_dtype = dtype_for(final_fmt)
+    if out_dtype is None:
+        raise ValueError(
+            "sharded_qreduce_k writes int32 lanes; this reduction's final "
+            "format needs wider storage - use the batch-sharded form")
 
     xd = jax.device_put(x.data, NamedSharding(mesh, P("tp")))
     frac = x.fmt.frac_bits

@@ -139,7 +139,7 @@ def test_routes_cover_all_paths():
     r, _, _ = route_mul(QFormat(4, 4), QFormat(4, 4),
                         mul_merge(QFormat(4, 4), QFormat(4, 4)))
     assert r == "i32"
-    r, _, _ = route_addsub(QFormat(8, 8), QFormat(8, 8),
+    r, _, _, _, _ = route_addsub(QFormat(8, 8), QFormat(8, 8),
                            add_merge(QFormat(8, 8), QFormat(8, 8)), False)
     assert r == "i32"
 

@@ -367,3 +367,53 @@ def test_probe_error_chains_cause():
         sharded_qgemul_mn(A, B, qformat(3, 4), mesh,
                           mul_to=QFormat(300, 2))
     assert ei.value.__cause__ is not None
+
+
+def test_k_strategies_reject_wide_output_formats():
+    """K-strategy blocks write int32 lanes; a pair/limb-storage output
+    format must get a clean ValueError — before the fix astype(None)
+    silently produced float32 raws (low bits destroyed)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual mesh")
+    from qublas_tpu.parallel import (
+        make_mesh, sharded_qgemul_k, sharded_qgemul_k_pipelined,
+        sharded_qreduce_k,
+    )
+
+    mesh = make_mesh(dp=2, tp=4)
+    f8 = qformat(3, 4)
+    wide_out = qformat(30, 9)  # 40-bit storage: pair
+    A = from_raw(np.zeros((4, 8), dtype=int), f8)
+    B = from_raw(np.zeros((8, 8), dtype=int), f8)
+    with pytest.raises(ValueError, match="int32 lanes"):
+        sharded_qgemul_k(A, B, wide_out, mesh, mul_to=qformat(20, 8),
+                         add_formats=(qformat(20, 8),))
+    with pytest.raises(ValueError, match="int32 lanes"):
+        sharded_qgemul_k_pipelined(A, B, wide_out, mesh,
+                                   mul_to=qformat(20, 8),
+                                   add_formats=(qformat(20, 8),))
+    # qreduce_k: int8 input whose lossless tree lands in a >32-bit format
+    x = from_raw(np.zeros((32,), dtype=int), f8)
+    with pytest.raises(ValueError, match="int32 lanes"):
+        sharded_qreduce_k(x, (qformat(30, 9),), mesh=mesh)
+
+
+def test_sharded_cgemul_mn_host_route_raises_cleanly():
+    """Complex configs that fall off device lanes must raise the clean
+    error, not a TracerArrayConversionError inside shard_map."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual mesh")
+    from qublas_tpu.complex import QComplexTensor
+    from qublas_tpu.parallel import make_mesh, sharded_cgemul_mn
+
+    mesh = make_mesh(dp=2, tp=4)
+    fw = qformat(200, 100)   # 301-bit storage: host kind
+    re = from_raw(np.ones((4, 4), dtype=object), fw)
+    im = from_raw(np.ones((4, 4), dtype=object), fw)
+    ca = QComplexTensor(re, im)
+    with pytest.raises(ValueError, match="outgrows device lanes"):
+        sharded_cgemul_mn(ca, ca, (fw, fw), mesh)
