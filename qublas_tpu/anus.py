@@ -28,7 +28,6 @@ at this snapshot; see SURVEY.md §0/§2.15).
 from __future__ import annotations
 
 import math
-from fractions import Fraction
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -77,12 +76,31 @@ class Segment:
         self.coeffs = list(coeffs)
 
 
-def _raw_threshold(breakpoint: float, frac_bits: int) -> int:
-    """Largest raw r with r * 2^-frac < breakpoint, computed exactly
-    (floats are binary rationals, so Fraction is lossless)."""
-    bp = Fraction(breakpoint) * (Fraction(2) ** frac_bits)
-    fl = math.floor(bp)
-    return fl - 1 if bp == fl else fl
+def _raw_threshold(breakpoint: float, fmt: QFormat, word_bits: int):
+    """Largest storable raw r whose ROUNDED double value satisfies
+    ``raw_to_double(r, fmt) < breakpoint``, or None when no storable raw
+    does.
+
+    The reference selects segments by ``input.toDouble() < breakpoint``
+    (QuBLAS.h:4878), so the comparison sees the double-ROUNDED value: for
+    raws with more than 53 significant bits, float(raw) rounding can cross
+    the breakpoint, and an exact-rational threshold would disagree with the
+    oracle.  ``raw_to_double`` is monotone non-decreasing in the raw, so
+    the predicate is a prefix — bisect its edge (<= word_bits exact float
+    comparisons, trace-time only)."""
+    lo = -(1 << (word_bits - 1))
+    hi = (1 << (word_bits - 1)) - 1
+    if not (hostint.raw_to_double(lo, fmt) < breakpoint):
+        return None
+    if hostint.raw_to_double(hi, fmt) < breakpoint:
+        return hi
+    while hi - lo > 1:
+        mid = (lo + hi) // 2
+        if hostint.raw_to_double(mid, fmt) < breakpoint:
+            lo = mid
+        else:
+            hi = mid
+    return lo
 
 
 def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
@@ -125,15 +143,19 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
                 for s in segments]
     if x.is_host:
         raws = np.asarray(x.raw(), dtype=object).reshape(-1)
+        # fetch each branch once (qcast may have re-deviced a branch; a
+        # per-element .raw() would round-trip the whole array every time)
+        flats = [np.asarray(br.raw(), dtype=object).reshape(-1)
+                 for br in branches]
         out = []
         for i, r in enumerate(raws):
             val = hostint.raw_to_double(int(r), x.fmt)
-            for s, br in zip(segments, branches):
+            for s, flat in zip(segments, flats):
                 if val < s.breakpoint:
-                    out.append(int(np.asarray(br.raw(), dtype=object).reshape(-1)[i]))
+                    out.append(int(flat[i]))
                     break
             else:
-                out.append(int(np.asarray(branches[-1].raw(), dtype=object).reshape(-1)[i]))
+                out.append(int(flats[-1][i]))
         return from_raw(np.array(out, dtype=object).reshape(x.shape), x.fmt)
 
     if x.is_pair:
@@ -143,10 +165,10 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
         xp = (x.data.hi, x.data.lo)
         result = branches[-1].data
         for s, br in zip(reversed(segments[:-1]), reversed(branches[:-1])):
-            thr = _raw_threshold(s.breakpoint, x.fmt.frac_bits)
-            if thr < -(2**63):
+            thr = _raw_threshold(s.breakpoint, x.fmt, 64)
+            if thr is None:
                 continue  # breakpoint below every storable x: never taken
-            tp = W.pair_const(min(thr, 2**63 - 1), shape=x.data.hi.shape)
+            tp = W.pair_const(thr, shape=x.data.hi.shape)
             take = W.pair_lt(xp, tp) | W.pair_eq(xp, tp)  # x <= thr
             result = W.PairArray(jnp.where(take, br.data.hi, result.hi),
                                  jnp.where(take, br.data.lo, result.lo))
@@ -160,11 +182,10 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
         xl = x.data.limbs
         result = branches[-1].data.limbs
         for s, br in zip(reversed(segments[:-1]), reversed(branches[:-1])):
-            thr = _raw_threshold(s.breakpoint, x.fmt.frac_bits)
-            word = 1 << (32 * K - 1)
-            if thr < -word:
+            thr = _raw_threshold(s.breakpoint, x.fmt, 32 * K)
+            if thr is None:
                 continue  # breakpoint below every storable x: never taken
-            tl = L.lconst(min(thr, word - 1), K, x.shape)
+            tl = L.lconst(thr, K, x.shape)
             take = L.llt(xl, tl) | L.leq(xl, tl)  # x <= thr
             result = L.lselect(take, br.data.limbs, result)
         from .ops.limbint import LimbArray
@@ -174,10 +195,10 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
     result = branches[-1].data
     # walk breakpoints from the last-but-one down, selecting earlier segments
     for s, br in zip(reversed(segments[:-1]), reversed(branches[:-1])):
-        thr = _raw_threshold(s.breakpoint, x.fmt.frac_bits)
-        if thr < -(2**31):
+        thr = _raw_threshold(s.breakpoint, x.fmt, 32)
+        if thr is None:
             continue  # breakpoint below every storable x: never taken
-        take = x.data.astype(jnp.int32) <= jnp.int32(min(thr, 2**31 - 1))
+        take = x.data.astype(jnp.int32) <= jnp.int32(thr)
         result = jnp.where(take, br.data, result)
     return QTensor(result, x.fmt)
 

@@ -140,6 +140,9 @@ def from_bits(bits: str, fmt: QFormat, shape=None, tensor_order=None,
     width = fmt.width
     tc = twos_complement and fmt.signed  # unsigned widths carry no sign bit
     if shape is None:
+        if len(filtered) != width:
+            raise ValueError(
+                f"bit string holds {len(filtered)} bits; expected {width}")
         s = "".join(_reorder(filtered, elem_order))
         return from_raw(np.array(parse_elem(s, tc), dtype=object), fmt)
     n = int(np.prod(shape)) if shape else 1

@@ -38,9 +38,13 @@ def _fmt_from_list(v) -> QFormat:
     return QFormat(i, f, bool(s), RoundMode(rm), OverflowMode(om))
 
 
-def _encode(obj, arrays: dict, prefix: str):
+def _encode(obj, arrays: dict):
+    # array keys are a plain counter — the spec records each tensor's key,
+    # so decode never reconstructs them.  (Path-derived keys collided:
+    # {'a.b': t1, 'a': {'b': t2}} both produced 'ka.b.a' and one tensor
+    # silently overwrote the other.)
     if isinstance(obj, QTensor):
-        key = f"{prefix}a"
+        key = f"t{len(arrays)}"
         if obj.is_host or obj.is_limb:
             # exact decimal encoding: the BitStream wire format serializes
             # only the logical width, which is lossy for fill(int)-wart
@@ -57,19 +61,17 @@ def _encode(obj, arrays: dict, prefix: str):
         arrays[key] = np.asarray(obj.raw())
         return {"__qt__": key, "fmt": _fmt_to_list(obj.fmt), "wide": False}
     if isinstance(obj, QComplexTensor):
-        return {"__qc__": [_encode(obj.real, arrays, prefix + "r"),
-                           _encode(obj.imag, arrays, prefix + "i")]}
+        return {"__qc__": [_encode(obj.real, arrays),
+                           _encode(obj.imag, arrays)]}
     if isinstance(obj, dict):
-        return {"__d__": {k: _encode(v, arrays, f"{prefix}{k}.")
-                          for k, v in obj.items()}}
+        return {"__d__": {k: _encode(v, arrays) for k, v in obj.items()}}
     if isinstance(obj, (list, tuple)):
-        enc = [_encode(v, arrays, f"{prefix}{i}.")
-               for i, v in enumerate(obj)]
+        enc = [_encode(v, arrays) for v in obj]
         return {"__l__": enc, "tuple": isinstance(obj, tuple)}
     if isinstance(obj, (int, float, str, bool)) or obj is None:
         return {"__v__": obj}
     arr = np.asarray(obj)
-    key = f"{prefix}n"
+    key = f"t{len(arrays)}"
     arrays[key] = arr
     return {"__np__": key}
 
@@ -112,7 +114,7 @@ def save(path: str, tree: Any) -> None:
     """Write a pytree of QTensor/QComplexTensor/arrays/scalars to ``path``
     (.npz).  Raw bits round-trip exactly; formats travel as metadata."""
     arrays: dict = {}
-    spec = _encode(tree, arrays, "k")
+    spec = _encode(tree, arrays)
     arrays["__spec__"] = np.frombuffer(json.dumps(spec).encode(),
                                        dtype=np.uint8)
     with open(path, "wb") as fh:

@@ -120,6 +120,17 @@ class QComplexTensor:
             return csub(self, other)
         return cr_sub(self, other)
 
+    # reflected operators: real op complex (QuBLAS.h:3600-3663).  QTensor's
+    # operators return NotImplemented for complex RHS so these dispatch.
+    def __rmul__(self, other):
+        return rc_mul(other, self)
+
+    def __radd__(self, other):
+        return rc_add(other, self)
+
+    def __rsub__(self, other):
+        return rc_sub(other, self)
+
     def __neg__(self):
         return cneg(self)
 
@@ -164,13 +175,12 @@ def complex_zeros(shape, real_fmt: QFormat,
 # ---------------------------------------------------------------------------
 
 def _single_tag_default(*specs):
-    """Reference tag-default propagation (see
-    :func:`qublas_tpu.hostops.single_tag_default`): with exactly one step
-    format supplied, every omitted step inherits it (tagExtractor's
-    single-payload default strips the outer tag, QuBLAS.h:157-161); with zero
-    or several, omitted steps use default merger inference."""
-    given = [s for s in specs if s is not None]
-    return given[0] if len(given) == 1 else None
+    """Reference tag-default propagation: delegates to the semantic oracle
+    :func:`qublas_tpu.hostops.single_tag_default` (single source of the
+    tagExtractor single-payload quirk, QuBLAS.h:157-161)."""
+    from . import hostops
+
+    return hostops.single_tag_default(*specs)
 
 
 def cmul(a: QComplexTensor, b: QComplexTensor, ac=None, bd=None, ad=None,

@@ -69,24 +69,28 @@ def requant_stats(x: QTensor, fmt: QFormat) -> RequantStats:
     from .ops.widths import fmt_interval, rounded_interval
 
     riv, inters = rounded_interval(fmt_interval(x.fmt), x.fmt.frac_bits, fmt)
-    if not all(v.fits32 for v in inters + [riv]):
-        # rounded values exceed int32 lanes: evaluate exactly on the host
+    if not all(v.fits32 for v in inters + [riv]) or d > 31:
+        # rounded values exceed int32 lanes, or the shift distance exceeds
+        # what requantize_i32's lane path supports: evaluate on the host
         host = QTensor(np.asarray(x.raw()).astype(object), x.fmt)
         return requant_stats(host, fmt)
 
     xi = x.data.astype(jnp.int32)
     if d > 0:
-        rounded_mask = (xi & jnp.int32((1 << min(d, 31)) - 1)) != 0
+        rounded_mask = (xi & jnp.int32((1 << d) - 1)) != 0
     else:
         rounded_mask = jnp.zeros(x.shape, dtype=bool)
     nosat = fmt.with_modes(overflow_mode=OverflowMode.WRP_TCPL_SAT)
     rv = W.requantize_i32(xi, x.fmt.frac_bits, nosat)
     sat_mask = (rv < lo) | (rv > hi)
+    # magnitude in uint32: jnp.abs(INT32_MIN) wraps on int32 lanes
+    mag = jnp.where(rv < 0, jnp.uint32(0) - rv.astype(jnp.uint32),
+                    rv.astype(jnp.uint32))
     return RequantStats(
         x.size,
         jnp.sum(sat_mask),
         jnp.sum(rounded_mask),
-        jnp.max(jnp.abs(rv)) if x.size else 0,
+        jnp.max(mag) if x.size else 0,
     )
 
 

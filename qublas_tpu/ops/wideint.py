@@ -106,6 +106,12 @@ def pair_from_int64_np(values) -> PairArray:
     nditer loop this replaced."""
     import numpy as np
 
+    if isinstance(values, np.ndarray) and values.dtype != object \
+            and np.issubdtype(values.dtype, np.integer):
+        v = values.astype(np.int64, copy=False)
+        lo = (v & np.int64(0xFFFFFFFF)).astype(np.uint32)
+        hi = (v >> np.int64(32)).astype(np.int32)
+        return PairArray(jnp.asarray(hi), jnp.asarray(lo))
     arr = np.asarray(values, dtype=object)
     buf = b"".join((int(v) & 0xFFFFFFFFFFFFFFFF).to_bytes(8, "little")
                    for v in arr.reshape(-1))

@@ -180,6 +180,12 @@ class QTensor:
     # --- operators (XLA-fused elementwise; replaces reference expression
     #     templates, L6 — laziness is the compiler's job) ---------------------
     def _ew(self, name, other):
+        from .complex import QComplexTensor
+
+        if isinstance(other, QComplexTensor):
+            # real op complex: defer to QComplexTensor's reflected
+            # operators (rc_mul/rc_add/rc_sub, QuBLAS.h:3600-3663)
+            return NotImplemented
         from .ops import elementwise
 
         return getattr(elementwise, name)(self, other)
@@ -219,22 +225,44 @@ def from_raw(values: Any, fmt: QFormat, validate: bool = False) -> QTensor:
     given (the reference holds even 8-bit formats in int32 words).  Pass
     ``validate=True`` to assert values are within the format's storage range.
     """
-    arr = np.asarray(values, dtype=object)
-    flat = [int(v) for v in arr.reshape(-1)]
-    vmin = min(flat) if flat else 0
-    vmax = max(flat) if flat else 0
+    if isinstance(values, np.ndarray) and values.dtype != object \
+            and np.issubdtype(values.dtype, np.integer):
+        # numeric fast path (e.g. the native engine's int64 output, bench
+        # tensors): min/max at C speed, no per-element Python boxing
+        arr = values
+        empty = arr.size == 0
+        vmin = 0 if empty else int(arr.min())
+        vmax = 0 if empty else int(arr.max())
+
+        def as_object():
+            return arr.astype(object)
+
+        def as_lanes(dt):
+            return np.ascontiguousarray(arr, dtype=dt)
+    else:
+        arr = np.asarray(values, dtype=object)
+        flat = [int(v) for v in arr.reshape(-1)]
+        empty = not flat
+        vmin = min(flat) if flat else 0
+        vmax = max(flat) if flat else 0
+
+        def as_object():
+            return arr
+
+        def as_lanes(dt):
+            return np.array(flat, dtype=dt).reshape(arr.shape)
     if validate:
-        if flat and (vmin < fmt.raw_min or vmax > fmt.raw_max):
+        if not empty and (vmin < fmt.raw_min or vmax > fmt.raw_max):
             raise ValueError(
                 f"raw values [{vmin},{vmax}] exceed storage of {fmt}")
     kind = storage_kind(fmt)
     if kind is None:
-        return QTensor(arr, fmt)
+        return QTensor(as_object(), fmt)
     if kind == "pair":
-        if flat and (vmin < -(1 << 63) or vmax >= (1 << 63)):
+        if not empty and (vmin < -(1 << 63) or vmax >= (1 << 63)):
             # beyond the 64-bit machine word: keep exact host ints (the
             # fill(int) wart stores raw values as given)
-            return QTensor(arr, fmt)
+            return QTensor(as_object(), fmt)
         from .ops.wideint import pair_from_int64_np
 
         return QTensor(pair_from_int64_np(arr), fmt)
@@ -244,16 +272,16 @@ def from_raw(values: Any, fmt: QFormat, validate: bool = False) -> QTensor:
 
         K = limb_count(fmt)
         word = 1 << (32 * K - 1)
-        if flat and (vmin < -word or vmax >= word):
+        if not empty and (vmin < -word or vmax >= word):
             # fill(int) wart beyond the storage word: keep exact host ints
-            return QTensor(arr, fmt)
+            return QTensor(as_object(), fmt)
         return QTensor(LimbArray(limbs_from_ints(arr, K)), fmt)
     floor_dt = dtype_for(fmt)
     dt = _min_dtype_for_values(vmin, vmax, floor_dt)
     if dt is None:
         # values exceed int32 lanes: keep host-side
-        return QTensor(arr, fmt)
-    return QTensor(jnp.asarray(np.array(flat, dtype=dt).reshape(arr.shape)), fmt)
+        return QTensor(as_object(), fmt)
+    return QTensor(jnp.asarray(as_lanes(dt)), fmt)
 
 
 def from_float(values: Any, fmt: QFormat) -> QTensor:

@@ -417,3 +417,109 @@ def test_sharded_cgemul_mn_host_route_raises_cleanly():
     ca = QComplexTensor(re, im)
     with pytest.raises(ValueError, match="outgrows device lanes"):
         sharded_cgemul_mn(ca, ca, (fw, fw), mesh)
+
+
+def test_qapprox_breakpoint_compares_rounded_double():
+    """The reference selects segments by input.toDouble() < breakpoint —
+    the ROUNDED double.  raw = 2^60 - 1 rounds to exactly 2^60, so it must
+    NOT take a segment with breakpoint 2^60 (exact-rational compare said
+    it did).  All three storage kinds vs the host oracle."""
+    cases = [
+        (qformat(59, 0), 64, [(1 << 60) - 1, (1 << 59) - 1, 5]),   # pair
+        (qformat(89, 0), 96, [(1 << 90) - 1, (1 << 60) - 1, 5]),   # limb
+    ]
+    for f, _, raws in cases:
+        x = from_raw(np.array(raws, dtype=object), f)
+        assert not x.is_host
+        bp = float(2 ** (raws[0].bit_length()))  # = rounded(raws[0])
+        segs = [anus.Segment(bp, [scalar(1.0, f)]),
+                anus.Segment(float("inf"), [scalar(2.0, f)])]
+        dev = anus.qapprox(x, segs)
+        host = anus.qapprox(from_raw(np.array(raws, dtype=object),
+                                     qformat(300, 0)), segs)
+        got = [int(v) for v in np.asarray(dev.raw(), dtype=object)]
+        want = [int(v) for v in np.asarray(host.raw(), dtype=object)]
+        assert got == want, (f, got, want)
+    # lane storage can't hold >53-bit raws, but the bisected threshold must
+    # still agree with the oracle on exact-boundary comparisons
+    f = qformat(20, 8)
+    x = from_raw([256, 255, -300], f)
+    segs = [anus.Segment(1.0, [scalar(1.0, f)]),
+            anus.Segment(float("inf"), [scalar(2.0, f)])]
+    dev = anus.qapprox(x, segs)
+    host = anus.qapprox(from_raw(np.array([256, 255, -300], dtype=object),
+                                 qformat(300, 8)), segs)
+    np.testing.assert_array_equal(np.asarray(dev.raw(), dtype=np.int64),
+                                  np.asarray(host.raw(), dtype=object)
+                                  .astype(np.int64))
+
+
+def test_requant_stats_wide_shift_and_int32_min():
+    """d >= 32 must route to the exact host evaluation (the lane path's
+    shift would assert/UB), and max_abs must survive INT32_MIN (jnp.abs
+    wraps on int32 lanes)."""
+    from qublas_tpu import diagnostics
+
+    # shift distance 32: host route, counts match a hand computation
+    x = from_raw([3, -(1 << 20), 0], QFormat(-1, 32))
+    st = diagnostics.requant_stats(x, QFormat(32, 0, True,
+                                              RoundMode.RND_POS_INF,
+                                              OverflowMode.SAT_TCPL))
+    assert int(st.total) == 3
+    assert int(st.rounded) == 2          # 3 and -(1<<20) drop nonzero bits
+    # INT32_MIN magnitude: 2^31, not the wrapped negative
+    y = from_raw([-(1 << 31), 5], QFormat(15, 16))
+    st2 = diagnostics.requant_stats(y, QFormat(15, 16))
+    assert int(st2.max_abs) == 1 << 31
+
+
+def test_checkpoint_dotted_keys_do_not_collide(tmp_path):
+    """{'a.b': t1, 'a': {'b': t2}} used to produce the same array key and
+    silently overwrite one tensor with the other."""
+    from qublas_tpu import checkpoint
+
+    f = qformat(3, 4)
+    t1 = from_raw([1, 2, 3], f)
+    t2 = from_raw([9, 8, 7], f)
+    p = str(tmp_path / "c.npz")
+    checkpoint.save(p, {"a.b": t1, "a": {"b": t2}})
+    r = checkpoint.load(p)
+    np.testing.assert_array_equal(np.asarray(r["a.b"].raw()), [1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(r["a"]["b"].raw()), [9, 8, 7])
+
+
+def test_real_op_complex_dispatches_reflected():
+    """r * c / r + c / r - c must reach rc_mul/rc_add/rc_sub
+    (QuBLAS.h:3600-3663), not crash inside QTensor's elementwise coercion."""
+    from qublas_tpu import complex as qc
+    from qublas_tpu.qtensor import from_float
+
+    f = qformat(6, 6)
+    r = from_float([2.0, -1.5], f)
+    c = qc.QComplexTensor(from_float([1.0, 3.0], f),
+                          from_float([0.5, -2.0], f))
+    got = r * c
+    want = qc.rc_mul(r, c)
+    np.testing.assert_array_equal(np.asarray(got.real.raw()),
+                                  np.asarray(want.real.raw()))
+    np.testing.assert_array_equal(np.asarray(got.imag.raw()),
+                                  np.asarray(want.imag.raw()))
+    gs = r - c
+    ws = qc.rc_sub(r, c)
+    np.testing.assert_array_equal(np.asarray(gs.real.raw()),
+                                  np.asarray(ws.real.raw()))
+    ga = r + c
+    wa = qc.rc_add(r, c)
+    np.testing.assert_array_equal(np.asarray(ga.imag.raw()),
+                                  np.asarray(wa.imag.raw()))
+
+
+def test_from_bits_scalar_validates_length():
+    from qublas_tpu import bitstream
+
+    f = qformat(3, 4)  # width 8
+    with pytest.raises(ValueError, match="expected 8"):
+        bitstream.from_bits("1" * 11, f)
+    with pytest.raises(ValueError, match="expected 8"):
+        bitstream.from_bits("101", f)
+    assert int(bitstream.from_bits("00000101", f).raw()) == 5
