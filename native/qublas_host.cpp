@@ -45,6 +45,18 @@ struct Fmt {
 inline i128 frac_convert(i128 val, int d, int mode) {
     // d = from_frac - to_frac
     if (d <= 0) return val << (-d);
+    if (d >= 127) {
+        // every value bit shifts out (|val| < 2^126 by the caller's
+        // envelope): xh is the sign fill, and the dropped fraction
+        // compares to the 2^(d-1) tie threshold by sign alone (negative:
+        // strictly above; non-negative: strictly below).  i128 shifts by
+        // >= 128 and (1 << d) at d >= 127 are UB — never build them.
+        switch (mode) {
+        case TRN_TCPL: return val < 0 ? i128(-1) : i128(0);
+        case TRN_SMGN: return 0;          // -((-val) >> d) == 0
+        default:       return 0;          // RND: -1 + carry(1) or 0 + 0
+        }
+    }
     i128 xh = val >> d;               // arithmetic shift (floor)
     i128 xl = val & ((i128(1) << d) - 1);
     i128 t = i128(1) << (d - 1);
@@ -188,7 +200,9 @@ void qh_div(const int64_t *a, const int64_t *b, int64_t *out, size_t n,
     int s = sa + to->frac_bits;
     for (size_t i = 0; i < n; ++i) {
         if (b[i] == 0) { out[i] = 0; continue; }
-        i128 num = s >= 0 ? ((i128)a[i] << s) : ((i128)a[i] >> (-s));
+        i128 num = s >= 0 ? ((i128)a[i] << s)
+                          : (-s >= 127 ? (a[i] < 0 ? i128(-1) : i128(0))
+                                       : ((i128)a[i] >> (-s)));
         i128 den = (i128)b[i] << sb;
         i128 q = num / den;  // C++ division truncates toward zero
         out[i] = (int64_t)int_convert(q, *to);

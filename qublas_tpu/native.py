@@ -265,24 +265,28 @@ def binary_op(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
     ea = max(_eff_width(fa), _value_bits(a_raws))
     eb = max(_eff_width(fb), _value_bits(b_raws))
     if ea > 64 or eb > 64 or to.storage_bits > 64:
-        return binary_op_wide(op, a_raws, b_raws, fa, fb, to)
+        return binary_op_wide(op, a_raws, b_raws, fa, fb, to,
+                              sa_bits=ea, sb_bits=eb)
     a, b = _i64(a_raws), _i64(b_raws)
     if a is None or b is None:
-        return binary_op_wide(op, a_raws, b_raws, fa, fb, to)
+        return binary_op_wide(op, a_raws, b_raws, fa, fb, to,
+                              sa_bits=ea, sb_bits=eb)
     a, b = np.broadcast_arrays(a, b)
     a = np.ascontiguousarray(a)
     b = np.ascontiguousarray(b)
     out = np.empty_like(a)
     if op == "mul":
         if not _requant_fits(ea + eb, fa.frac_bits + fb.frac_bits, to):
-            return binary_op_wide(op, a_raws, b_raws, fa, fb, to)
+            return binary_op_wide(op, a_raws, b_raws, fa, fb, to,
+                              sa_bits=ea, sb_bits=eb)
         lib.qh_mul(_ptr(a), _ptr(b), _ptr(out), a.size, fa.frac_bits,
                    fb.frac_bits, ctypes.byref(_fmt(to)))
     elif op in ("add", "sub"):
         f = max(fa.frac_bits, fb.frac_bits)
         src = max(ea + f - fa.frac_bits, eb + f - fb.frac_bits) + 1
         if not _requant_fits(src, f, to):
-            return binary_op_wide(op, a_raws, b_raws, fa, fb, to)
+            return binary_op_wide(op, a_raws, b_raws, fa, fb, to,
+                              sa_bits=ea, sb_bits=eb)
         lib.qh_addsub(_ptr(a), _ptr(b), _ptr(out), a.size, fa.frac_bits,
                       fb.frac_bits, 1 if op == "sub" else 0,
                       ctypes.byref(_fmt(to)))
@@ -300,14 +304,21 @@ def binary_op(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
 
 
 def binary_op_wide(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
-                   to: QFormat) -> Optional[np.ndarray]:
+                   to: QFormat, sa_bits: Optional[int] = None,
+                   sb_bits: Optional[int] = None) -> Optional[np.ndarray]:
     """Compiled multiword elementwise ops — the reference's 200-bit test
-    territory (test/ArbiInt grids) at C speed instead of the Python loop."""
+    territory (test/ArbiInt grids) at C speed instead of the Python loop.
+
+    ``sa_bits``/``sb_bits`` let :func:`binary_op` pass its already-computed
+    value widths (``_value_bits`` is an O(n) Python pass over object raws —
+    don't do it twice)."""
     lib = get_lib()
     if lib is None or op == "div":  # multiword division stays on Python ints
         return None
-    sa_bits = max(_eff_width(fa), _value_bits(a_raws))
-    sb_bits = max(_eff_width(fb), _value_bits(b_raws))
+    if sa_bits is None:
+        sa_bits = max(_eff_width(fa), _value_bits(a_raws))
+    if sb_bits is None:
+        sb_bits = max(_eff_width(fb), _value_bits(b_raws))
     if op == "mul":
         if not _w_requant_fits(sa_bits + sb_bits,
                                fa.frac_bits + fb.frac_bits, to):

@@ -63,8 +63,10 @@ def _s_addsub(x: _Step, y: _Step, to, sub: bool) -> Optional[_Step]:
 
 
 def _single_default(*specs):
-    given = [s for s in specs if s is not None]
-    return given[0] if len(given) == 1 else None
+    """Delegates to the oracle's tag-quirk rule (single source)."""
+    from .. import hostops
+
+    return hostops.single_tag_default(*specs)
 
 
 def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
@@ -237,9 +239,11 @@ def _part_formats(spec):
 
 
 def _split_layers(add_formats):
-    if isinstance(add_formats, QFormat) or (
-            isinstance(add_formats, tuple) and len(add_formats) == 2
-            and all(isinstance(x, QFormat) for x in add_formats)):
+    """Per-layer specs: each entry is a QFormat (both parts) or an inner
+    ``(real_fmt, imag_fmt)`` pair.  A bare tuple of QFormats is a list of
+    LAYERS (matching qgemul's add_formats and the hostops.cgemul oracle) —
+    a single per-part layer must be written ``((r, i),)``."""
+    if isinstance(add_formats, QFormat):
         add_formats = (add_formats,)
     reals, imags = [], []
     for spec in add_formats:

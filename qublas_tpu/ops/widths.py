@@ -116,9 +116,19 @@ def requant_out_interval(iv: Interval, from_frac: int, fmt: QFormat):
         word_iv = fmt_interval(fmt)
         out = rounded if (rounded.lo >= word_iv.lo
                           and rounded.hi <= word_iv.hi) else word_iv
+    elif fmt.overflow_mode == OverflowMode.WRP_TCPL:
+        # wrap is NOT a clamp: any overflowing side can land anywhere in
+        # the format range, so the sound interval is identity-if-contained
+        # else the full range (an intersection under-approximates and
+        # would unsoundly pass downstream fits32/limb-width proofs)
+        lo = fmt.raw_min if fmt.signed else 0
+        out = rounded if (rounded.lo >= lo and rounded.hi <= fmt.raw_max) \
+            else Interval(lo, fmt.raw_max)
     else:
-        out = Interval(max(rounded.lo, fmt.raw_min), min(rounded.hi, fmt.raw_max))
-        if fmt.overflow_mode != OverflowMode.WRP_TCPL and not fmt.signed:
+        # SAT modes: a true clamp
+        out = Interval(max(rounded.lo, fmt.raw_min),
+                       min(rounded.hi, fmt.raw_max))
+        if not fmt.signed:
             out = Interval(max(out.lo, 0), max(out.hi, 0))
     return out, intermediates
 

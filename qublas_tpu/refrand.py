@@ -202,7 +202,14 @@ def reference_shuffle(t, gen: MT19937 | None = None):
     flat = [int(v) for v in np.asarray(t.raw(), dtype=object).reshape(-1)]
     n = len(flat)
     if n > 1:
-        assert n * n <= _M32, "reference shuffle replica covers n^2 < 2^32"
+        if n * n > _M32:
+            # libstdc++ std::shuffle switches off the two-swap
+            # __gen_two_uniform_ints path beyond this point; silently
+            # running the replica would produce a non-reference stream
+            # (a bare assert would vanish under python -O)
+            raise ValueError(
+                "reference shuffle replica covers n^2 < 2^32 "
+                f"(n={n}); use numpy shuffling for larger tensors")
         i = 1
         if n % 2 == 0:
             j = _uniform_below(g, 2)

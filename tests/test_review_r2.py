@@ -523,3 +523,95 @@ def test_from_bits_scalar_validates_length():
     with pytest.raises(ValueError, match="expected 8"):
         bitstream.from_bits("101", f)
     assert int(bitstream.from_bits("00000101", f).raw()) == 5
+
+
+def test_i128_engine_extreme_shifts():
+    """Requantize shifts d >= 127 through the narrow (i128) native engine:
+    shifting __int128 by >= 128 is UB (x86 wraps the count) and returned
+    garbage before the guard.  All modes vs the exact host model."""
+    from qublas_tpu import hostint
+
+    src = QFormat(-120, 150)
+    vals = [123456789, -987654321, (1 << 30) - 1, -(1 << 30), 0]
+    for rm in RoundMode:
+        dst = QFormat(8, 8, True, rm, OverflowMode.SAT_TCPL)
+        res = native.requantize(np.array(vals, dtype=np.int64), src, dst)
+        if res is None:
+            continue
+        for v, g in zip(vals, res):
+            want = hostint.int_convert(
+                hostint.frac_convert(v, 150, 8, rm), dst)
+            assert int(g) == want, (rm, v, int(g), want)
+    # the production qmul route (host pair, d=152) and qdiv (num >> 144)
+    f = QFormat(-50, 80)
+    a = from_raw([5, -7, 1 << 29, -(1 << 29)], f)
+    b = from_raw([3, 11, -13, 17], f)
+    r = ew.qmul(a, b, to=QFormat(8, 8))
+    for x, y, g in zip([5, -7, 1 << 29, -(1 << 29)], [3, 11, -13, 17],
+                       np.asarray(r.raw(), dtype=object).reshape(-1)):
+        assert int(g) == hostops.qmul((x, f), (y, f), to=QFormat(8, 8))[0]
+    fd = QFormat(10, 4)
+    to = QFormat(200, -140, True, RoundMode.TRN_TCPL, OverflowMode.SAT_TCPL)
+    rr = ew.qdiv(from_raw([100, -100, 7], fd), from_raw([3, 7, -2], fd),
+                 to=to)
+    for x, y, g in zip([100, -100, 7], [3, 7, -2],
+                       np.asarray(rr.raw(), dtype=object).reshape(-1)):
+        assert int(g) == hostops.qdiv((x, fd), (y, fd), to=to)[0]
+
+
+def test_cgemul_two_format_tuple_means_two_layers():
+    """add_formats=(QF1, QF2) is TWO tree layers (each applied to both
+    parts), matching qgemul and the hostops oracle — the device path used
+    to read it as one (real, imag) pair and silently diverged."""
+    from qublas_tpu.complex import QComplexTensor
+    from qublas_tpu.ops.cgemm import cgemul
+    from qublas_tpu.qtensor import from_float
+
+    rng = np.random.RandomState(3)
+    f = qformat(4, 4)
+    k = 3
+
+    def rq(shape):
+        return from_raw(rng.randint(f.raw_min, f.raw_max + 1, shape), f)
+
+    a = QComplexTensor(rq((2, k)), rq((2, k)))
+    b = QComplexTensor(rq((k, 2)), rq((k, 2)))
+    layers = (qformat(3, 2), qformat(9, 6))  # lossy layer 0: order matters
+    out = qformat(6, 4)
+    dev = cgemul(a, b, out, algo="basic", add_formats=layers)
+
+    def rows(c):
+        re = np.asarray(c.real.raw())
+        im = np.asarray(c.imag.raw())
+        return [[((int(re[i, j]), c.real.fmt), (int(im[i, j]), c.imag.fmt))
+                 for j in range(re.shape[1])] for i in range(re.shape[0])]
+
+    host = hostops.cgemul(rows(a), rows(b), out, algo="basic",
+                          add_formats=layers)
+    for i in range(2):
+        for j in range(2):
+            assert int(np.asarray(dev.real.raw())[i, j]) == host[i][j][0][0]
+            assert int(np.asarray(dev.imag.raw())[i, j]) == host[i][j][1][0]
+
+
+def test_wrp_tcpl_out_interval_is_sound():
+    """requant_out_interval must not model signed WRP_TCPL as a clamp: an
+    overflowing side wraps anywhere in the format range."""
+    from qublas_tpu.ops.widths import Interval, requant_out_interval
+
+    fmt = QFormat(10, 4, True, RoundMode.TRN_TCPL, OverflowMode.WRP_TCPL)
+    # an all-positive interval overflowing raw_max: wrapped values reach
+    # raw_min, so the sound interval is the full format range
+    out, _ = requant_out_interval(Interval(0, 1 << 40), 4, fmt)
+    assert out.lo == fmt.raw_min and out.hi == fmt.raw_max
+    # contained interval stays tight (identity)
+    out2, _ = requant_out_interval(Interval(5, 100), 4, fmt)
+    assert (out2.lo, out2.hi) == (5, 100)
+
+
+def test_reference_shuffle_raises_beyond_envelope():
+    from qublas_tpu import refrand
+
+    big = from_raw(np.zeros(70000, dtype=np.int64), qformat(3, 4))
+    with pytest.raises(ValueError, match="n\\^2 < 2\\^32"):
+        refrand.reference_shuffle(big, gen=refrand.MT19937(1))
