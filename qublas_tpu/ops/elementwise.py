@@ -78,6 +78,8 @@ def _host_binary(fn, a: QTensor, b: QTensor, **kw) -> QTensor:
     for x, y in zip(A.reshape(-1), B.reshape(-1)):
         r, out_fmt = fn((int(x), fa), (int(y), fb), **kw)
         out_raw.append(r)
+    if out_fmt is None:  # empty operands: probe the statically-known format
+        _, out_fmt = fn((0, fa), (0, fb), **kw)
     return from_raw(np.array(out_raw, dtype=object).reshape(A.shape), out_fmt)
 
 
@@ -86,6 +88,8 @@ def _host_unary(fn, a: QTensor) -> QTensor:
     for x in np.asarray(a.raw(), dtype=object).reshape(-1):
         r, out_fmt = fn((int(x), a.fmt))
         out_raw.append(r)
+    if out_fmt is None:  # empty operand: probe the statically-known format
+        _, out_fmt = fn((0, a.fmt))
     return from_raw(np.array(out_raw, dtype=object).reshape(a.shape), out_fmt)
 
 

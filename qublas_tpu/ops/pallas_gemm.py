@@ -121,6 +121,15 @@ def qgemul_fast(a: QTensor, b: QTensor, out_fmt: QFormat, plan,
                 interpret: Optional[bool] = None) -> QTensor:
     """Exact-accumulation GEMM as a Pallas kernel (caller supplies the
     :class:`~qublas_tpu.ops.gemm.ExactPlan` proof)."""
+    if a.ndim != 2 or b.ndim != 2 or a.shape[0] % _BM \
+            or b.shape[1] % _BN or a.shape[1] % _BK:
+        # the grid floor-divides by the tile sizes: remainder tiles would
+        # simply never be written (uninitialized output, no error) — a
+        # forced use_pallas=True must fail loudly instead
+        raise ValueError(
+            f"Pallas GEMM needs 2-D operands with shapes divisible by "
+            f"tiles ({_BM}, {_BK}) x ({_BK}, {_BN}); got "
+            f"{a.shape} @ {b.shape} — use use_pallas=False/None")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     x, y = a.data, b.data

@@ -154,17 +154,26 @@ def plan_tree(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
         tail_iv, _ = requant_out_interval(level_ivs[l], cur.frac_bits, lf)
         level_ivs.append(union(pair_iv, tail_iv))
 
-    # drain schedule: combine the leftover slots (binary repr of k),
-    # lowest level first, converting through layers passed without a merge.
-    # Invariant: a carry entering layer l always has format level_fmts[l].
-    drain = []
-    carry_active = False
+    # drain schedule: the binary-carry ragged edge comes from drain_ops
+    # (single source of truth — tree_gemm_scan/_blocked and the streaming
+    # wide GEMM all execute this schedule); the route proofs layer over
+    # the returned ops.  Invariant: a carry entering layer l always has
+    # format level_fmts[l].
+    drain = drain_ops(k, levels)
     carry_iv = None
-    occupied = [bool(k & (1 << l)) for l in range(levels)]
     cur_fmt = level_fmts[0]
-    for l in range(levels):
-        remaining_above = any(occupied[l + 1:])
-        if occupied[l] and carry_active:
+    for op, l in drain:
+        if op == "seed":
+            cur_fmt = level_fmts[l]
+            carry_iv = level_ivs[l]
+        elif op == "convert":
+            if route_requant(carry_iv, cur_fmt.frac_bits,
+                             merge_fmts[l]) != "i32":
+                return None
+            carry_iv, _ = requant_out_interval(carry_iv, cur_fmt.frac_bits,
+                                               merge_fmts[l])
+            cur_fmt = merge_fmts[l]
+        else:  # add: slot l (format level_fmts[l]) merges with the carry
             s = level_ivs[l] + carry_iv
             if not s.fits32:
                 return None
@@ -173,24 +182,7 @@ def plan_tree(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
                 return None
             carry_iv, _ = requant_out_interval(s, level_fmts[l].frac_bits,
                                                merge_fmts[l])
-            drain.append(("add", l))
             cur_fmt = merge_fmts[l]
-        elif occupied[l] or carry_active:
-            if occupied[l]:
-                drain.append(("seed", l))
-                cur_fmt = level_fmts[l]
-                carry_iv = level_ivs[l]
-            if remaining_above:
-                if route_requant(carry_iv, cur_fmt.frac_bits,
-                                 merge_fmts[l]) != "i32":
-                    return None
-                carry_iv, _ = requant_out_interval(
-                    carry_iv, cur_fmt.frac_bits, merge_fmts[l])
-                drain.append(("convert", l))
-                cur_fmt = merge_fmts[l]
-            carry_active = True
-        if not remaining_above and carry_active:
-            break
     final_fmt = cur_fmt
     if route_requant(carry_iv, final_fmt.frac_bits, out_fmt) != "i32":
         return None
@@ -348,7 +340,6 @@ import os
 _BM = int(os.environ.get("QUBLAS_TREE_BM", "128"))
 _BN = int(os.environ.get("QUBLAS_TREE_BN", "256"))
 _BLK = int(os.environ.get("QUBLAS_TREE_BLK", "32"))
-_VMEM_CAP = 12 * 1024 * 1024
 
 
 def _clamp_tiles(m: int, n: int, bm: int, bn: int):
@@ -360,19 +351,6 @@ def _clamp_tiles(m: int, n: int, bm: int, bn: int):
     while bn > 8 and n % bn:
         bn //= 2
     return bm, bn
-
-
-def pallas_tree_ok(m: int, n: int, k: int, plan: TreePlan,
-                   ndim_a: int, ndim_b: int) -> bool:
-    if ndim_a != 2 or ndim_b != 2:
-        return False
-    if m % _BM or n % _BN:
-        return False
-    # VMEM: A panel + B panel + slot stack + out tile (int32)
-    need = 4 * (_BM * k + k * _BN + plan.levels * _BM * _BN + _BM * _BN)
-    if plan.prod_route == "pair":
-        need += 4 * 2 * _BM * _BN
-    return need <= _VMEM_CAP
 
 
 def tree_gemm_blocked(a_data, b_data, plan: TreePlan, out_fmt: QFormat,

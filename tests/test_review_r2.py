@@ -615,3 +615,44 @@ def test_reference_shuffle_raises_beyond_envelope():
     big = from_raw(np.zeros(70000, dtype=np.int64), qformat(3, 4))
     with pytest.raises(ValueError, match="n\\^2 < 2\\^32"):
         refrand.reference_shuffle(big, gen=refrand.MT19937(1))
+
+
+def test_forced_pallas_rejects_non_tile_shapes():
+    """use_pallas=True with non-tile-multiple shapes used to return
+    uninitialized output (the grid floor-divides); it must raise."""
+    from qublas_tpu.ops.gemm import qgemul
+
+    f7 = qformat(7, 0)
+    A = from_raw(np.ones((64, 256), dtype=int), f7)
+    B = from_raw(np.ones((256, 64), dtype=int), f7)
+    with pytest.raises(ValueError, match="divisible by"):
+        qgemul(A, B, qformat(20, 0), mul_to=qformat(16, 0),
+               add_formats=(qformat(30, 0),), use_pallas=True)
+
+
+def test_host_binary_empty_operands():
+    """Zero-size host-route operands must produce an empty tensor with the
+    statically-derived output format (the per-element loop never runs)."""
+    f300 = qformat(250, 60)   # >256-bit storage: host route
+    e = from_raw(np.empty((0,), dtype=object), f300)
+    r = ew.qmul(e, e)
+    assert r.shape == (0,)
+    want_fmt = ew.qmul(from_raw(np.array([1], dtype=object), f300),
+                       from_raw(np.array([1], dtype=object), f300)).fmt
+    assert r.fmt == want_fmt
+    u = ew.qneg(e)
+    assert u.shape == (0,) and u.fmt is not None
+
+
+def test_plan_tree_drain_matches_drain_ops():
+    """plan_tree's drain schedule must be drain_ops' output verbatim for
+    every k (single source of the binary-carry ragged edge)."""
+    from qublas_tpu.ops.tree_gemm import drain_ops, plan_tree
+    from qublas_tpu.qformat import mul_merge
+
+    f = qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO)
+    for k in list(range(1, 40)) + [63, 64, 65, 100, 512]:
+        plan = plan_tree(f, f, mul_merge(f, f), (), k, f)
+        if plan is None:
+            continue
+        assert list(plan.drain) == drain_ops(k, plan.levels), k
