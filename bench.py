@@ -79,6 +79,7 @@ def bench_tree_gemm():
     b = jnp.asarray(rng.randint(f.raw_min, f.raw_max + 1, (k, n),
                                 dtype=np.int64).astype(np.int32))
     plan = tree_gemm.plan_tree(f, f, mul_merge(f, f), (), k, f)
+    assert plan is not None, "canonical config must stay on the device tree"
     RG = 16
 
     # chain iterations INSIDE jit (fori_loop) so one dispatch covers RG
@@ -128,23 +129,24 @@ def bench_reduce():
     x = jnp.asarray(rng.randint(f.raw_min, f.raw_max + 1, (B, n),
                                 dtype=np.int64).astype(np.int8))
 
-    @jax.jit
-    def red(x_data, _unused):
-        return qreduce(QTensor(x_data, f), layers, axis=1).data
+    RG = 16
 
-    @jax.jit
-    def baseline(x_data, _unused):
-        return jnp.sum(x_data.astype(jnp.int32), axis=1)
-
+    # chain RG iterations INSIDE jit (one dispatch covers them — the
+    # ~4 MB reduce is otherwise tunnel-dispatch-bound, CLAUDE.md): the [B]
+    # result folds back into the input as a zero-contribution term
     def chain(fn):
-        # dependency trick: fold the [B] result back into the input
+        @jax.jit
         def f2(x_data, _):
-            y = fn(x_data, None)
-            return x_data + (y[:, None] * 0).astype(x_data.dtype)
+            def body(i, xd):
+                y = fn(xd)
+                return xd + (y[:, None] * 0).astype(xd.dtype)
+            return jax.lax.fori_loop(0, RG, body, x_data)
         return f2
 
-    t_r = _time(chain(red), x, None, iters=32)
-    t_b = _time(chain(baseline), x, None, iters=32)
+    red = chain(lambda xd: qreduce(QTensor(xd, f), layers, axis=1).data)
+    baseline = chain(lambda xd: jnp.sum(xd.astype(jnp.int32), axis=1))
+    t_r = _time(red, x, None, iters=4) / RG
+    t_b = _time(baseline, x, None, iters=4) / RG
     elems = float(B * n)
     print(json.dumps({
         "metric": "qreduce_layered_gelems",

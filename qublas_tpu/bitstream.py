@@ -153,7 +153,11 @@ def from_bits(bits: str, fmt: QFormat, shape=None, tensor_order=None,
             raise ValueError(
                 f"bit string holds {len(filtered)} bits; expected {n}x{width}")
         chunks = [filtered[i * width:(i + 1) * width] for i in range(n)]
-        chunks = _reorder(chunks, tensor_order)
+        if shape != ():
+            # 0-d tensors have no tensor-level ordering, mirroring
+            # to_bits' scalar path (QuBLAS.h:4800-4805) — applying a
+            # chunked order to the single element would not round-trip
+            chunks = _reorder(chunks, tensor_order)
         chunks = ["".join(_reorder(c, elem_order)) for c in chunks]
         raws = [parse_elem(c, tc) for c in chunks]
     return from_raw(np.array(raws, dtype=object).reshape(shape), fmt)

@@ -196,19 +196,31 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
     if isinstance(add_formats, QFormat):
         add_formats = (add_formats,)
     add_formats = tuple(add_formats)
+    # apply transposes up front: the strategy functions shard and compute
+    # on the effective operands (and auto's K must be the post-transpose
+    # contraction dim)
+    ta, tb = kw.pop("transpose_a", False), kw.pop("transpose_b", False)
+    if ta or tb:
+        from ..ops.gemm import _transpose
+
+        a, b = _transpose(a, ta), _transpose(b, tb)
     if strategy == "auto":
         if a.ndim > 2:
             strategy = "dp"
         else:
+            from ..ops.gemm import _device_epilogue_ok
+
             mul_fmt = mul_merge(a.fmt, b.fmt, mul_to,
                                 kw.get("mul_full_prec", False))
             plan = exact_plan(a.fmt, b.fmt, mul_fmt, add_formats,
                               a.shape[-1])
-            # K needs int32 partial dots + a lane output on top of the
-            # lossless proof (wide configs can be lossless yet not fit)
+            # K needs int32 partial dots + the full int32-lane epilogue
+            # proof (the same gate as the single-chip MXU fast path) +
+            # a tp-divisible contraction dim; otherwise mn is always valid
             strategy = "k" if (plan is not None
-                               and plan.dot_interval.fits32
-                               and dtype_for(out_fmt) is not None) else "mn"
+                               and _device_epilogue_ok(plan, out_fmt)
+                               and a.shape[-1] % mesh.shape["tp"] == 0) \
+                else "mn"
     if strategy == "k":
         return sharded_qgemul_k(a, b, out_fmt, mesh, mul_to=mul_to,
                                 add_formats=add_formats, **kw)
@@ -241,7 +253,9 @@ def sharded_qgemul_mn(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
     b = _device_put(b, mesh, P(None, "tp"))
     in_a = _in_spec(a, P("dp", None))
     in_b = _in_spec(b, P(None, "tp"))
-    out_s = _out_spec(out_fmt, P("dp", "tp"))
+    lut = kw.get("epilogue_lut")
+    res_fmt = lut.out_fmt if lut is not None else out_fmt
+    out_s = _out_spec(res_fmt, P("dp", "tp"))
     fa, fb = a.fmt, b.fmt
 
     def build():
@@ -254,7 +268,7 @@ def sharded_qgemul_mn(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
 
     fn = _cached(("mn", fa, fb, out_fmt, mul_to, add_formats, _freeze(kw),
                   mesh, in_a, in_b, out_s), build)
-    return QTensor(fn(a.data, b.data), out_fmt)
+    return QTensor(fn(a.data, b.data), res_fmt)
 
 
 # ---------------------------------------------------------------------------
@@ -263,8 +277,8 @@ def sharded_qgemul_mn(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
 
 def sharded_qgemul_k(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                      mul_to=None, add_formats=(), mul_full_prec=False,
-                     reduce_scatter: bool = False, epilogue_lut=None,
-                     **kw) -> QTensor:
+                     reduce_scatter: bool = False,
+                     epilogue_lut=None) -> QTensor:
     """Shard the contraction dim over ``tp``.  Each chip computes a partial
     int32 dot on its K-slice (MXU), then partials sum over ICI — ``psum``
     (output replicated over tp) or ``psum_scatter`` (reduce-scatter, output
@@ -287,12 +301,26 @@ def sharded_qgemul_k(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
         raise ValueError("dot interval exceeds int32; use strategy='mn'")
     if k % tp:
         raise ValueError(f"K={k} not divisible by tp={tp}")
+    if reduce_scatter and b.shape[-1] % tp:
+        raise ValueError(
+            f"N={b.shape[-1]} not divisible by tp={tp} (reduce_scatter "
+            f"shards the output's N dim)")
 
     out_dtype = dtype_for(out_fmt)
     if out_dtype is None:
         raise ValueError(
             "K-sharding writes int32 lanes; this output format needs "
             "wider storage - use strategy='mn'")
+    from ..ops.widths import route_requant
+
+    if route_requant(plan.dot_interval, plan.prod_frac, out_fmt) != "i32":
+        # same epilogue gate as the single-chip MXU fast path: the
+        # requantize intermediates (e.g. an upshift toward a larger
+        # frac_bits) must provably fit int32 lanes, or the wrap would
+        # silently diverge from the oracle
+        raise ValueError(
+            "the requantize epilogue outgrows int32 lanes for this "
+            "config - use strategy='mn'")
     a = _device_put(a, mesh, P(None, "tp"))
     b = _device_put(b, mesh, P("tp", None))
     prod_frac = plan.prod_frac
@@ -361,6 +389,12 @@ def sharded_qgemul_k_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
         raise ValueError(
             "K-sharding writes int32 lanes; this output format needs "
             "wider storage - use strategy='mn'")
+    from ..ops.widths import route_requant
+
+    if route_requant(plan.dot_interval, plan.prod_frac, out_fmt) != "i32":
+        raise ValueError(
+            "the requantize epilogue outgrows int32 lanes for this "
+            "config - use strategy='mn'")
     a = _device_put(a, mesh, P(None, "tp"))
     b = _device_put(b, mesh, P("tp", None))
     perm = [(j, (j + 1) % tp) for j in range(tp)]
@@ -416,7 +450,9 @@ def sharded_qgemul_dp(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
     a = _device_put(a, mesh, spec_a)
     b = _device_put(b, mesh, spec_b)
     in_a, in_b = _in_spec(a, spec_a), _in_spec(b, spec_b)
-    out_s = _out_spec(out_fmt, spec_a)
+    lut = kw.get("epilogue_lut")
+    res_fmt = lut.out_fmt if lut is not None else out_fmt
+    out_s = _out_spec(res_fmt, spec_a)
     fa, fb = a.fmt, b.fmt
 
     def build():
@@ -429,7 +465,7 @@ def sharded_qgemul_dp(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
 
     fn = _cached(("dp", fa, fb, out_fmt, mul_to, add_formats, _freeze(kw),
                   mesh, in_a, in_b, out_s), build)
-    return QTensor(fn(a.data, b.data), out_fmt)
+    return QTensor(fn(a.data, b.data), res_fmt)
 
 
 # ---------------------------------------------------------------------------
@@ -448,13 +484,21 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     from ..ops.cgemm import _fast_cgemul, _part_formats, _split_layers
 
     if strategy == "auto":
-        orf, oif = _part_formats(out_fmt)
-        r_layers, i_layers = _split_layers(add_formats)
-        probe = _fast_cgemul(_crow(a, 0), _ccol(b, 0), orf, oif, algo,
-                             r_layers, i_layers, mul_tags,
-                             k_total=a.shape[-1])
-        strategy = "k" if probe is not None and \
-            a.shape[-1] % mesh.shape["tp"] == 0 else "mn"
+        # memoize the fast-path-proof verdict: it is static per config,
+        # and the eager 1-row x 1-col probe costs a device dispatch
+        key = _freeze(("cauto", a.real.fmt, a.imag.fmt, b.real.fmt,
+                       b.imag.fmt, out_fmt, algo, add_formats, mul_tags,
+                       a.shape[-1]))
+        ok = _PROBE_CACHE.get(key)
+        if ok is None:
+            orf, oif = _part_formats(out_fmt)
+            r_layers, i_layers = _split_layers(add_formats)
+            probe = _fast_cgemul(_crow(a, 0), _ccol(b, 0), orf, oif, algo,
+                                 r_layers, i_layers, mul_tags,
+                                 k_total=a.shape[-1])
+            ok = _PROBE_CACHE[key] = probe is not None
+        strategy = "k" if ok and a.shape[-1] % mesh.shape["tp"] == 0 \
+            else "mn"
     if strategy == "k":
         return sharded_cgemul_k(a, b, out_fmt, mesh, algo=algo,
                                 add_formats=add_formats, **mul_tags)
@@ -650,16 +694,36 @@ def sharded_qreduce(x: QTensor, layer_formats=(), axis: int = -1,
     red_axis = axis % x.ndim
     out_rank_spec = [s for i, s in enumerate(spec) if i != red_axis]
 
-    # probe the output format on a single lane (trace-time, host-side)
-    probe = qreduce(x[tuple(slice(0, 1) if i != red_axis else slice(None)
-                           for i in range(x.ndim))],
-                    layer_formats, axis=red_axis)
-    out_fmt = probe.fmt
-    if probe.is_host:
+    # probe the output format/storage on a single lane via eval_shape
+    # (trace-time only, memoized — no device dispatch per call)
+    key = _freeze(("qrprobe", x.fmt, layer_formats, x.shape[red_axis],
+                   x.is_limb, x.is_pair))
+    hit = _PROBE_CACHE.get(key)
+    if hit is False:
         raise ValueError(
             "this reduction outgrows device lanes (host route); "
             "sharded_qreduce cannot run it inside shard_map")
-    out_spec = P(None, *out_rank_spec) if probe.is_limb \
+    if hit is None:
+        slc = x[tuple(slice(0, 1) if i != red_axis else slice(None)
+                      for i in range(x.ndim))]
+        box = {}
+
+        def probe_fn(data):
+            r = qreduce(QTensor(data, x.fmt), layer_formats, axis=red_axis)
+            box["res"] = (r.fmt, r.is_limb)
+            return r.data
+
+        try:
+            jax.eval_shape(probe_fn, slc.data)
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError) as e:
+            _PROBE_CACHE[key] = False
+            raise ValueError(
+                "this reduction outgrows device lanes (host route); "
+                "sharded_qreduce cannot run it inside shard_map") from e
+        hit = _PROBE_CACHE[key] = box["res"]
+    out_fmt, out_is_limb = hit
+    out_spec = P(None, *out_rank_spec) if out_is_limb \
         else P(*out_rank_spec)
 
     fmt = x.fmt
@@ -708,6 +772,12 @@ def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTenso
         raise ValueError(
             "sharded_qreduce_k writes int32 lanes; this reduction's final "
             "format needs wider storage - use the batch-sharded form")
+    from ..ops.widths import route_requant
+
+    if route_requant(total_iv, x.fmt.frac_bits, final_fmt) != "i32":
+        raise ValueError(
+            "the requantize epilogue outgrows int32 lanes for this "
+            "config - use the batch-sharded form")
 
     xd = jax.device_put(x.data, NamedSharding(mesh, P("tp")))
     frac = x.fmt.frac_bits

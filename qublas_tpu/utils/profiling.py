@@ -42,13 +42,24 @@ def timeit_chained(fn: Callable, a, b, iters: int = 64) -> float:
 
 def roofline_report(fn: Callable, a, b, flops: float,
                     baseline_fn: Optional[Callable] = None,
-                    iters: int = 64) -> dict:
+                    iters: int = 64, ab_rounds: int = 2) -> dict:
     """Measured throughput of ``fn`` and fraction of a measured baseline
-    ceiling (e.g. the raw integer matmul for a quantized GEMM)."""
+    ceiling (e.g. the raw integer matmul for a quantized GEMM).
+
+    The two sides are measured in INTERLEAVED A/B rounds with best-of per
+    side: the tunneled chip's available throughput drifts between
+    congestion windows, and back-to-back loops would land that drift
+    directly in ``fraction_of_roofline`` (the round-1 bench failure mode —
+    see bench.py's main measurement)."""
     t = timeit_chained(fn, a, b, iters)
-    rep = {"seconds_per_call": t, "gops": flops / t / 1e9}
+    tb = None
     if baseline_fn is not None:
         tb = timeit_chained(baseline_fn, a, b, iters)
+        for _ in range(max(ab_rounds - 1, 0)):
+            t = min(t, timeit_chained(fn, a, b, iters))
+            tb = min(tb, timeit_chained(baseline_fn, a, b, iters))
+    rep = {"seconds_per_call": t, "gops": flops / t / 1e9}
+    if tb is not None:
         rep["baseline_gops"] = flops / tb / 1e9
         rep["fraction_of_roofline"] = tb / t
     return rep

@@ -656,3 +656,129 @@ def test_plan_tree_drain_matches_drain_ops():
         if plan is None:
             continue
         assert list(plan.drain) == drain_ops(k, plan.levels), k
+
+
+def _mesh8():
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual mesh")
+    from qublas_tpu.parallel import make_mesh
+
+    return make_mesh(dp=2, tp=4)
+
+
+def test_k_shard_requires_epilogue_lane_proof():
+    """An epilogue whose requantize intermediates outgrow int32 (upshift
+    toward a much larger frac_bits) must be rejected by the K strategies
+    and routed to mn by auto — the single-chip gate's missing mirror."""
+    from qublas_tpu.ops.gemm import qgemul
+    from qublas_tpu.parallel import (
+        shard_qgemul, sharded_qgemul_k, sharded_qgemul_k_pipelined,
+    )
+
+    mesh = _mesh8()
+    f8 = qformat(3, 4)
+    wide = qformat(20, 8)
+    out = qformat(1, 29)     # d = 8 - 29 = -21: x << 21 wraps int32 lanes
+    rng = np.random.RandomState(0)
+    A = from_raw(rng.randint(f8.raw_min, f8.raw_max + 1, (4, 8)), f8)
+    B = from_raw(rng.randint(f8.raw_min, f8.raw_max + 1, (8, 8)), f8)
+    with pytest.raises(ValueError, match="outgrows int32 lanes"):
+        sharded_qgemul_k(A, B, out, mesh, mul_to=wide, add_formats=(wide,))
+    with pytest.raises(ValueError, match="outgrows int32 lanes"):
+        sharded_qgemul_k_pipelined(A, B, out, mesh, mul_to=wide,
+                                   add_formats=(wide,))
+    # auto must fall back to mn and match the single-chip result
+    got = shard_qgemul(A, B, out, mesh, mul_to=wide, add_formats=(wide,))
+    ref = qgemul(A, B, out, mul_to=wide, add_formats=(wide,))
+    assert got.fmt == ref.fmt
+    g = np.asarray(got.raw(), dtype=object).reshape(-1)
+    w = np.asarray(ref.raw(), dtype=object).reshape(-1)
+    assert [int(v) for v in g] == [int(v) for v in w]
+
+
+def test_shard_qgemul_transposes_applied():
+    """transpose_a/b must transform the operands (the K path used to drop
+    them silently via **kw)."""
+    from qublas_tpu.ops.gemm import qgemul
+    from qublas_tpu.parallel import shard_qgemul
+
+    mesh = _mesh8()
+    f8 = qformat(3, 4)
+    wide = qformat(20, 8)
+    out = qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    rng = np.random.RandomState(1)
+    A = from_raw(rng.randint(f8.raw_min, f8.raw_max + 1, (8, 4)), f8)
+    B = from_raw(rng.randint(f8.raw_min, f8.raw_max + 1, (8, 8)), f8)
+    got = shard_qgemul(A, B, out, mesh, mul_to=wide, add_formats=(wide,),
+                       transpose_a=True)
+    ref = qgemul(A, B, out, mul_to=wide, add_formats=(wide,),
+                 transpose_a=True, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got.raw()),
+                                  np.asarray(ref.raw()))
+
+
+def test_auto_k_indivisible_falls_back_to_mn():
+    from qublas_tpu.ops.gemm import qgemul
+    from qublas_tpu.parallel import shard_qgemul
+
+    mesh = _mesh8()   # tp=4
+    f8 = qformat(3, 4)
+    wide = qformat(20, 8)
+    out = qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    rng = np.random.RandomState(2)
+    A = from_raw(rng.randint(f8.raw_min, f8.raw_max + 1, (4, 6)), f8)
+    B = from_raw(rng.randint(f8.raw_min, f8.raw_max + 1, (6, 8)), f8)
+    got = shard_qgemul(A, B, out, mesh, mul_to=wide, add_formats=(wide,))
+    ref = qgemul(A, B, out, mul_to=wide, add_formats=(wide,),
+                 use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(got.raw()),
+                                  np.asarray(ref.raw()))
+
+
+def test_reduce_scatter_checks_n_divisibility():
+    from qublas_tpu.parallel import sharded_qgemul_k
+
+    mesh = _mesh8()
+    f8 = qformat(3, 4)
+    wide = qformat(20, 8)
+    out = qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    A = from_raw(np.zeros((4, 8), dtype=int), f8)
+    B = from_raw(np.zeros((8, 6), dtype=int), f8)   # N=6, tp=4
+    with pytest.raises(ValueError, match="N=6 not divisible"):
+        sharded_qgemul_k(A, B, out, mesh, mul_to=wide,
+                         add_formats=(wide,), reduce_scatter=True)
+
+
+def test_sharded_mn_epilogue_lut_labels_result_format():
+    from qublas_tpu.anus import build_table, sqrt_func
+    from qublas_tpu.ops.gemm import qgemul
+    from qublas_tpu.parallel import sharded_qgemul_mn
+
+    mesh = _mesh8()
+    f8 = qformat(3, 4)
+    wide = qformat(20, 8)
+    mid = qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    table = build_table(sqrt_func, mid, wide)   # LUT output format differs
+    rng = np.random.RandomState(3)
+    A = from_raw(rng.randint(f8.raw_min, f8.raw_max + 1, (4, 8)), f8)
+    B = from_raw(rng.randint(f8.raw_min, f8.raw_max + 1, (8, 8)), f8)
+    got = sharded_qgemul_mn(A, B, mid, mesh, mul_to=wide,
+                            add_formats=(wide,), epilogue_lut=table)
+    ref = qgemul(A, B, mid, mul_to=wide, add_formats=(wide,),
+                 epilogue_lut=table, use_pallas=False)
+    assert got.fmt == ref.fmt == wide
+    np.testing.assert_array_equal(np.asarray(got.raw()),
+                                  np.asarray(ref.raw()))
+
+
+def test_bitstream_0d_round_trip_with_orders():
+    from qublas_tpu import bitstream
+
+    f = qformat(3, 4)
+    x0 = from_raw(np.array(5, dtype=object), f)
+    s = bitstream.to_bits(x0, tensor_order=bitstream.r2l(2))
+    back = bitstream.from_bits(s, f, shape=(),
+                               tensor_order=bitstream.r2l(2))
+    assert int(np.asarray(back.raw())) == 5
