@@ -60,10 +60,19 @@ __all__ = ["qgemul", "qgemv", "exact_plan", "ExactPlan"]
 # ---------------------------------------------------------------------------
 
 def _identity_range(fmt: QFormat):
-    """Raw interval on which ``int_convert`` is the identity, or None when it
-    always is (the WRP_TCPL_SAT stub, QuBLAS.h:2336-2344)."""
+    """Raw interval on which ``int_convert`` + the store are the identity.
+
+    WRP_TCPL_SAT is the reference's identity STUB (QuBLAS.h:2336-2344),
+    but the subsequent store wraps at the MACHINE WORD (int32 / int64 /
+    64-aligned multiword — hostint.int_convert, verified by probe), so
+    its identity range is the signed word interval, not unbounded: a
+    product whose upshifted value exceeds the word wraps per element, and
+    an MXU dot of the unwrapped values would diverge from the oracle
+    (caught by differential fuzz)."""
     if fmt.overflow_mode == OverflowMode.WRP_TCPL_SAT:
-        return None
+        w = fmt.storage_bits
+        word = 32 if w <= 32 else 64 if w <= 64 else 64 * ((w + 63) // 64)
+        return -(1 << (word - 1)), (1 << (word - 1)) - 1
     hi = fmt.raw_max
     if not fmt.signed:
         lo = 0

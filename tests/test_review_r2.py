@@ -782,3 +782,28 @@ def test_bitstream_0d_round_trip_with_orders():
     back = bitstream.from_bits(s, f, shape=(),
                                tensor_order=bitstream.r2l(2))
     assert int(np.asarray(back.raw())) == 5
+
+
+def test_wrp_tcpl_sat_word_wrap_bounds_exactness_proof():
+    """WRP_TCPL_SAT is the identity STUB, but the store wraps at the
+    machine word: a product format whose upshifted values exceed the word
+    wraps per element, so the MXU fast path's exactness proof must bound
+    its identity range by the word — big-fuzz catch (the dot of unwrapped
+    values diverged from the oracle)."""
+    from qublas_tpu.ops.gemm import qgemul
+
+    fa = QFormat(-6, 11, False, RoundMode.RND_INF, OverflowMode.SAT_ZERO)
+    fb = QFormat(13, -7, True, RoundMode.RND_CONV, OverflowMode.WRP_TCPL)
+    out = QFormat(13, 7, True, RoundMode.RND_INF, OverflowMode.SAT_ZERO)
+    mul_to = QFormat(-6, 26, False, RoundMode.RND_INF,
+                     OverflowMode.WRP_TCPL_SAT)
+    k = 4
+    A = np.array([12, 15, 21, 0], dtype=object)   # 15*59 << 22 wraps int32
+    B = np.array([3, 59, 3, 39], dtype=object)
+    dev = qgemul(from_raw(A.reshape(1, k), fa),
+                 from_raw(B.reshape(k, 1), fb), out, mul_to=mul_to)
+    host = hostops.qgemul([[(int(A[j]), fa) for j in range(k)]],
+                          [[(int(B[j]), fb)] for j in range(k)],
+                          out, mul_to=mul_to)
+    assert int(np.asarray(dev.raw(), dtype=object).reshape(-1)[0]) == \
+        host[0][0][0] == -320
