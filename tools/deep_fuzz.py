@@ -1,0 +1,320 @@
+#!/usr/bin/env python3
+"""Deep randomized differential sweep: device paths vs the host golden model.
+
+Heavier than the in-suite fuzz (tests/test_fuzz_differential.py): random
+formats across all three storage classes (int32 lanes / 64-bit pairs /
+N-limb), all 7x5 mode combos including negative int/frac bits, over
+elementwise ops, tree reduce, GEMM (all dispatch paths), complex multiplies
+with random tag subsets, complex GEMM with random layer shapes, and ANUS
+qpoly/qapprox with adversarial breakpoints.  Every mismatch with the oracle
+prints a self-contained repro line.
+
+Usage:  python tools/deep_fuzz.py [trials-per-family]   (default 1000;
+        ~2 min per 1000 on CPU).  Exit code 1 on any mismatch.
+
+Round-2 catch: the WRP::TCPL_SAT machine-word-wrap hole in the MXU
+exactness proof (ops/gemm.py _identity_range) fell out of this sweep.
+"""
+
+import sys
+import time
+import zlib
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+from qublas_tpu import anus, hostops, hostint
+from qublas_tpu.complex import QComplexTensor, cmul, cmul_tf
+from qublas_tpu.ops import elementwise as ew
+from qublas_tpu.ops.cgemm import cgemul
+from qublas_tpu.ops.gemm import qgemul
+from qublas_tpu.ops.reduce import qreduce
+from qublas_tpu.qformat import OverflowMode, QFormat, RoundMode, qformat
+from qublas_tpu.qtensor import from_raw, scalar
+
+FAILS = 0
+
+
+def fail(*msg):
+    global FAILS
+    FAILS += 1
+    print("FAIL", *msg, flush=True)
+
+
+def rng_for(tag, t):
+    return np.random.RandomState(zlib.crc32(f"{tag}:{t}".encode()) % (2**31))
+
+
+def rand_fmt(rng, mx, mn=0):
+    while True:
+        i = int(rng.randint(-8, mx))
+        f = int(rng.randint(-8, mx))
+        if mn <= i + f <= mx:
+            break
+    return qformat(i, f, bool(rng.randint(0, 2)),
+                   RoundMode(rng.randint(0, 7)),
+                   OverflowMode(rng.randint(0, 5)))
+
+
+def rand_raws(rng, fmt, n):
+    lo = max(fmt.raw_min, -(1 << 62))
+    hi = min(fmt.raw_max, (1 << 62) - 1)
+    if hi < lo:
+        hi = lo
+    return np.array([int(rng.randint(lo, hi + 1)) for _ in range(n)],
+                    dtype=object)
+
+
+def sweep_elementwise(trials):
+    for t in range(trials):
+        rng = rng_for("ew", t)
+        mx = [24, 48, 90][t % 3]
+        fa, fb = rand_fmt(rng, mx), rand_fmt(rng, mx)
+        to = None if rng.randint(0, 2) else rand_fmt(rng, mx)
+        op = ["qmul", "qadd", "qsub", "qdiv", "qabs", "qneg"][rng.randint(0, 6)]
+        n = 16
+        A, B = rand_raws(rng, fa, n), rand_raws(rng, fb, n)
+        if op == "qdiv":
+            B = np.array([v if v else 1 for v in B], dtype=object)
+            B[3] = 0
+        a, b = from_raw(A, fa), from_raw(B, fb)
+        try:
+            if op in ("qabs", "qneg"):
+                dev = getattr(ew, op)(a)
+                for x, g in zip(A, np.asarray(dev.raw(),
+                                              dtype=object).reshape(-1)):
+                    want, wf = getattr(hostops, op)((int(x), fa))
+                    if int(g) != want or dev.fmt != wf:
+                        fail(op, fa, int(x), int(g), want)
+            else:
+                dev = getattr(ew, op)(a, b, to=to)
+                for x, y, g in zip(A, B, np.asarray(dev.raw(),
+                                                    dtype=object).reshape(-1)):
+                    want, wf = getattr(hostops, op)((int(x), fa),
+                                                    (int(y), fb), to=to)
+                    if int(g) != want or dev.fmt != wf:
+                        fail(op, fa, fb, to, int(x), int(y), int(g), want)
+        except Exception as e:  # noqa: BLE001 - report and continue
+            fail("CRASH", op, fa, fb, to, type(e).__name__, str(e)[:150])
+
+
+def sweep_reduce(trials):
+    for t in range(trials):
+        rng = rng_for("red", t)
+        mx = [24, 48, 90][t % 3]
+        fa = rand_fmt(rng, min(mx, 40))
+        n = int(rng.randint(1, 24))
+        layers = tuple(rand_fmt(rng, mx) for _ in range(rng.randint(0, 3)))
+        A = rand_raws(rng, fa, n)
+        try:
+            dev = qreduce(from_raw(A, fa), layers)
+            want, wf = hostops.qreduce_list([(int(v), fa) for v in A], layers)
+            g = int(np.asarray(dev.raw(), dtype=object).reshape(-1)[0])
+            if g != want or dev.fmt != wf:
+                fail("reduce", fa, layers, n, g, want)
+        except Exception as e:
+            fail("CRASH reduce", fa, layers, n, type(e).__name__, str(e)[:150])
+
+
+def sweep_gemm(trials):
+    for t in range(trials):
+        rng = rng_for("gemm", t)
+        mx = [20, 40, 70][t % 3]
+        fa, fb = rand_fmt(rng, mx), rand_fmt(rng, 16)
+        out = rand_fmt(rng, mx)
+        mul_to = None if rng.randint(0, 2) else rand_fmt(rng, mx + 10)
+        layers = tuple(rand_fmt(rng, mx + 10)
+                       for _ in range(rng.randint(0, 2)))
+        m, k, n2 = 2, int(rng.randint(1, 10)), 2
+        A = rand_raws(rng, fa, m * k).reshape(m, k)
+        B = rand_raws(rng, fb, k * n2).reshape(k, n2)
+        try:
+            dev = qgemul(from_raw(A, fa), from_raw(B, fb), out,
+                         mul_to=mul_to, add_formats=layers)
+            host = hostops.qgemul(
+                [[(int(A[i, j]), fa) for j in range(k)] for i in range(m)],
+                [[(int(B[i, j]), fb) for j in range(n2)] for i in range(k)],
+                out, mul_to=mul_to, add_formats=layers)
+            gr = np.asarray(dev.raw(), dtype=object)
+            for i in range(m):
+                for j in range(n2):
+                    if int(gr[i][j]) != host[i][j][0]:
+                        fail("gemm", fa, fb, out, mul_to, layers, k,
+                             int(gr[i][j]), host[i][j][0])
+        except Exception as e:
+            fail("CRASH gemm", fa, fb, out, mul_to, layers,
+                 type(e).__name__, str(e)[:150])
+
+
+BASIC_TAGS = ["ac", "bd", "ad", "bc", "acbd", "adbc"]
+TF_TAGS = ["ab", "cd", "ba", "abc", "cdb", "bad", "AB", "BC"]
+
+
+def sweep_complex(trials):
+    for t in range(trials):
+        rng = rng_for("cplx", t)
+        fr, fi = rand_fmt(rng, 20), rand_fmt(rng, 20)
+        gr, gi = rand_fmt(rng, 20), rand_fmt(rng, 20)
+        n = 6
+        a = QComplexTensor(from_raw(rand_raws(rng, fr, n), fr),
+                           from_raw(rand_raws(rng, fi, n), fi))
+        b = QComplexTensor(from_raw(rand_raws(rng, gr, n), gr),
+                           from_raw(rand_raws(rng, gi, n), gi))
+        algo = ["basic", "tf"][rng.randint(0, 2)]
+        names = BASIC_TAGS if algo == "basic" else TF_TAGS
+        tags = {nm: rand_fmt(rng, 20) for nm in names
+                if rng.randint(0, 3) == 0}
+        fn = cmul if algo == "basic" else cmul_tf
+        hfn = hostops.complex_mul_basic if algo == "basic" \
+            else hostops.complex_mul_tf
+        try:
+            dev = fn(a, b, **tags)
+            ar = np.asarray(a.real.raw(), dtype=object)
+            ai = np.asarray(a.imag.raw(), dtype=object)
+            br = np.asarray(b.real.raw(), dtype=object)
+            bi = np.asarray(b.imag.raw(), dtype=object)
+            dr = np.asarray(dev.real.raw(), dtype=object)
+            di = np.asarray(dev.imag.raw(), dtype=object)
+            for j in range(n):
+                (wr, wrf), (wi, wif) = hfn(
+                    ((int(ar[j]), fr), (int(ai[j]), fi)),
+                    ((int(br[j]), gr), (int(bi[j]), gi)), **tags)
+                if int(dr[j]) != wr or int(di[j]) != wi \
+                        or dev.real.fmt != wrf or dev.imag.fmt != wif:
+                    fail("cmul", algo, tags, j, int(dr[j]), wr,
+                         int(di[j]), wi)
+        except NotImplementedError:
+            pass
+        except Exception as e:
+            fail("CRASH cmul", algo, tags, type(e).__name__, str(e)[:150])
+
+
+def sweep_cgemul(trials):
+    for t in range(trials):
+        rng = rng_for("cg", t)
+        fr, fi = rand_fmt(rng, 8), rand_fmt(rng, 8)
+        m, k, n2 = 2, int(rng.randint(1, 6)), 2
+
+        def rc(r, c):
+            return QComplexTensor(
+                from_raw(rand_raws(rng, fr, r * c).reshape(r, c), fr),
+                from_raw(rand_raws(rng, fi, r * c).reshape(r, c), fi))
+
+        a, b = rc(m, k), rc(k, n2)
+        out = (rand_fmt(rng, 10), rand_fmt(rng, 10))
+        layers = tuple(rand_fmt(rng, 14) if rng.randint(0, 2)
+                       else (rand_fmt(rng, 14), rand_fmt(rng, 14))
+                       for _ in range(rng.randint(0, 3)))
+        algo = ["basic", "tf"][rng.randint(0, 2)]
+        try:
+            dev = cgemul(a, b, out, algo=algo, add_formats=layers)
+
+            def rows(c):
+                re = np.asarray(c.real.raw(), dtype=object)
+                im = np.asarray(c.imag.raw(), dtype=object)
+                return [[((int(re[i, j]), c.real.fmt),
+                          (int(im[i, j]), c.imag.fmt))
+                         for j in range(re.shape[1])]
+                        for i in range(re.shape[0])]
+
+            host = hostops.cgemul(rows(a), rows(b), out, algo=algo,
+                                  add_formats=layers)
+            dr = np.asarray(dev.real.raw(), dtype=object)
+            di = np.asarray(dev.imag.raw(), dtype=object)
+            for i in range(m):
+                for j in range(n2):
+                    if int(dr[i][j]) != host[i][j][0][0] \
+                            or int(di[i][j]) != host[i][j][1][0]:
+                        fail("cgemul", algo, layers, k, i, j)
+        except Exception as e:
+            fail("CRASH cgemul", algo, layers, type(e).__name__,
+                 str(e)[:150])
+
+
+def sweep_anus(trials):
+    def host_qpoly(xp, cps):
+        acc = cps[-1]
+        for a in reversed(cps[:-1]):
+            m = hostops.qmul(xp, acc, to=a[1])
+            acc = hostops.qadd(a, m, to=a[1])
+        return acc
+
+    for t in range(trials):
+        rng = rng_for("poly", t)
+        mx = [20, 44, 80][t % 3]
+        fx = rand_fmt(rng, mx)
+        X = rand_raws(rng, fx, 8)
+        coeffs = [scalar(float(rng.randn() * (2.0 ** rng.randint(-3, 4))),
+                         rand_fmt(rng, 20)) for _ in range(rng.randint(1, 4))]
+        try:
+            dev = anus.qpoly(from_raw(X, fx), coeffs)
+            hc = [(int(np.asarray(c.raw(), dtype=object).reshape(-1)[0]),
+                   c.fmt) for c in coeffs]
+            for v, g in zip(X, np.asarray(dev.raw(),
+                                          dtype=object).reshape(-1)):
+                want, wf = host_qpoly((int(v), fx), hc)
+                if int(g) != want or dev.fmt != wf:
+                    fail("qpoly", fx, [c.fmt for c in coeffs], int(v),
+                         int(g), want)
+        except Exception as e:
+            fail("CRASH qpoly", fx, type(e).__name__, str(e)[:150])
+
+    for t in range(trials):
+        rng = rng_for("appx", t)
+        mx = [20, 44, 80][t % 3]
+        while True:
+            fx = rand_fmt(rng, mx, mn=4)
+            if fx.int_bits >= 3 and fx.frac_bits >= 0:
+                break
+        X = rand_raws(rng, fx, 8)
+        nseg = int(rng.randint(2, 4))
+        bps = []
+        for _ in range(nseg - 1):
+            if rng.randint(0, 2):
+                bps.append(float(rng.randn()
+                                 * (2.0 ** rng.randint(0, min(mx + 6, 40)))))
+            else:
+                v = int(X[rng.randint(0, 8)])
+                bps.append(hostint.raw_to_double(
+                    v + int(rng.randint(-1, 2)), fx))
+        bps = sorted(bps) + [float("inf")]
+        segs = [anus.Segment(bp, [scalar(float(i + 1), fx)])
+                for i, bp in enumerate(bps)]
+        try:
+            dev = anus.qapprox(from_raw(X, fx), segs)
+            host = anus.qapprox(from_raw(X, QFormat(300, fx.frac_bits)),
+                                segs)
+            dr = np.asarray(dev.raw(), dtype=object).reshape(-1)
+            hr = np.asarray(host.raw(), dtype=object).reshape(-1)
+            for v, g, h in zip(X, dr, hr):
+                if int(g) != int(h):
+                    fail("qapprox", fx, bps[:-1], int(v), int(g), int(h))
+        except Exception as e:
+            fail("CRASH qapprox", fx, type(e).__name__, str(e)[:150])
+
+
+def main():
+    trials = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    t0 = time.time()
+    for name, fn, n in [
+        ("elementwise", sweep_elementwise, trials),
+        ("reduce", sweep_reduce, max(trials // 4, 50)),
+        ("gemm", sweep_gemm, max(trials // 6, 50)),
+        ("complex", sweep_complex, max(trials // 2, 50)),
+        ("cgemul", sweep_cgemul, max(trials // 6, 50)),
+        ("anus", sweep_anus, max(trials // 3, 50)),
+    ]:
+        fn(n)
+        print(f"{name}: {n} trials, {FAILS} total fails "
+              f"[{time.time() - t0:.0f}s]", flush=True)
+    print(f"DEEP FUZZ DONE: {FAILS} fails in {time.time() - t0:.0f}s")
+    return 1 if FAILS else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
