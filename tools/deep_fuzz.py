@@ -298,16 +298,80 @@ def sweep_anus(trials):
             fail("CRASH qapprox", fx, type(e).__name__, str(e)[:150])
 
 
+def sweep_cast(trials):
+    """Direct cross-format conversion (astype / converting assignment)."""
+    for t in range(trials):
+        rng = rng_for("cast", t)
+        mx = [24, 48, 90][t % 3]
+        fa, fb = rand_fmt(rng, mx), rand_fmt(rng, [24, 48, 90][(t + 1) % 3])
+        A = rand_raws(rng, fa, 16)
+        try:
+            dev = from_raw(A, fa).astype(fb)
+            for v, g in zip(A, np.asarray(dev.raw(),
+                                          dtype=object).reshape(-1)):
+                want = hostops.convert((int(v), fa), fb)[0]
+                if int(g) != want:
+                    fail("cast", fa, fb, int(v), int(g), want)
+        except Exception as e:
+            fail("CRASH cast", fa, fb, type(e).__name__, str(e)[:150])
+
+
+def sweep_bitstream(trials):
+    """BitStream round trips with random chunk orders (representable raws)."""
+    from qublas_tpu import bitstream
+
+    for t in range(trials):
+        rng = rng_for("bits", t)
+        fx = rand_fmt(rng, 40)
+        if fx.width <= 0:
+            continue
+        n = int(rng.randint(1, 9))
+        lo = max(-(1 << (fx.width - 1)) if fx.signed and fx.width > 0 else 0,
+                 -(1 << 62))
+        hi = min((1 << (fx.width - (1 if fx.signed else 0))) - 1
+                 if fx.width > 0 else 0, (1 << 62) - 1)
+        if hi < lo:
+            continue
+        A = np.array([int(rng.randint(lo, hi + 1)) for _ in range(n)],
+                     dtype=object)
+
+        def order(chunk_ok):
+            c = rng.randint(0, 3)
+            if c == 0:
+                return None
+            if c == 1:
+                return bitstream.l2r
+            d = int(rng.randint(1, 4))
+            return bitstream.r2l(d) if chunk_ok % d == 0 else None
+
+        t_ord = order(n)
+        e_ord = order(fx.width)
+        try:
+            x = from_raw(A, fx)
+            s = bitstream.to_bits(x, tensor_order=t_ord, elem_order=e_ord)
+            back = bitstream.from_bits(s, fx, (n,), tensor_order=t_ord,
+                                       elem_order=e_ord,
+                                       twos_complement=True)
+            got = [int(v) for v in np.asarray(back.raw(),
+                                              dtype=object).reshape(-1)]
+            if got != [int(v) for v in A]:
+                fail("bits", fx, t_ord, e_ord, list(A), got)
+        except Exception as e:
+            fail("CRASH bits", fx, type(e).__name__, str(e)[:150])
+
+
 def main():
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     t0 = time.time()
     for name, fn, n in [
         ("elementwise", sweep_elementwise, trials),
+        ("cast", sweep_cast, trials),
         ("reduce", sweep_reduce, max(trials // 4, 50)),
         ("gemm", sweep_gemm, max(trials // 6, 50)),
         ("complex", sweep_complex, max(trials // 2, 50)),
         ("cgemul", sweep_cgemul, max(trials // 6, 50)),
         ("anus", sweep_anus, max(trials // 3, 50)),
+        ("bitstream", sweep_bitstream, trials),
     ]:
         fn(n)
         print(f"{name}: {n} trials, {FAILS} total fails "
