@@ -360,6 +360,47 @@ def sweep_bitstream(trials):
             fail("CRASH bits", fx, type(e).__name__, str(e)[:150])
 
 
+def sweep_sharded(trials):
+    """Auto-routed sharded GEMM vs single-chip, on the virtual mesh.
+    Requires XLA_FLAGS=--xla_force_host_platform_device_count=8 (skipped
+    otherwise)."""
+    if len(jax.devices()) < 8:
+        print("sharded: skipped (need 8 virtual devices; set XLA_FLAGS="
+              "--xla_force_host_platform_device_count=8)", flush=True)
+        return
+    from qublas_tpu.parallel import make_mesh, shard_qgemul
+
+    mesh = make_mesh(dp=2, tp=4)
+    for t in range(trials):
+        rng = rng_for("shard", t)
+        mx = [16, 20, 40][t % 3]
+        fa, fb = rand_fmt(rng, mx), rand_fmt(rng, 12)
+        out = rand_fmt(rng, mx)
+        mul_to = None if rng.randint(0, 2) else rand_fmt(rng, mx + 8)
+        layers = tuple(rand_fmt(rng, mx + 8)
+                       for _ in range(rng.randint(0, 2)))
+        m = 4
+        k = int(rng.choice([4, 8, 12, 16]))
+        n2 = 8
+        A = rand_raws(rng, fa, m * k).reshape(m, k)
+        B = rand_raws(rng, fb, k * n2).reshape(k, n2)
+        try:
+            got = shard_qgemul(from_raw(A, fa), from_raw(B, fb), out, mesh,
+                               mul_to=mul_to, add_formats=layers)
+            ref = qgemul(from_raw(A, fa), from_raw(B, fb), out,
+                         mul_to=mul_to, add_formats=layers)
+            g = np.asarray(got.raw(), dtype=object).reshape(-1)
+            w = np.asarray(ref.raw(), dtype=object).reshape(-1)
+            if got.fmt != ref.fmt or \
+                    [int(v) for v in g] != [int(v) for v in w]:
+                fail("shard", fa, fb, out, mul_to, layers, k)
+        except ValueError:
+            pass  # clean host-route/config rejections are fine
+        except Exception as e:
+            fail("CRASH shard", fa, fb, out, mul_to, layers,
+                 type(e).__name__, str(e)[:150])
+
+
 def main():
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     t0 = time.time()
@@ -372,6 +413,7 @@ def main():
         ("cgemul", sweep_cgemul, max(trials // 6, 50)),
         ("anus", sweep_anus, max(trials // 3, 50)),
         ("bitstream", sweep_bitstream, trials),
+        ("sharded", sweep_sharded, max(trials // 10, 30)),
     ]:
         fn(n)
         print(f"{name}: {n} trials, {FAILS} total fails "
