@@ -76,7 +76,8 @@ def sweep_elementwise(trials):
         mx = [24, 48, 90][t % 3]
         fa, fb = rand_fmt(rng, mx), rand_fmt(rng, mx)
         to = None if rng.randint(0, 2) else rand_fmt(rng, mx)
-        op = ["qmul", "qadd", "qsub", "qdiv", "qabs", "qneg"][rng.randint(0, 6)]
+        op = ["qmul", "qadd", "qsub", "qdiv", "qabs", "qneg",
+              "qcmp", "qeq"][rng.randint(0, 8)]
         n = 16
         A, B = rand_raws(rng, fa, n), rand_raws(rng, fb, n)
         if op == "qdiv":
@@ -84,7 +85,13 @@ def sweep_elementwise(trials):
             B[3] = 0
         a, b = from_raw(A, fa), from_raw(B, fb)
         try:
-            if op in ("qabs", "qneg"):
+            if op in ("qcmp", "qeq"):
+                dev = np.asarray(getattr(ew, op)(a, b)).reshape(-1)
+                for x, y, g in zip(A, B, dev):
+                    want = getattr(hostops, op)((int(x), fa), (int(y), fb))
+                    if (int(g) if op == "qcmp" else bool(g)) != want:
+                        fail(op, fa, fb, int(x), int(y), g, want)
+            elif op in ("qabs", "qneg"):
                 dev = getattr(ew, op)(a)
                 for x, g in zip(A, np.asarray(dev.raw(),
                                               dtype=object).reshape(-1)):
