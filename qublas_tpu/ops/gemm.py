@@ -303,48 +303,80 @@ def _stream_gemm_wide(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to,
     :func:`qreduce` (layers ``0..log2(chunk)-1``); chunk results then merge
     at layers ``log2(chunk)+j`` with the same ``TypeAt`` layer formats.
 
-    Returns None when streaming is not applicable/profitable (k has no
-    power-of-two factor >= 8, a single chunk covers k, or the product
-    tensor is small enough that the layered path is cheaper to dispatch).
+    Any k is admitted (matching the reference's scalar tree, odd tails at
+    QuBLAS.h:4977-4980): ``nfull = k // chunk`` complete power-of-two
+    subtrees stream through the binary counter, and the remaining
+    ``r = k % chunk`` products form one *ragged tail subtree*.  The tail
+    region starts at a multiple of ``chunk``, so at every tree layer below
+    the chunk level its pairing is self-contained (its layer-l start index
+    ``nfull * 2^(L-l)`` is even) and its value count carries the global
+    layer's parity — :func:`qreduce`'s odd-tail rules therefore reproduce
+    the global tree's behavior inside the tail, and once the tail is a
+    single value it converts at each remaining layer up to the chunk level
+    (globally unpaired: the complete chunks contribute an even count below
+    level L).  The tail value then enters the binary-carry stream as chunk
+    value ``nfull``.
+
+    Returns None when streaming is not applicable/profitable (k < 16, a
+    single chunk covers k, or the product tensor is small enough that the
+    layered path is cheaper to dispatch).
     """
     from .tree_gemm import drain_ops
 
     k = a.shape[-1]
-    chunk = min(k & -k, _STREAM_CHUNK)
-    nchunks = k // chunk
+    # largest power-of-two chunk with at least two full chunks, capped
+    chunk = min(1 << (max(k // 2, 1).bit_length() - 1), _STREAM_CHUNK)
+    nfull = k // chunk
+    r = k % chunk
+    nchunks = nfull + (1 if r else 0)
     m = a.shape[-2]
     n = b.shape[-1]
     batch = 1
     for d in np.broadcast_shapes(a.shape[:-2], b.shape[:-2]):
         batch *= d
-    if chunk < 8 or nchunks < 2 or nchunks > _STREAM_MAX_CHUNKS \
+    if chunk < 8 or nfull < 2 or nchunks > _STREAM_MAX_CHUNKS \
             or batch * m * k * n < _STREAM_MIN_ELEMS:
         return None
     in_levels = chunk.bit_length() - 1
 
     def products(t):
         lo = t * chunk
-        ca = QTensor(a.data[..., :, lo:lo + chunk, None], a.fmt)
-        rb = QTensor(b.data[..., None, lo:lo + chunk, :], b.fmt)
+        hi = min(lo + chunk, k)
+        ca = QTensor(a.data[..., :, lo:hi, None], a.fmt)
+        rb = QTensor(b.data[..., None, lo:hi, :], b.fmt)
         return ew.qmul(ca, rb, to=mul_to, full_prec=mul_full_prec)
 
     def merge_fmt(carry_fmt: QFormat, j: int):
         lf = layer_format(add_formats, in_levels + j)
         return lf if lf is not None else add_merge(carry_fmt, carry_fmt)
 
+    def layer_fmt_at(cur_fmt: QFormat, l: int):
+        lf = layer_format(add_formats, l)
+        return lf if lf is not None else add_merge(cur_fmt, cur_fmt)
+
     slots = {}
-    for t in range(nchunks):
-        prod = products(t)
-        if prod.is_host:
-            return _host_gemm(a, b, out_fmt, mul_to, add_formats,
-                              mul_full_prec)
-        v = qreduce(prod, add_formats, axis=-2)   # chunk's complete subtree
+
+    def push(t, v):
         j = 0
         while t & (1 << j):
             left = slots.pop(j)
             v = ew.qadd(left, v, to=layer_format(add_formats, in_levels + j))
             j += 1
         slots[j] = v
+
+    for t in range(nchunks):
+        prod = products(t)
+        if prod.is_host:
+            return _host_gemm(a, b, out_fmt, mul_to, add_formats,
+                              mul_full_prec)
+        v = qreduce(prod, add_formats, axis=-2)   # (sub)tree of this chunk
+        if t == nfull:  # ragged tail: r products folded through
+            # layers 0..ceil(log2 r)-1; globally unpaired from there to the
+            # chunk level, so it converts at each remaining layer
+            applied = max(r - 1, 0).bit_length()
+            for l in range(applied, in_levels):
+                v = ew.qcast(v, layer_fmt_at(v.fmt, l))
+        push(t, v)
 
     carry = None
     for op, l in drain_ops(nchunks, max(nchunks.bit_length(), 1)):

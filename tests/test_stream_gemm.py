@@ -157,7 +157,8 @@ def test_fuzz_stream_vs_layered(force_stream, trial):
     fa = rfmt(33, 48) if trial % 2 else rfmt(65, 80)   # pair / limb operand
     fb = rfmt(4, 16)
     out = rfmt(20, 48)
-    k = int(rng.choice([16, 8, 32])) * int(rng.randint(2, 6))
+    # any k >= 16 streams now (general-k): sample odd/even/prime freely
+    k = int(rng.randint(16, 180))
     m, n = 2, 3
     ta = from_raw(raws(fa, m * k).reshape(m, k), fa)
     tb = from_raw(raws(fb, k * n).reshape(k, n), fb)
@@ -192,8 +193,8 @@ def test_stream_inside_shard_map(force_stream):
 
 
 def test_stream_policy_gates():
-    """Streaming engages only when it can help: a power-of-two chunk >= 8,
-    at least two chunks, and a product tensor big enough to matter."""
+    """Streaming engages only when it can help: a chunk >= 8 with at least
+    two full chunks (k >= 16), and a product tensor big enough to matter."""
     fa = fb = qformat(30, 9)
     out = qformat(33, 9)
 
@@ -201,15 +202,81 @@ def test_stream_policy_gates():
         return (from_raw(rand_raws(fa, m * k, 13).reshape(m, k), fa),
                 from_raw(rand_raws(fb, k * n, 14).reshape(k, n), fb))
 
-    # single chunk covers k
-    ta, tb = mk(2, 32, 2)
+    # k too small for two >=8 chunks
+    ta, tb = mk(2, 15, 2)
     assert gemm._stream_gemm_wide(ta, tb, out, None, (), False) is None
-    # odd k: no power-of-two factor
-    ta, tb = mk(2, 33, 2)
-    assert gemm._stream_gemm_wide(ta, tb, out, None, (), False) is None
-    # small product tensor under the default threshold
-    ta, tb = mk(2, 48, 2)
-    assert gemm._stream_gemm_wide(ta, tb, out, None, (), False) is None
+    # small product tensor under the default threshold (any k)
+    for k in (32, 33, 48):
+        ta, tb = mk(2, k, 2)
+        assert gemm._stream_gemm_wide(ta, tb, out, None, (), False) is None
     # the qgemul entry still computes all of these correctly (layered)
     got = gemm.qgemul(ta, tb, out)
     _assert_same(got, _layered(ta, tb, out))
+
+
+# general k (round 3): odd / prime / pow2+-1 contractions stream too — the
+# ragged tail subtree must reproduce the reference's odd-tail converting
+# assignments at every layer (QuBLAS.h:4977-4980)
+@pytest.mark.parametrize("k", [17, 19, 33, 65, 97, 127, 251, 257])
+def test_stream_general_k_matches_layered(force_stream, k):
+    fa = qformat(30, 9)
+    fb = qformat(8, 8)
+    out = QFormat(30, 9, True, RoundMode.RND_CONV, OverflowMode.SAT_TCPL)
+    m, n = 2, 3
+    ta = from_raw(rand_raws(fa, m * k, 31).reshape(m, k), fa)
+    tb = from_raw(rand_raws(fb, k * n, 32).reshape(k, n), fb)
+    assert ta.is_pair
+    kw = dict(mul_to=qformat(38, 17), add_formats=(qformat(34, 12),))
+    assert gemm._stream_gemm_wide(ta, tb, out, kw["mul_to"],
+                                  kw["add_formats"], False) is not None
+    got = gemm.qgemul(ta, tb, out, **kw)
+    _assert_same(got, _layered(ta, tb, out, **kw))
+
+
+@pytest.mark.parametrize("k", [21, 29])
+def test_stream_general_k_vs_host_oracle(force_stream, k):
+    """Odd-k streamed result pinned directly to the golden model."""
+    fa = qformat(30, 9)
+    fb = qformat(8, 8)
+    out = qformat(30, 9)
+    m, n = 2, 2
+    A = rand_raws(fa, m * k, 33).reshape(m, k)
+    B = rand_raws(fb, k * n, 34).reshape(k, n)
+    ta, tb = from_raw(A, fa), from_raw(B, fb)
+    assert gemm._stream_gemm_wide(ta, tb, out, None, (), False) is not None
+    got = gemm.qgemul(ta, tb, out)
+    ho = hostops.qgemul(
+        [[(int(A[i, j]), fa) for j in range(k)] for i in range(m)],
+        [[(int(B[i, j]), fb) for j in range(n)] for i in range(k)], out)
+    g = np.asarray(got.raw(), dtype=object)
+    assert all(int(g[i][j]) == ho[i][j][0]
+               for i in range(m) for j in range(n))
+
+
+def test_stream_large_odd_k(force_stream):
+    """k = 1023 (the scale the round-2 gate refused: no pow2 factor) —
+    streamed bits equal the layered tree's."""
+    fa = qformat(30, 9)
+    fb = qformat(8, 8)
+    out = qformat(33, 9)
+    m, k, n = 2, 1023, 2
+    ta = from_raw(rand_raws(fa, m * k, 35).reshape(m, k), fa)
+    tb = from_raw(rand_raws(fb, k * n, 36).reshape(k, n), fb)
+    kw = dict(add_formats=(qformat(40, 14),))
+    assert gemm._stream_gemm_wide(ta, tb, out, None, kw["add_formats"],
+                                  False) is not None
+    got = gemm.qgemul(ta, tb, out, **kw)
+    _assert_same(got, _layered(ta, tb, out, **kw))
+
+
+def test_stream_limb_general_k(force_stream):
+    fa = qformat(40, 28)          # 69-bit storage: limb
+    fb = qformat(8, 8)
+    out = QFormat(50, 30, True, RoundMode.RND_CONV, OverflowMode.SAT_TCPL)
+    m, k, n = 2, 37, 3
+    ta = from_raw(rand_raws(fa, m * k, 37).reshape(m, k), fa)
+    tb = from_raw(rand_raws(fb, k * n, 38).reshape(k, n), fb)
+    assert ta.is_limb
+    kw = dict(mul_to=qformat(48, 40))
+    got = gemm.qgemul(ta, tb, out, **kw)
+    _assert_same(got, _layered(ta, tb, out, **kw))
