@@ -23,7 +23,7 @@ import numpy as np
 os.environ.setdefault("QUBLAS_PALLAS", "0")
 
 
-def _tpu_backend_ok(timeout_s: int = 240) -> bool:
+def _probe_once(timeout_s: float) -> bool:
     """Probe backend init in a subprocess: a broken axon tunnel makes
     ``jax.devices()`` hang for tens of minutes before failing, which would
     hang the whole bench.  A CPU-forced probe env would defeat the check,
@@ -37,21 +37,104 @@ def _tpu_backend_ok(timeout_s: int = 240) -> bool:
         return False
 
 
-_PLATFORM_FALLBACK = not _tpu_backend_ok()
+def acquire_backend(wall_s: float, attempt_s: float = 180.0,
+                    backoff_s: float = 20.0) -> bool:
+    """Fight for the TPU backend: retry the probe with backoff across a
+    wall-clock window (round-3 bar — two rounds of driver artifacts missed
+    the TPU because a transient tunnel outage got one 240 s chance).  At
+    least one probe always runs; returns True as soon as one succeeds."""
+    t0 = time.monotonic()
+    while True:
+        if _probe_once(attempt_s):
+            return True
+        remaining = wall_s - (time.monotonic() - t0)
+        if remaining <= backoff_s:
+            return False
+        print(f"# backend probe failed; retrying for {remaining:.0f}s more",
+              file=sys.stderr, flush=True)
+        time.sleep(backoff_s)
+
+
+_PLATFORM_FALLBACK = None  # resolved lazily by _ensure_backend()
 
 import jax  # noqa: E402
-
-if _PLATFORM_FALLBACK:
-    # fall back to CPU rather than hanging: vs_baseline stays meaningful
-    # (fraction of the same-run measured roofline on the same backend),
-    # and the JSON line carries the platform so the record is honest
-    jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp  # noqa: E402
 
 from qublas_tpu.ops.gemm import exact_plan, qgemul  # noqa: E402
 from qublas_tpu.qformat import OverflowMode, qformat  # noqa: E402
 from qublas_tpu.qtensor import QTensor  # noqa: E402
+
+
+def _ensure_backend() -> bool:
+    """Resolve the backend once per process (before any jax array work):
+    probe with retry/backoff (``QUBLAS_BENCH_PROBE_WALL`` seconds, default
+    600), falling back to CPU rather than hanging.  Returns the fallback
+    flag."""
+    global _PLATFORM_FALLBACK
+    if _PLATFORM_FALLBACK is None:
+        wall = float(os.environ.get("QUBLAS_BENCH_PROBE_WALL", "600"))
+        _PLATFORM_FALLBACK = not acquire_backend(wall)
+        if _PLATFORM_FALLBACK:
+            jax.config.update("jax_platforms", "cpu")
+    return _PLATFORM_FALLBACK
+
+
+# ---------------------------------------------------------------------------
+# Headline-record schema + last-known-TPU evidence (round-3 items 1 and 4)
+# ---------------------------------------------------------------------------
+
+EVIDENCE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_TPU_EVIDENCE.json")
+
+
+def load_last_tpu():
+    """Most recent successful TPU headline evidence, or None."""
+    try:
+        with open(EVIDENCE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def save_last_tpu(rec) -> None:
+    try:
+        with open(EVIDENCE_PATH, "w") as f:
+            json.dump(rec, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass  # read-only checkout: evidence is best-effort
+
+
+def finalize_headline(gops: float, roof_gops: float, pairs: int,
+                      on_tpu: bool, last_tpu=None) -> dict:
+    """Build the headline JSON record.  ``vs_baseline`` (the field the
+    >=0.90-of-roofline bar is judged on) is populated ONLY for a real TPU
+    measurement; on CPU fallback it is null and the CPU ratio moves to an
+    explicitly informational field — a >1.0 CPU ratio must not be able to
+    masquerade as the MXU bar (VERDICT r2 weak-2/weak-8).  When falling
+    back, the most recent successful TPU run rides along as ``last_tpu``
+    so the bar stays judgeable across a tunnel outage."""
+    ratio = round(gops / roof_gops, 4)
+    rec = {
+        "metric": "int8_qgemul_gops",
+        "value": round(gops, 2),
+        "unit": "GOP/s",
+        "roofline_gops": round(roof_gops, 2),
+        "ab_pairs": pairs,
+    }
+    if on_tpu:
+        rec["platform"] = "tpu"
+        rec["vs_baseline"] = ratio
+    else:
+        rec["platform"] = "cpu-fallback"
+        rec["vs_baseline"] = None
+        rec["cpu_ratio_informational"] = ratio
+        rec["note"] = ("TPU backend unavailable at bench time; measured on "
+                       "CPU vs the same-run CPU roofline — informational "
+                       "only, NOT the MXU roofline bar")
+        if last_tpu is not None:
+            rec["last_tpu"] = last_tpu
+    return rec
 
 M = N = K = 4096
 # Device time is <1 ms/iteration; the ~25 ms tunnel round-trip per
@@ -87,6 +170,16 @@ def _time(fn, a, b, iters=ITERS, budget_s=45.0):
             break
     np.asarray(x[:8, :128])
     return (time.perf_counter() - t0) / done
+
+
+# VPU roofline model for the order-sensitive tree GEMM (--tree), the single
+# source for the speed-of-light fraction quoted in BASELINE.md and
+# ops/tree_gemm.py: each quantized product costs ~14 sustained int32 VPU ops
+# (split-B mul + single-compare SAT_ZERO requantize + amortized tree fold);
+# the v5e VPU architectural ceiling is ~6.5 T int32 op/s (8x128 lanes x
+# 4 ALUs x ~1.6 GHz).
+_TREE_VPU_OPS_PER_PRODUCT = 14.0
+_VPU_CEILING_OPS = 6.5e12
 
 
 def bench_tree_gemm():
@@ -133,11 +226,17 @@ def bench_tree_gemm():
     t_s = _time(stream, a, b, iters=4) / RG
     t_l = _time(layered, a, b, iters=2) / 2
     ops = 2.0 * m * n * k
+    prods = float(m * n * k)
     print(json.dumps({
         "metric": "canonical_tree_qgemul_gops",
         "value": round(ops / t_s / 1e9, 2),
         "unit": "GOP/s",
         "vs_baseline": round(t_l / t_s, 2),  # speedup over layered fallback
+        "gprod_s": round(prods / t_s / 1e9, 2),
+        # recorded fraction of VPU speed-of-light (round-3 item 3: the
+        # roofline context lives in the artifact, not only in prose)
+        "vs_vpu_roofline": round(
+            prods / t_s * _TREE_VPU_OPS_PER_PRODUCT / _VPU_CEILING_OPS, 4),
     }))
 
 
@@ -447,13 +546,17 @@ def bench_wide_gemm():
     for _ in range(2):
         t_stream = min(t_stream, stream_t())
         t_layer = min(t_layer, layer_t())
-    big = 1024
+    # 1023^3: odd k with NO power-of-two factor — only runnable at all by
+    # the general-k ragged-tail stream (round 3); the layered [m,k,n] pair
+    # materialization (~17 GB) cannot fit HBM at this scale either way
+    big = 1023
     big_t = build(big, 0)
     t_big = min(big_t(), big_t())
     print(json.dumps({
         "metric": "wide_gemm_stream_gprod",
         "value": round(big ** 3 / t_big / 1e9, 2),
         "unit": "Gprod/s",
+        "k": big,
         "vs_baseline": round(t_layer / t_stream, 2),  # vs layered at 512^3
     }))
 
@@ -464,6 +567,7 @@ EXTRA = {"tree": bench_tree_gemm, "reduce": bench_reduce,
 
 
 def main():
+    fallback = _ensure_backend()
     for arg in sys.argv[1:]:
         name = arg.lstrip("-")
         if name in EXTRA:
@@ -525,18 +629,23 @@ def main():
     ops = 2.0 * M * N * K
     gops = ops / t_best_q / 1e9
     roof_gops = ops / t_best_r / 1e9
-    rec = {
-        "metric": "int8_qgemul_gops",
-        "value": round(gops, 2),
-        "unit": "GOP/s",
-        "roofline_gops": round(roof_gops, 2),
-        "ab_pairs": pairs,
-        "vs_baseline": round(gops / roof_gops, 4),
-    }
-    if _PLATFORM_FALLBACK:
-        rec["platform"] = "cpu-fallback"
-        rec["note"] = ("TPU backend unavailable at bench time; measured on "
-                       "CPU vs the same-run CPU roofline")
+    on_tpu = not fallback and jax.default_backend() != "cpu"
+    rec = finalize_headline(gops, roof_gops, pairs, on_tpu,
+                            last_tpu=load_last_tpu())
+    if on_tpu:
+        save_last_tpu({
+            "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime()),
+            "metric": rec["metric"],
+            "value": rec["value"],
+            "unit": rec["unit"],
+            "roofline_gops": rec["roofline_gops"],
+            "vs_baseline": rec["vs_baseline"],
+            "ab_pairs": rec["ab_pairs"],
+            "note": ("recorded by bench.py on a successful TPU run; "
+                     "A/B-interleaved best-of vs the same-session measured "
+                     "raw int8-matmul roofline"),
+        })
     print(json.dumps(rec))
     return 0
 
