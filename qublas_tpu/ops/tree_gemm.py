@@ -24,14 +24,17 @@ Backends sharing the schedule:
 * :func:`tree_gemm_blocked` — the production TPU path: a two-phase Pallas
   kernel folds each k-block's quantized products entirely in VMEM (products
   never touch HBM), then jnp pairs the per-block results through the
-  remaining layers.  143 GOP/s on the canonical 512³ config (v5e, round-2
-  tuning sweep: blk=32, 128x256 tiles + single-compare SAT_ZERO epilogue), ~4x the scan backend and ~9x the
-  layered fallback.  Roofline context: ~72G products/s x ~14 int32 VPU ops
-  per product (split-B mul + SAT_ZERO requantize + amortized tree fold)
-  ~= 1.0 T int32 op/s sustained; the VPU architectural ceiling at 8x128
-  lanes x 4 ALUs x ~1.6 GHz is ~6-7 T op/s, so ~15-20% of speed-of-light —
-  the gap is Mosaic scheduling of the short dependent int32 chains, not
-  memory (VMEM traffic is ~12 B/product at >5x headroom).
+  remaining layers.  Tuned defaults from the round-2 on-chip sweep: blk=32,
+  128x256 tiles, single-compare SAT_ZERO epilogue (QUBLAS_TREE_* env
+  overrides).  The performance record is single-sourced: ``bench.py
+  --tree`` prints GOP/s, speedup-over-layered, Gprod/s, and
+  ``vs_vpu_roofline`` (the 14-int32-ops/product VPU model defined there);
+  BASELINE.md's tree row quotes that artifact (round 3, in-session:
+  311 GOP/s, 16.2x layered, ~34% of VPU speed-of-light).  The gap to the
+  ceiling is Mosaic scheduling of the short dependent int32 chains, not
+  memory (VMEM traffic is ~12 B/product at >5x headroom); restructuring
+  is exhausted (CLAUDE.md: fold-as-you-go and larger tiles all measure
+  within session noise).
 * :func:`tree_gemm_scan` — ``lax.scan`` over k-blocks with a binary-carry
   slot stack.  Portable (CPU / any shape), no [m,k,n] intermediate.
 * :func:`tree_gemm_pallas` — the original slot-stack kernel; bit-exact in

@@ -122,7 +122,22 @@ def _cached(key, build):
     return fn
 
 
-_PROBE_CACHE: dict = {}
+_PROBE_CACHE: dict = {}       # insertion-ordered (dict) -> LRU eviction
+_PROBE_CACHE_MAX = 2048       # keys include operand *shapes*: shape churn
+#                               in a long-lived process must stay bounded
+
+
+def _probe_cache_get(key):
+    v = _PROBE_CACHE.pop(key, None)
+    if v is not None:
+        _PROBE_CACHE[key] = v  # re-insert: most recently used
+    return v
+
+
+def _probe_cache_put(key, verdict) -> None:
+    while len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+        _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+    _PROBE_CACHE[key] = verdict
 
 
 def _check_traceable(pa: QTensor, pb: QTensor, out_fmt, mul_to, add_formats,
@@ -144,7 +159,7 @@ def _check_traceable(pa: QTensor, pb: QTensor, out_fmt, mul_to, add_formats,
         return
     key = _freeze((pa.fmt, pb.fmt, out_fmt, mul_to, add_formats, kw,
                    pa.shape, pb.shape, who))
-    verdict = _PROBE_CACHE.get(key)
+    verdict = _probe_cache_get(key)
     if verdict is None:
         try:
             jax.eval_shape(
@@ -153,11 +168,11 @@ def _check_traceable(pa: QTensor, pb: QTensor, out_fmt, mul_to, add_formats,
                                       out_fmt, mul_to=mul_to,
                                       add_formats=add_formats, **kw).data,
                 pa.data, pb.data)
-            _PROBE_CACHE[key] = True
+            _probe_cache_put(key, True)
             return
         except (jax.errors.TracerArrayConversionError,
                 jax.errors.ConcretizationTypeError) as e:
-            _PROBE_CACHE[key] = False
+            _probe_cache_put(key, False)
             raise ValueError(
                 f"this GEMM config outgrows device lanes (host route); "
                 f"{who} cannot run it inside shard_map") from e
