@@ -3,10 +3,16 @@
 
 PY ?= python
 
-.PHONY: test golden golden-asan native bench clean
+.PHONY: test test-full golden golden-asan native bench clean
 
+# Default (shallow fuzz depth, 4 workers): ~4-5 min on a 4-CPU box.
 test:
-	$(PY) -m pytest tests/ -q
+	$(PY) -m pytest tests/ -q -n 4
+
+# Full randomized sweeps (pre-commit / CI depth; shallow is a seed-prefix
+# of full, so repros only need the env var).
+test-full:
+	QUBLAS_TEST_DEPTH=full $(PY) -m pytest tests/ -q -n 4
 
 # Regenerate golden vectors from the compiled C++ reference (needs g++ and
 # /root/reference; override with QUBLAS_REF=<path>).

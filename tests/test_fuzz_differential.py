@@ -9,6 +9,8 @@ negative int/frac bits) so no route disagrees with the oracle.
 import numpy as np
 import pytest
 
+import depthctl
+
 from qublas_tpu import hostops
 from qublas_tpu.ops import elementwise as ew
 from qublas_tpu.ops.gemm import qgemul
@@ -44,7 +46,7 @@ def rand_raws(fmt, n):
                     dtype=object)
 
 
-@pytest.mark.parametrize("trial", range(60))
+@pytest.mark.parametrize("trial", range(depthctl.trials(60, 24)))
 def test_fuzz_binary_ops(trial):
     reseed("test_fuzz_binary_ops", trial)
     from qublas_tpu.qtensor import from_raw
@@ -67,7 +69,7 @@ def test_fuzz_binary_ops(trial):
         assert dev.fmt == wf
 
 
-@pytest.mark.parametrize("trial", range(20))
+@pytest.mark.parametrize("trial", range(depthctl.trials(20, 8)))
 def test_fuzz_qreduce(trial):
     reseed("test_fuzz_qreduce", trial)
     from qublas_tpu.qtensor import from_raw
@@ -83,7 +85,7 @@ def test_fuzz_qreduce(trial):
     assert dev.fmt == wf
 
 
-@pytest.mark.parametrize("trial", range(12))
+@pytest.mark.parametrize("trial", range(depthctl.trials(12, 6)))
 def test_fuzz_qgemul(trial):
     reseed("test_fuzz_qgemul", trial)
     from qublas_tpu.qtensor import from_raw
@@ -108,7 +110,7 @@ def test_fuzz_qgemul(trial):
                 fa, fb, out, mul_to, layers, (m, k, n), i, j)
 
 
-@pytest.mark.parametrize("trial", range(16))
+@pytest.mark.parametrize("trial", range(depthctl.trials(16, 8)))
 def test_fuzz_complex_mul(trial):
     reseed("test_fuzz_complex_mul", trial)
     from qublas_tpu import hostops
@@ -136,7 +138,7 @@ def test_fuzz_complex_mul(trial):
             (algo, kw, i)
 
 
-@pytest.mark.parametrize("trial", range(10))
+@pytest.mark.parametrize("trial", range(depthctl.trials(10, 5)))
 def test_fuzz_cgemul(trial):
     reseed("test_fuzz_cgemul", trial)
     from qublas_tpu import hostops
@@ -167,7 +169,7 @@ def test_fuzz_cgemul(trial):
                 host[i][j][1][0], (fr, fi, out, layers, i, j)
 
 
-@pytest.mark.parametrize("trial", range(6))
+@pytest.mark.parametrize("trial", range(depthctl.trials(6, 3)))
 def test_fuzz_sharded_mn(trial):
     """M/N sharding must be bit-exact for any (possibly order-sensitive)
     config — each output element's full tree runs on one device."""
@@ -191,7 +193,7 @@ def test_fuzz_sharded_mn(trial):
                                   np.asarray(ref.raw()))
 
 
-@pytest.mark.parametrize("trial", range(20))
+@pytest.mark.parametrize("trial", range(depthctl.trials(20, 8)))
 def test_fuzz_qcast(trial):
     reseed("test_fuzz_qcast", trial)
     from qublas_tpu.qtensor import from_raw
@@ -220,7 +222,7 @@ def rand_wide_fmt():
                    OverflowMode(rng.randint(0, 5)))
 
 
-@pytest.mark.parametrize("trial", range(40))
+@pytest.mark.parametrize("trial", range(depthctl.trials(40, 16)))
 def test_fuzz_wide_binary_ops(trial):
     reseed("test_fuzz_wide_binary_ops", trial)
     from qublas_tpu.qtensor import from_raw
@@ -246,7 +248,7 @@ def test_fuzz_wide_binary_ops(trial):
         assert dev.fmt == wf
 
 
-@pytest.mark.parametrize("trial", range(12))
+@pytest.mark.parametrize("trial", range(depthctl.trials(12, 5)))
 def test_fuzz_wide_qreduce(trial):
     reseed("test_fuzz_wide_qreduce", trial)
     from qublas_tpu.qtensor import from_raw
@@ -263,7 +265,7 @@ def test_fuzz_wide_qreduce(trial):
     assert dev.fmt == wf
 
 
-@pytest.mark.parametrize("trial", range(8))
+@pytest.mark.parametrize("trial", range(depthctl.trials(8, 4)))
 def test_fuzz_wide_qcast(trial):
     reseed("test_fuzz_wide_qcast", trial)
     from qublas_tpu.qtensor import from_raw
@@ -289,7 +291,7 @@ def test_wide_formats_are_device_resident():
         assert t.is_pair and not t.is_host, fa
 
 
-@pytest.mark.parametrize("trial", range(16))
+@pytest.mark.parametrize("trial", range(depthctl.trials(16, 6)))
 def test_fuzz_wide_complex_mul(trial):
     """Complex multiplies whose parts / step formats land on the 33..64-bit
     pair-storage routes (round-2 device coverage)."""

@@ -10,6 +10,8 @@ to the host golden model, across random widths, modes and storage-kind mixes.
 import numpy as np
 import pytest
 
+import depthctl
+
 from qublas_tpu import hostops
 from qublas_tpu.ops import elementwise as ew
 from qublas_tpu.ops import limbint as L
@@ -198,7 +200,7 @@ def test_limb_raw_round_trip_exact():
 # Public elementwise ops vs the host golden model
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("trial", range(40))
+@pytest.mark.parametrize("trial", range(depthctl.trials(40, 16)))
 def test_fuzz_limb_binary_ops(trial):
     reseed("limb_binary", trial)
     fa = rand_limb_fmt(200)
@@ -223,7 +225,7 @@ def test_fuzz_limb_binary_ops(trial):
         assert dev.fmt == wf
 
 
-@pytest.mark.parametrize("trial", range(16))
+@pytest.mark.parametrize("trial", range(depthctl.trials(16, 8)))
 def test_fuzz_limb_qcast(trial):
     reseed("limb_cast", trial)
     fa = rand_limb_fmt()
@@ -239,7 +241,7 @@ def test_fuzz_limb_qcast(trial):
         assert int(g) == want, (fa, to, int(x), int(g), want)
 
 
-@pytest.mark.parametrize("trial", range(10))
+@pytest.mark.parametrize("trial", range(depthctl.trials(10, 5)))
 def test_fuzz_limb_unary_and_compare(trial):
     reseed("limb_unary", trial)
     fa = rand_limb_fmt()
@@ -268,7 +270,7 @@ def test_fuzz_limb_unary_and_compare(trial):
         assert bool(eq_dev[i]) == (xa == yb)
 
 
-@pytest.mark.parametrize("trial", range(12))
+@pytest.mark.parametrize("trial", range(depthctl.trials(12, 6)))
 def test_fuzz_limb_qreduce(trial):
     reseed("limb_reduce", trial)
     pick = rng.randint(0, 2)
@@ -285,7 +287,7 @@ def test_fuzz_limb_qreduce(trial):
     assert dev.fmt == wf
 
 
-@pytest.mark.parametrize("trial", range(6))
+@pytest.mark.parametrize("trial", range(depthctl.trials(6, 3)))
 def test_fuzz_limb_gemm(trial):
     reseed("limb_gemm", trial)
     fa = rand_limb_fmt(120)
@@ -355,7 +357,7 @@ def test_limb_tensor_utilities():
         assert v == float(int(x)) * 2.0 ** -fa.frac_bits
 
 
-@pytest.mark.parametrize("trial", range(10))
+@pytest.mark.parametrize("trial", range(depthctl.trials(10, 5)))
 def test_fuzz_limb_complex_mul(trial):
     """Complex multiplies whose parts / step formats land on the 65..256-bit
     limb routes."""

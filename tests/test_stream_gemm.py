@@ -11,6 +11,8 @@ import random
 import numpy as np
 import pytest
 
+import depthctl
+
 import jax
 
 from qublas_tpu import from_raw, hostops, qformat
@@ -51,7 +53,7 @@ def _assert_same(got, ref):
 
 # k values covering distinct chunk/drain patterns: 48 = 16*3 (drain add),
 # 40 = 8*101b (seed+convert+add), 56 = 8*7 (all-add drain), 128 = 64*2
-@pytest.mark.parametrize("k", [48, 40, 56, 128])
+@pytest.mark.parametrize("k", depthctl.pick([48, 40, 56, 128], [40, 128]))
 def test_stream_pair_matches_layered(force_stream, k):
     fa = qformat(30, 9)           # 40-bit storage: pair
     fb = qformat(8, 8)
@@ -127,7 +129,7 @@ def test_stream_jit_compatible(force_stream):
     _assert_same(got, _layered(ta, tb, out))
 
 
-@pytest.mark.parametrize("trial", range(8))
+@pytest.mark.parametrize("trial", range(depthctl.trials(8, 4)))
 def test_fuzz_stream_vs_layered(force_stream, trial):
     """Random wide configs + random chunk patterns: the streamed tree must
     equal the layered tree bit-for-bit (the layered path is pinned to the
@@ -217,7 +219,7 @@ def test_stream_policy_gates():
 # general k (round 3): odd / prime / pow2+-1 contractions stream too — the
 # ragged tail subtree must reproduce the reference's odd-tail converting
 # assignments at every layer (QuBLAS.h:4977-4980)
-@pytest.mark.parametrize("k", [17, 19, 33, 65, 97, 127, 251, 257])
+@pytest.mark.parametrize("k", depthctl.pick([17, 19, 33, 65, 97, 127, 251, 257], [17, 33, 127, 257]))
 def test_stream_general_k_matches_layered(force_stream, k):
     fa = qformat(30, 9)
     fb = qformat(8, 8)
