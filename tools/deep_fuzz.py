@@ -374,7 +374,7 @@ def sweep_sharded(trials):
     if len(jax.devices()) < 8:
         print("sharded: skipped (need 8 virtual devices; set XLA_FLAGS="
               "--xla_force_host_platform_device_count=8)", flush=True)
-        return
+        return 0
     from qublas_tpu.parallel import make_mesh, shard_qgemul
 
     mesh = make_mesh(dp=2, tp=4)
@@ -406,6 +406,7 @@ def sweep_sharded(trials):
         except Exception as e:
             fail("CRASH shard", fa, fb, out, mul_to, layers,
                  type(e).__name__, str(e)[:150])
+    return trials
 
 
 def main():
@@ -422,9 +423,13 @@ def main():
         ("bitstream", sweep_bitstream, trials),
         ("sharded", sweep_sharded, max(trials // 10, 30)),
     ]:
-        fn(n)
-        print(f"{name}: {n} trials, {FAILS} total fails "
-              f"[{time.time() - t0:.0f}s]", flush=True)
+        # sweeps report the trials they actually EXECUTED (a skipped family
+        # must not inflate the headline config count — advisor r2)
+        done = fn(n)
+        done = n if done is None else done
+        if done:
+            print(f"{name}: {done} trials, {FAILS} total fails "
+                  f"[{time.time() - t0:.0f}s]", flush=True)
     print(f"DEEP FUZZ DONE: {FAILS} fails in {time.time() - t0:.0f}s")
     return 1 if FAILS else 0
 

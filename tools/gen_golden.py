@@ -583,6 +583,22 @@ emit("""
 # uniform_int_distribution) — pins qublas_tpu/refrand.py bit-for-bit.
 # gen.seed(1) restarts the global stream so this family is independent of
 # chunk ordering (same state as reference program startup, QuBLAS.h:30).
+#
+# TOOLCHAIN GUARD (advisor r2): refrand.uniform_int replicates the
+# libstdc++ >= 11 Lemire downscaling draw.  Regenerating these goldens
+# against an older libstdc++ (scaling/rejection algorithm) or libc++ would
+# silently produce a different stream and mass failures that look like
+# refrand bugs — fail the *compile* loudly instead, and record the
+# toolchain next to the emitted streams (golden_data/toolchain.json).
+chunks.append(r"""
+#if !defined(__GLIBCXX__) || !defined(_GLIBCXX_RELEASE) || _GLIBCXX_RELEASE < 11
+#error "fill/shuffle goldens require libstdc++ >= 11: qublas_tpu/refrand.py replicates its Lemire uniform_int_distribution draw"
+#endif
+    out << "{\"kind\":\"toolchain\",\"glibcxx\":" << __GLIBCXX__
+        << ",\"glibcxx_release\":" << _GLIBCXX_RELEASE
+        << ",\"gnuc\":\"" << __GNUC__ << "." << __GNUC_MINOR__
+        << "\",\"pins\":\"fill+shuffle mt19937/uniform_int/std::shuffle streams\"}\n";
+""")
 fill_widths = [8, 17, 32, 33, 64, 65, 100, 128, 200]
 _fill_dumps = "\n".join(
     f"""    {{
