@@ -14,6 +14,7 @@ from .sharding import (
     sharded_qgemul_dp,
     sharded_qgemul_k,
     sharded_qgemul_k_pipelined,
+    sharded_qgemul_k_wide,
     sharded_qgemul_mn,
     sharded_qreduce,
     sharded_qreduce_k,
@@ -29,6 +30,7 @@ __all__ = [
     "sharded_qgemul_dp",
     "sharded_qgemul_k",
     "sharded_qgemul_k_pipelined",
+    "sharded_qgemul_k_wide",
     "sharded_qgemul_mn",
     "sharded_qreduce",
     "sharded_qreduce_k",

@@ -43,12 +43,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import wideint as W
 from ..ops.gemm import exact_plan, qgemul
-from ..ops.widths import Interval, dtype_for
+from ..ops.widths import I32_MAX, Interval, dtype_for, fmt_interval
 from ..qformat import QFormat, mul_merge
 from ..qtensor import QTensor
 
 __all__ = ["make_mesh", "shard_qgemul", "sharded_qgemul_k",
-           "sharded_qgemul_k_pipelined", "sharded_qgemul_mn",
+           "sharded_qgemul_k_pipelined", "sharded_qgemul_k_wide",
+           "sharded_qgemul_mn",
            "sharded_qgemul_dp", "init_distributed",
            "sharded_cgemul", "sharded_cgemul_mn", "sharded_cgemul_k",
            "sharded_qreduce", "sharded_qreduce_k"]
@@ -231,11 +232,21 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                               a.shape[-1])
             # K needs int32 partial dots + the full int32-lane epilogue
             # proof (the same gate as the single-chip MXU fast path) +
-            # a tp-divisible contraction dim; otherwise mn is always valid
-            strategy = "k" if (plan is not None
-                               and _device_epilogue_ok(plan, out_fmt)
-                               and a.shape[-1] % mesh.shape["tp"] == 0) \
-                else "mn"
+            # a tp-divisible contraction dim; a proof-lossless dot in the
+            # 64-bit domain routes to the wide-K strategy (round 3);
+            # otherwise mn is always valid
+            if plan is not None and _device_epilogue_ok(plan, out_fmt) \
+                    and a.shape[-1] % mesh.shape["tp"] == 0:
+                strategy = "k"
+            elif _k_wide_plan(a, b, out_fmt, mul_to, add_formats,
+                              kw.get("mul_full_prec", False),
+                              mesh.shape["tp"]) is not None:
+                strategy = "k_wide"
+            else:
+                strategy = "mn"
+    if strategy == "k_wide":
+        return sharded_qgemul_k_wide(a, b, out_fmt, mesh, mul_to=mul_to,
+                                     add_formats=add_formats, **kw)
     if strategy == "k":
         return sharded_qgemul_k(a, b, out_fmt, mesh, mul_to=mul_to,
                                 add_formats=add_formats, **kw)
@@ -443,6 +454,222 @@ def sharded_qgemul_k_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
 
 
 # ---------------------------------------------------------------------------
+# Wide K sharding — pair-domain partial dots, carry-correct psum over ICI
+# ---------------------------------------------------------------------------
+
+def _k_wide_plan(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to,
+                 add_formats, mul_full_prec, tp: int):
+    """Proof gate for the wide K strategy (round-3 item 8): the global
+    accumulation must be provably lossless with the *user's* formats (so
+    any association/distribution order yields identical bits), every
+    partial and the full dot must fit the signed-64-bit pair domain, and
+    the epilogue must run in it.  Returns the ExactPlan or None."""
+    from ..ops.widths import route_requant, storage_kind
+
+    if a.ndim != 2 or b.ndim != 2:
+        return None
+    if a.is_limb or b.is_limb or a.is_host or b.is_host:
+        return None
+    k = a.shape[-1]
+    if k % tp:
+        return None
+    mul_fmt = mul_merge(a.fmt, b.fmt, mul_to, mul_full_prec)
+    plan = exact_plan(a.fmt, b.fmt, mul_fmt, add_formats, k)
+    if plan is None or not plan.dot_interval.fits64:
+        return None
+    if storage_kind(out_fmt) not in ("lane", "pair"):
+        return None
+    if route_requant(plan.dot_interval, plan.prod_frac, out_fmt) \
+            not in ("i32", "pair"):
+        return None
+    return plan
+
+
+def _pair_axis_sum(ph, pl, axis: int):
+    """Log-depth exact pair summation over ``axis`` (zero-padded to even at
+    each level — the caller's losslessness proof makes any order exact)."""
+    while ph.shape[axis] > 1:
+        mdim = ph.shape[axis]
+        if mdim % 2:
+            pad = [(0, 0)] * ph.ndim
+            pad[axis] = (0, 1)
+            ph, pl = jnp.pad(ph, pad), jnp.pad(pl, pad)
+
+        def take(x, s):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(s, None, 2)
+            return x[tuple(idx)]
+
+        ph, pl = W.pair_add((take(ph, 0), take(pl, 0)),
+                            (take(ph, 1), take(pl, 1)))
+    idx = [slice(None)] * ph.ndim
+    idx[axis] = 0
+    return ph[tuple(idx)], pl[tuple(idx)]
+
+
+_KW_SEG_MIN = 8          # MXU segment path only if >= this many products
+#                          accumulate exactly in one int32 segment dot
+_KW_CHUNK = 64           # VPU path: products materialize [m, chunk, n]
+
+
+def _pair_partial_dot(ad, bd, prod_iv):
+    """Exact [m, n] pair dot of a local K-slice.
+
+    MXU path: when every product fits an int32 lane, split K into segments
+    short enough that each segment's dot provably fits int32, run them as
+    one batched integer matmul on the MXU, and fold the per-segment dots
+    with exact pair adds — the TPU-native way to accumulate a >32-bit
+    integer dot.  Otherwise (pair operands / >32-bit products) the products
+    compute directly in the 64-bit pair domain, chunked so only
+    ``[m, chunk, n]`` materializes.
+    """
+    a_pair = isinstance(ad, W.PairArray)
+    b_pair = isinstance(bd, W.PairArray)
+    k_loc = ad.shape[-1]
+    if not a_pair and not b_pair and prod_iv.fits32:
+        mx = max(abs(prod_iv.lo), abs(prod_iv.hi))
+        seg = k_loc if mx == 0 else max((I32_MAX) // mx, 1)
+        if seg >= _KW_SEG_MIN:
+            a32 = ad.astype(jnp.int32)
+            b32 = bd.astype(jnp.int32)
+            nseg = -(-k_loc // seg)
+            pad = nseg * seg - k_loc
+            if pad:
+                a32 = jnp.pad(a32, ((0, 0), (0, pad)))
+                b32 = jnp.pad(b32, ((0, pad), (0, 0)))
+            m, n = a32.shape[0], b32.shape[1]
+            dots = jnp.einsum(
+                "msl,sln->smn",
+                a32.reshape(m, nseg, seg), b32.reshape(nseg, seg, n),
+                preferred_element_type=jnp.int32)     # [nseg, m, n]
+            hi, lo = W.widen(dots)
+            return _pair_axis_sum(hi, lo, 0)
+
+    def col(sl):
+        if a_pair:
+            return ad.hi[:, sl, None], ad.lo[:, sl, None]
+        x = ad[:, sl, None].astype(jnp.int32)
+        return x, None                                # lane marker
+
+    def row(sl):
+        if b_pair:
+            return bd.hi[sl, :], bd.lo[sl, :]
+        x = bd[sl, :].astype(jnp.int32)
+        return x, None
+
+    acc = None
+    for t in range(0, k_loc, _KW_CHUNK):
+        sl = slice(t, min(t + _KW_CHUNK, k_loc))
+        ch, cl = col(sl)
+        rh, rl = row(sl)
+        if cl is None and rl is None:
+            ph, pl = W.mul32_wide(ch, rh)             # [m, c, n]
+        else:
+            cp = (ch, cl) if cl is not None else W.widen(ch)
+            rp = (rh, rl) if rl is not None else W.widen(rh)
+            ph, pl = W.pair_mul(cp, rp)
+        sh, sv = _pair_axis_sum(ph, pl, -2)           # [m, n]
+        acc = (sh, sv) if acc is None else W.pair_add(acc, (sh, sv))
+    return acc
+
+
+def _psum_pair(ph, pl, scatter: bool):
+    """Carry-correct cross-device sum of 64-bit pairs: psum four 16-bit
+    limb columns as int32 (each per-device column < 2^16, so the summed
+    column fits int32 for any realistic tp), then carry-propagate locally.
+    Mod-2^64 addition is exact for the true dot because the proof bounds
+    it (and every partial) to the signed 64-bit range."""
+    u_hi = jax.lax.bitcast_convert_type(ph, jnp.uint32)
+    cols = (pl & jnp.uint32(0xFFFF), pl >> 16,
+            u_hi & jnp.uint32(0xFFFF), u_hi >> 16)
+    if scatter:
+        s = [jax.lax.psum_scatter(c.astype(jnp.int32), "tp",
+                                  scatter_dimension=1, tiled=True)
+             for c in cols]
+    else:
+        s = [jax.lax.psum(c.astype(jnp.int32), "tp") for c in cols]
+    c0 = s[0]
+    l0, car = c0 & 0xFFFF, c0 >> 16
+    c1 = s[1] + car
+    l1, car = c1 & 0xFFFF, c1 >> 16
+    c2 = s[2] + car
+    l2, car = c2 & 0xFFFF, c2 >> 16
+    l3 = (s[3] + car) & 0xFFFF                        # mod 2^64
+    lo = l0.astype(jnp.uint32) | (l1.astype(jnp.uint32) << 16)
+    hi = jax.lax.bitcast_convert_type(
+        l2.astype(jnp.uint32) | (l3.astype(jnp.uint32) << 16), jnp.int32)
+    return hi, lo
+
+
+def sharded_qgemul_k_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
+                          mesh: Mesh, mul_to=None, add_formats=(),
+                          mul_full_prec=False, reduce_scatter: bool = False,
+                          epilogue_lut=None) -> QTensor:
+    """K-sharded GEMM for proof-lossless configs whose dot outgrows int32
+    but fits the 64-bit pair domain — the wide-format side of the BASELINE
+    north star ("weights and GEMM operands tensor-sharded"), which round 2
+    could only shard mn.
+
+    Each chip computes its K-slice's partial dot *exactly* in (hi, lo)
+    pair arithmetic (MXU segment dots when products fit int32 lanes —
+    :func:`_pair_partial_dot`), partials combine with a carry-correct
+    psum/psum_scatter of 16-bit limb columns over ICI, and the pair
+    requantize epilogue (:func:`~qublas_tpu.ops.wideint.requantize_pair` /
+    ``_keep``) runs after the collective.  Bit-exact by the same argument
+    as the single-chip MXU fast path: the lossless proof makes every
+    association and distribution order produce identical bits.
+
+    Requires the proof; raises otherwise (use strategy='mn').
+    """
+    from ..ops.widths import storage_kind
+
+    tp = mesh.shape["tp"]
+    plan = _k_wide_plan(a, b, out_fmt, mul_to, add_formats, mul_full_prec,
+                        tp)
+    if plan is None:
+        raise ValueError(
+            "wide K-sharding needs 2-D lane/pair operands, tp | K, a "
+            "lossless accumulation proof with the dot in the 64-bit "
+            "domain, and a lane/pair-domain epilogue; use strategy='mn'")
+    kind = storage_kind(out_fmt)
+    if epilogue_lut is not None and kind != "lane":
+        raise ValueError("epilogue_lut needs a lane-storage output format")
+    if reduce_scatter and b.shape[-1] % tp:
+        raise ValueError(
+            f"N={b.shape[-1]} not divisible by tp={tp} (reduce_scatter "
+            f"shards the output's N dim)")
+    prod_iv = fmt_interval(a.fmt) * fmt_interval(b.fmt)
+    prod_frac = plan.prod_frac
+    a = _device_put(a, mesh, P(None, "tp"))
+    b = _device_put(b, mesh, P("tp", None))
+    out_rank = P(None, "tp") if reduce_scatter else P(None, None)
+    out_s = _out_spec(out_fmt, out_rank)
+    out_dtype = dtype_for(out_fmt)
+
+    def build():
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(None, "tp"), P("tp", None)),
+                 out_specs=out_s)
+        def block(ad, bd):
+            ph, pl = _pair_partial_dot(ad, bd, prod_iv)
+            hi, lo = _psum_pair(ph, pl, reduce_scatter)
+            if kind == "lane":
+                raw = W.requantize_pair((hi, lo), prod_frac, out_fmt) \
+                    .astype(out_dtype)
+                if epilogue_lut is not None:
+                    raw = epilogue_lut(QTensor(raw, out_fmt)).data
+                return raw
+            h2, l2 = W.requantize_pair_keep((hi, lo), prod_frac, out_fmt)
+            return W.PairArray(h2, l2)
+        return block
+
+    fn = _cached(("kw", a.fmt, b.fmt, prod_frac, out_fmt,
+                  bool(reduce_scatter), epilogue_lut, mesh), build)
+    res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
+    return QTensor(fn(a.data, b.data), res_fmt)
+
+
+# ---------------------------------------------------------------------------
 # DP batch sharding — multi-host batched GEMM streaming
 # ---------------------------------------------------------------------------
 
@@ -504,14 +731,15 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
         key = _freeze(("cauto", a.real.fmt, a.imag.fmt, b.real.fmt,
                        b.imag.fmt, out_fmt, algo, add_formats, mul_tags,
                        a.shape[-1]))
-        ok = _PROBE_CACHE.get(key)
+        ok = _probe_cache_get(key)
         if ok is None:
             orf, oif = _part_formats(out_fmt)
             r_layers, i_layers = _split_layers(add_formats)
             probe = _fast_cgemul(_crow(a, 0), _ccol(b, 0), orf, oif, algo,
                                  r_layers, i_layers, mul_tags,
                                  k_total=a.shape[-1])
-            ok = _PROBE_CACHE[key] = probe is not None
+            ok = probe is not None
+            _probe_cache_put(key, ok)
         strategy = "k" if ok and a.shape[-1] % mesh.shape["tp"] == 0 \
             else "mn"
     if strategy == "k":
@@ -541,7 +769,7 @@ def _cgemul_probe(a, b, out_fmt, algo, add_formats, mul_tags,
             f"route); {who} cannot run it inside shard_map")
     key = _freeze(("cprobe", far, fai, fbr, fbi, out_fmt, algo,
                    add_formats, mul_tags, a.shape[-1]))
-    hit = _PROBE_CACHE.get(key)
+    hit = _probe_cache_get(key)
     if hit is False:
         raise ValueError(
             f"this complex GEMM config outgrows device lanes (host "
@@ -563,11 +791,11 @@ def _cgemul_probe(a, b, out_fmt, algo, add_formats, mul_tags,
                        b.real.data[..., :, :1], b.imag.data[..., :, :1])
     except (jax.errors.TracerArrayConversionError,
             jax.errors.ConcretizationTypeError) as e:
-        _PROBE_CACHE[key] = False
+        _probe_cache_put(key, False)
         raise ValueError(
             f"this complex GEMM config outgrows device lanes (host "
             f"route); {who} cannot run it inside shard_map") from e
-    _PROBE_CACHE[key] = box["fmts"]
+    _probe_cache_put(key, box["fmts"])
     return box["fmts"]
 
 
@@ -713,7 +941,7 @@ def sharded_qreduce(x: QTensor, layer_formats=(), axis: int = -1,
     # (trace-time only, memoized — no device dispatch per call)
     key = _freeze(("qrprobe", x.fmt, layer_formats, x.shape[red_axis],
                    x.is_limb, x.is_pair))
-    hit = _PROBE_CACHE.get(key)
+    hit = _probe_cache_get(key)
     if hit is False:
         raise ValueError(
             "this reduction outgrows device lanes (host route); "
@@ -732,11 +960,12 @@ def sharded_qreduce(x: QTensor, layer_formats=(), axis: int = -1,
             jax.eval_shape(probe_fn, slc.data)
         except (jax.errors.TracerArrayConversionError,
                 jax.errors.ConcretizationTypeError) as e:
-            _PROBE_CACHE[key] = False
+            _probe_cache_put(key, False)
             raise ValueError(
                 "this reduction outgrows device lanes (host route); "
                 "sharded_qreduce cannot run it inside shard_map") from e
-        hit = _PROBE_CACHE[key] = box["res"]
+        hit = box["res"]
+        _probe_cache_put(key, hit)
     out_fmt, out_is_limb = hit
     out_spec = P(None, *out_rank_spec) if out_is_limb \
         else P(*out_rank_spec)
