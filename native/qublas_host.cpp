@@ -13,7 +13,7 @@
 // reference fracConvert (QuBLAS.h:2002-2204), overflow modes intConvert
 // (QuBLAS.h:2227-2344).
 //
-// Build: g++ -O2 -shared -fPIC -o libqublas_host.so qublas_host.cpp
+// Build: g++ -O3 -shared -fPIC -o libqublas_host.so qublas_host.cpp
 // ABI: plain C, int64 raw values (callers guarantee storage <= 64 bits and
 // intermediate widths <= 127 bits via the same width proofs the device
 // paths use).
@@ -299,32 +299,35 @@ void qh_unpack_bits(const char *in, int64_t *out, size_t n, int32_t width,
 }  // extern "C"
 
 // --------------------------------------------------------------------------
-// Multiword engine: 512-bit two's-complement integers (8 x uint64 limbs,
-// little-endian).  Covers the reference's multiword ArbiInt regime
-// (QuBLAS.h:566-912; its generated tests use formats to 200 bits,
-// test/ArbiInt/staticShiftRight.cpp cases up to 200_196): storage to ~200
-// bits with product/shift intermediates to 500 bits runs compiled here
-// instead of on per-element Python ints.
+// Multiword engine: NL x uint64-limb two's-complement integers (little-
+// endian), templated over the limb count and instantiated at 8/16/32 limbs
+// (512/1024/2048-bit working widths).  Covers the reference's multiword
+// ArbiInt regime (QuBLAS.h:566-912; its generated tests use formats to 200
+// bits) AND the >256-bit-storage formats the device cannot hold: e.g. a
+// 300-bit x 300-bit product (600 bits) now runs compiled at NL=16 instead
+// of on per-element Python ints (round-3 item 9).  Callers pick the
+// smallest sufficient NL via the same width proofs as before.
 // --------------------------------------------------------------------------
 
 namespace {
 
-constexpr int NL = 8;            // limbs
-constexpr int WBITS = 64 * NL;   // 512
+template <int NL> struct W { uint64_t l[NL]; };
 
-struct W512 { uint64_t l[NL]; };
+template <int NL> inline W<NL> w_zero() {
+    W<NL> r; std::memset(r.l, 0, sizeof r.l); return r;
+}
 
-inline W512 w_zero() { W512 r; std::memset(r.l, 0, sizeof r.l); return r; }
+template <int NL> inline bool w_is_neg(const W<NL> &a) {
+    return (a.l[NL - 1] >> 63) & 1;
+}
 
-inline bool w_is_neg(const W512 &a) { return (a.l[NL - 1] >> 63) & 1; }
-
-inline bool w_is_zero(const W512 &a) {
+template <int NL> inline bool w_is_zero(const W<NL> &a) {
     for (int i = 0; i < NL; ++i) if (a.l[i]) return false;
     return true;
 }
 
-inline W512 w_add(const W512 &a, const W512 &b) {
-    W512 r; unsigned __int128 c = 0;
+template <int NL> inline W<NL> w_add(const W<NL> &a, const W<NL> &b) {
+    W<NL> r; unsigned __int128 c = 0;
     for (int i = 0; i < NL; ++i) {
         unsigned __int128 s = (unsigned __int128)a.l[i] + b.l[i] + c;
         r.l[i] = (uint64_t)s; c = s >> 64;
@@ -332,12 +335,12 @@ inline W512 w_add(const W512 &a, const W512 &b) {
     return r;
 }
 
-inline W512 w_not(const W512 &a) {
-    W512 r; for (int i = 0; i < NL; ++i) r.l[i] = ~a.l[i]; return r;
+template <int NL> inline W<NL> w_not(const W<NL> &a) {
+    W<NL> r; for (int i = 0; i < NL; ++i) r.l[i] = ~a.l[i]; return r;
 }
 
-inline W512 w_neg(const W512 &a) {
-    W512 r = w_not(a); unsigned __int128 c = 1;
+template <int NL> inline W<NL> w_neg(const W<NL> &a) {
+    W<NL> r = w_not(a); unsigned __int128 c = 1;
     for (int i = 0; i < NL && c; ++i) {
         unsigned __int128 s = (unsigned __int128)r.l[i] + c;
         r.l[i] = (uint64_t)s; c = s >> 64;
@@ -345,29 +348,53 @@ inline W512 w_neg(const W512 &a) {
     return r;
 }
 
-inline W512 w_sub(const W512 &a, const W512 &b) { return w_add(a, w_neg(b)); }
+template <int NL> inline W<NL> w_sub(const W<NL> &a, const W<NL> &b) {
+    return w_add(a, w_neg(b));
+}
 
-// mod-2^512 product — sign-correct by two's complement; callers prove the
-// true product fits 512 bits
-inline W512 w_mul(const W512 &a, const W512 &b) {
-    W512 r = w_zero();
-    for (int i = 0; i < NL; ++i) {
-        if (!a.l[i]) continue;
+// limbs above the highest nonzero limb (for a non-negative magnitude)
+template <int NL> inline int w_top(const W<NL> &a) {
+    int t = NL;
+    while (t > 0 && a.l[t - 1] == 0) --t;
+    return t;
+}
+
+// mod-2^(64*NL) product — sign-correct by two's complement; callers prove
+// the true product fits the working width.  Signed-magnitude schoolbook
+// over the *effective* limb counts: a 300-bit value occupies 5 limbs, so
+// at NL=16 the inner loop runs 25 limb products instead of 256 (negative
+// operands would otherwise sign-fill every top limb and defeat the
+// zero-limb skip).  Negation commutes with mod-2^W, so the sign fixup is
+// exact even for the minimum (self-negating) pattern.
+template <int NL> inline W<NL> w_mul(const W<NL> &a, const W<NL> &b) {
+    bool na = w_is_neg(a), nb = w_is_neg(b);
+    W<NL> x = na ? w_neg(a) : a;
+    W<NL> y = nb ? w_neg(b) : b;
+    int ta = w_top(x), tb = w_top(y);
+    W<NL> r = w_zero<NL>();
+    for (int i = 0; i < ta; ++i) {
+        if (!x.l[i]) continue;
         unsigned __int128 carry = 0;
-        for (int j = 0; i + j < NL; ++j) {
+        int jmax = tb < NL - i ? tb : NL - i;
+        for (int j = 0; j < jmax; ++j) {
             unsigned __int128 cur =
-                (unsigned __int128)a.l[i] * b.l[j] + r.l[i + j] + carry;
+                (unsigned __int128)x.l[i] * y.l[j] + r.l[i + j] + carry;
+            r.l[i + j] = (uint64_t)cur;
+            carry = cur >> 64;
+        }
+        for (int j = jmax; carry && i + j < NL; ++j) {
+            unsigned __int128 cur = (unsigned __int128)r.l[i + j] + carry;
             r.l[i + j] = (uint64_t)cur;
             carry = cur >> 64;
         }
     }
-    return r;
+    return (na != nb) ? w_neg(r) : r;
 }
 
-inline W512 w_shl(const W512 &a, int s) {
+template <int NL> inline W<NL> w_shl(const W<NL> &a, int s) {
     if (s <= 0) return a;
-    if (s >= WBITS) return w_zero();
-    W512 r = w_zero();
+    if (s >= 64 * NL) return w_zero<NL>();
+    W<NL> r = w_zero<NL>();
     int q = s / 64, b = s % 64;
     for (int i = NL - 1; i >= q; --i) {
         uint64_t v = a.l[i - q] << b;
@@ -377,11 +404,14 @@ inline W512 w_shl(const W512 &a, int s) {
     return r;
 }
 
-inline W512 w_sar(const W512 &a, int s) {
+template <int NL> inline W<NL> w_sar(const W<NL> &a, int s) {
     uint64_t fill = w_is_neg(a) ? ~0ull : 0ull;
     if (s <= 0) return a;
-    W512 r;
-    if (s >= WBITS) { for (int i = 0; i < NL; ++i) r.l[i] = fill; return r; }
+    W<NL> r;
+    if (s >= 64 * NL) {
+        for (int i = 0; i < NL; ++i) r.l[i] = fill;
+        return r;
+    }
     int q = s / 64, b = s % 64;
     for (int i = 0; i < NL; ++i) {
         uint64_t v = (i + q < NL) ? (a.l[i + q] >> b) : (fill >> b);
@@ -394,9 +424,9 @@ inline W512 w_sar(const W512 &a, int s) {
     return r;
 }
 
-// low d bits (0 <= d <= 512)
-inline W512 w_mask_low(const W512 &a, int d) {
-    W512 r = w_zero();
+// low d bits (0 <= d <= 64*NL)
+template <int NL> inline W<NL> w_mask_low(const W<NL> &a, int d) {
+    W<NL> r = w_zero<NL>();
     int q = d / 64, b = d % 64;
     for (int i = 0; i < q && i < NL; ++i) r.l[i] = a.l[i];
     if (q < NL && b) r.l[q] = a.l[q] & ((1ull << b) - 1);
@@ -404,7 +434,7 @@ inline W512 w_mask_low(const W512 &a, int d) {
 }
 
 // signed compare: -1/0/+1
-inline int w_cmp(const W512 &a, const W512 &b) {
+template <int NL> inline int w_cmp(const W<NL> &a, const W<NL> &b) {
     bool na = w_is_neg(a), nb = w_is_neg(b);
     if (na != nb) return na ? -1 : 1;
     for (int i = NL - 1; i >= 0; --i) {
@@ -414,9 +444,9 @@ inline int w_cmp(const W512 &a, const W512 &b) {
     return 0;
 }
 
-// unsigned compare: -1/0/+1 (for d-bit fraction patterns, where bit 511
-// is a value bit, not a sign — e.g. the d=512 tie threshold 2^511)
-inline int w_cmp_u(const W512 &a, const W512 &b) {
+// unsigned compare: -1/0/+1 (for d-bit fraction patterns, where the top
+// bit is a value bit, not a sign — e.g. the d=64*NL tie threshold)
+template <int NL> inline int w_cmp_u(const W<NL> &a, const W<NL> &b) {
     for (int i = NL - 1; i >= 0; --i) {
         if (a.l[i] < b.l[i]) return -1;
         if (a.l[i] > b.l[i]) return 1;
@@ -424,14 +454,14 @@ inline int w_cmp_u(const W512 &a, const W512 &b) {
     return 0;
 }
 
-// 2^k (k < 511)
-inline W512 w_pow2(int k) {
-    W512 r = w_zero(); r.l[k / 64] = 1ull << (k % 64); return r;
+// 2^k (k < 64*NL - 1)
+template <int NL> inline W<NL> w_pow2(int k) {
+    W<NL> r = w_zero<NL>(); r.l[k / 64] = 1ull << (k % 64); return r;
 }
 
 // (1 << (w-1)) - 1: bits 0..w-2 set
-inline W512 w_maxval(int w) {
-    W512 r = w_zero();
+template <int NL> inline W<NL> w_maxval(int w) {
+    W<NL> r = w_zero<NL>();
     int nbits = w - 1, q = nbits / 64, b = nbits % 64;
     for (int i = 0; i < q && i < NL; ++i) r.l[i] = ~0ull;
     if (q < NL && b) r.l[q] = (1ull << b) - 1;
@@ -439,9 +469,9 @@ inline W512 w_maxval(int w) {
 }
 
 // sign-extend the low w bits
-inline W512 w_sext(const W512 &a, int w) {
-    W512 m = w_mask_low(a, w);
-    if (w < WBITS && ((m.l[(w - 1) / 64] >> ((w - 1) % 64)) & 1)) {
+template <int NL> inline W<NL> w_sext(const W<NL> &a, int w) {
+    W<NL> m = w_mask_low(a, w);
+    if (w < 64 * NL && ((m.l[(w - 1) / 64] >> ((w - 1) % 64)) & 1)) {
         int q = w / 64, b = w % 64;
         if (b) m.l[q] |= ~((1ull << b) - 1);
         for (int i = q + (b ? 1 : 0); i < NL; ++i) m.l[i] = ~0ull;
@@ -449,23 +479,24 @@ inline W512 w_sext(const W512 &a, int w) {
     return m;
 }
 
-inline W512 w_frac_convert(const W512 &val, int d, int mode) {
+template <int NL>
+inline W<NL> w_frac_convert(const W<NL> &val, int d, int mode) {
     if (d <= 0) return w_shl(val, -d);
-    W512 xh = w_sar(val, d);
+    W<NL> xh = w_sar(val, d);
     if (mode == TRN_TCPL) return xh;
     if (mode == TRN_SMGN)
         return w_is_neg(val) ? w_neg(w_sar(w_neg(val), d)) : xh;
     int c;
-    if (d - 1 >= WBITS) {
-        // |val| < 2^511 <= 2^(d-1): a negative value's unsigned d-bit
-        // fraction (2^d + val) strictly exceeds the tie threshold, a
-        // non-negative one is strictly below it — and w_pow2(d - 1)
+    if (d - 1 >= 64 * NL) {
+        // |val| < 2^(64*NL - 1) <= 2^(d-1): a negative value's unsigned
+        // d-bit fraction (2^d + val) strictly exceeds the tie threshold,
+        // a non-negative one is strictly below it — and w_pow2(d - 1)
         // would write past the limb array
         c = w_is_neg(val) ? 1 : -1;
     } else {
-        W512 xl = w_mask_low(val, d);
-        W512 t = w_pow2(d - 1);
-        c = w_cmp_u(xl, t);  // unsigned d-bit patterns (d may be 512)
+        W<NL> xl = w_mask_low(val, d);
+        W<NL> t = w_pow2<NL>(d - 1);
+        c = w_cmp_u(xl, t);  // unsigned d-bit patterns (d may be 64*NL)
     }
     bool carry;
     bool neg = w_is_neg(val), zero = w_is_zero(val);
@@ -478,26 +509,27 @@ inline W512 w_frac_convert(const W512 &val, int d, int mode) {
     default:          carry = false; break;
     }
     if (!carry) return xh;
-    W512 one = w_zero(); one.l[0] = 1;
+    W<NL> one = w_zero<NL>(); one.l[0] = 1;
     return w_add(xh, one);
 }
 
-inline W512 w_int_convert(const W512 &val, const Fmt &f) {
+template <int NL>
+inline W<NL> w_int_convert(const W<NL> &val, const Fmt &f) {
     int w = 1 + f.int_bits + f.frac_bits;
     switch (f.overflow_mode) {
     case SAT_TCPL: case SAT_ZERO: case SAT_SMGN: {
-        W512 hi = w_maxval(w);
-        W512 lo = w_zero();
+        W<NL> hi = w_maxval<NL>(w);
+        W<NL> lo = w_zero<NL>();
         if (f.is_signed) {
-            lo = w_neg(w_pow2(w - 1));
+            lo = w_neg(w_pow2<NL>(w - 1));
             if (f.overflow_mode == SAT_SMGN) {
-                W512 one = w_zero(); one.l[0] = 1;
+                W<NL> one = w_zero<NL>(); one.l[0] = 1;
                 lo = w_add(lo, one);
             }
         }
         bool over = w_cmp(val, hi) > 0, under = w_cmp(val, lo) < 0;
         if (f.overflow_mode == SAT_ZERO)
-            return (over || under) ? w_zero() : val;
+            return (over || under) ? w_zero<NL>() : val;
         return over ? hi : under ? lo : val;
     }
     case WRP_TCPL:
@@ -512,76 +544,107 @@ inline W512 w_int_convert(const W512 &val, const Fmt &f) {
     }
 }
 
-inline W512 w_requantize(const W512 &val, int from_frac, const Fmt &f) {
+template <int NL>
+inline W<NL> w_requantize(const W<NL> &val, int from_frac, const Fmt &f) {
     return w_int_convert(
         w_frac_convert(val, from_frac - f.frac_bits, f.round_mode), f);
 }
 
-inline W512 w_load(const uint64_t *p) {
-    W512 r; std::memcpy(r.l, p, sizeof r.l); return r;
+template <int NL> inline W<NL> w_load(const uint64_t *p) {
+    W<NL> r; std::memcpy(r.l, p, sizeof r.l); return r;
 }
 
-inline void w_store(uint64_t *p, const W512 &v) {
+template <int NL> inline void w_store(uint64_t *p, const W<NL> &v) {
     std::memcpy(p, v.l, sizeof v.l);
 }
 
-}  // namespace
-
-extern "C" {
-
-// Multiword ABI: each element is NL (=8) little-endian uint64 limbs holding
-// a 512-bit two's-complement value.  Callers guarantee (via the Python
-// width proofs) that every intermediate fits 512 bits.
-
-int32_t qh_w_limbs(void) { return NL; }
-
-void qh_w_requantize(const uint64_t *in, uint64_t *out, size_t n,
-                     int32_t from_frac, const Fmt *to) {
-    for (size_t i = 0; i < n; ++i)
-        w_store(out + i * NL,
-                w_requantize(w_load(in + i * NL), from_frac, *to));
+// variable-width element IO: operands marshal at their *value* width
+// (nla <= NL limbs, sign-extended here), results store only the output
+// format's effective limbs — Python<->limb conversion is the multiword
+// engine's dominant cost, so narrow elements cut it proportionally.
+template <int NL> inline W<NL> w_load_n(const uint64_t *p, int nla) {
+    W<NL> r;
+    std::memcpy(r.l, p, (size_t)nla * 8);
+    uint64_t fill = (r.l[nla - 1] >> 63) ? ~0ull : 0ull;
+    for (int i = nla; i < NL; ++i) r.l[i] = fill;
+    return r;
 }
 
-void qh_w_mul(const uint64_t *a, const uint64_t *b, uint64_t *out, size_t n,
-              int32_t fa_frac, int32_t fb_frac, const Fmt *to) {
+template <int NL> inline void w_store_n(uint64_t *p, const W<NL> &v,
+                                        int nlo) {
+    std::memcpy(p, v.l, (size_t)nlo * 8);
+}
+
+// ---- element-loop bodies, templated over the limb count ----
+
+template <int NL>
+void t_w_requantize(const uint64_t *in, uint64_t *out, size_t n,
+                    int32_t nla, int32_t nlo,
+                    int32_t from_frac, const Fmt *to) {
+    for (size_t i = 0; i < n; ++i)
+        w_store_n(out + i * nlo,
+                  w_requantize(w_load_n<NL>(in + i * nla, nla),
+                               from_frac, *to), nlo);
+}
+
+template <int NL>
+void t_w_mul(const uint64_t *a, const uint64_t *b, uint64_t *out, size_t n,
+             int32_t nla, int32_t nlb, int32_t nlo,
+             int32_t fa_frac, int32_t fb_frac, const Fmt *to) {
     int from = fa_frac + fb_frac;
     for (size_t i = 0; i < n; ++i)
-        w_store(out + i * NL,
-                w_requantize(w_mul(w_load(a + i * NL), w_load(b + i * NL)),
-                             from, *to));
+        w_store_n(out + i * nlo,
+                  w_requantize(w_mul(w_load_n<NL>(a + i * nla, nla),
+                                     w_load_n<NL>(b + i * nlb, nlb)),
+                               from, *to), nlo);
 }
 
-void qh_w_addsub(const uint64_t *a, const uint64_t *b, uint64_t *out,
-                 size_t n, int32_t fa_frac, int32_t fb_frac, int32_t sub,
-                 const Fmt *to) {
+template <int NL>
+void t_w_addsub(const uint64_t *a, const uint64_t *b, uint64_t *out,
+                size_t n, int32_t nla, int32_t nlb, int32_t nlo,
+                int32_t fa_frac, int32_t fb_frac, int32_t sub,
+                const Fmt *to) {
     int f = fa_frac > fb_frac ? fa_frac : fb_frac;
     int sa = f - fa_frac, sb = f - fb_frac;
     for (size_t i = 0; i < n; ++i) {
-        W512 x = w_shl(w_load(a + i * NL), sa);
-        W512 y = w_shl(w_load(b + i * NL), sb);
-        w_store(out + i * NL, w_requantize(sub ? w_sub(x, y) : w_add(x, y),
-                                           f, *to));
+        W<NL> x = w_shl(w_load_n<NL>(a + i * nla, nla), sa);
+        W<NL> y = w_shl(w_load_n<NL>(b + i * nlb, nlb), sb);
+        w_store_n(out + i * nlo,
+                  w_requantize(sub ? w_sub(x, y) : w_add(x, y), f, *to),
+                  nlo);
+    }
+}
+
+template <int NL>
+void t_w_shift(const uint64_t *in, uint64_t *out, size_t n,
+               int32_t nla, int32_t nlo, int32_t shift) {
+    for (size_t i = 0; i < n; ++i) {
+        W<NL> v = w_load_n<NL>(in + i * nla, nla);
+        w_store_n(out + i * nlo, shift >= 0 ? w_shl(v, shift)
+                                            : w_sar(v, -shift), nlo);
     }
 }
 
 // multiword streaming tree GEMM: same binary-carry schedule as
-// qh_tree_gemm, every value a 512-bit limb vector — the reference's
-// >64-bit ArbiInt GEMM territory at C speed.
-void qh_w_tree_gemm(const uint64_t *A, const uint64_t *B, uint64_t *C,
-                    int64_t m, int64_t k, int64_t n,
-                    int32_t fa_frac, int32_t fb_frac,
-                    const Fmt *mul_fmt, const Fmt *level_fmts,
-                    const Fmt *merge_fmts, int32_t levels,
-                    const int32_t *drain_ops, int32_t n_drain,
-                    const Fmt *out_fmt) {
+// qh_tree_gemm, every value an NL-limb vector — the reference's >64-bit
+// ArbiInt GEMM territory at C speed.
+template <int NL>
+void t_w_tree_gemm(const uint64_t *A, const uint64_t *B, uint64_t *C,
+                   int64_t m, int64_t k, int64_t n,
+                   int32_t nla, int32_t nlb, int32_t nlo,
+                   int32_t fa_frac, int32_t fb_frac,
+                   const Fmt *mul_fmt, const Fmt *level_fmts,
+                   const Fmt *merge_fmts, int32_t levels,
+                   const int32_t *drain_ops, int32_t n_drain,
+                   const Fmt *out_fmt) {
     int pf = fa_frac + fb_frac;
-    W512 *slots = new W512[levels];
+    W<NL> *slots = new W<NL>[levels];
     for (int64_t i = 0; i < m; ++i) {
         for (int64_t j = 0; j < n; ++j) {
             for (int64_t t = 0; t < k; ++t) {
-                W512 a = w_load(A + (i * k + t) * NL);
-                W512 b = w_load(B + (t * n + j) * NL);
-                W512 v = w_requantize(w_mul(a, b), pf, *mul_fmt);
+                W<NL> a = w_load_n<NL>(A + (i * k + t) * nla, nla);
+                W<NL> b = w_load_n<NL>(B + (t * n + j) * nlb, nlb);
+                W<NL> v = w_requantize(w_mul(a, b), pf, *mul_fmt);
                 int64_t tt = t;
                 int lvl = 0;
                 while (tt & 1) {
@@ -593,7 +656,7 @@ void qh_w_tree_gemm(const uint64_t *A, const uint64_t *B, uint64_t *C,
                 }
                 slots[lvl] = v;
             }
-            W512 carry = w_zero();
+            W<NL> carry = w_zero<NL>();
             for (int32_t d = 0; d < n_drain; ++d) {
                 int op = drain_ops[2 * d], l = drain_ops[2 * d + 1];
                 if (op == 0) carry = slots[l];
@@ -605,23 +668,88 @@ void qh_w_tree_gemm(const uint64_t *A, const uint64_t *B, uint64_t *C,
                                          level_fmts[l].frac_bits,
                                          merge_fmts[l]);
             }
-            w_store(C + (i * n + j) * NL, carry);
+            w_store_n(C + (i * n + j) * nlo, carry, nlo);
         }
     }
     delete[] slots;
-    (void)out_fmt;  // final converting assignment applied by qh_w_requantize
+    (void)out_fmt;  // final converting assignment applied by the caller
 }
 
-// structural shifts (reference staticShiftLeft/Right semantics on the value;
-// exposed for the wide shift-grid differential tests)
-void qh_w_shift(const uint64_t *in, uint64_t *out, size_t n, int32_t shift) {
-    for (size_t i = 0; i < n; ++i) {
-        W512 v = w_load(in + i * NL);
-        w_store(out + i * NL, shift >= 0 ? w_shl(v, shift)
-                                         : w_sar(v, -shift));
+}  // namespace
+
+extern "C" {
+
+// Multiword ABI v5: working width nl in {8, 16, 32} (uint64 limbs);
+// per-array element widths nla/nlb/nlo (<= nl) — operands arrive at their
+// value width and sign-extend in C, results store only the output
+// format's effective limbs.  Callers guarantee (via the Python width
+// proofs) that every intermediate fits 64*nl bits signed and every
+// stored result fits 64*nlo bits signed.
+
+int32_t qh_w_limbs(void) { return 8; }
+
+int32_t qh_wx_supported(int32_t nl) {
+    return nl == 8 || nl == 16 || nl == 32;
+}
+
+#define QH_WX_DISPATCH(nl, CALL)                                            \
+    switch (nl) {                                                           \
+    case 8:  CALL(8);  break;                                               \
+    case 16: CALL(16); break;                                               \
+    case 32: CALL(32); break;                                               \
+    default: break;                                                         \
     }
+
+void qh_wx_requantize(const uint64_t *in, uint64_t *out, size_t n,
+                      int32_t nl, int32_t nla, int32_t nlo,
+                      int32_t from_frac, const Fmt *to) {
+#define C_(N) t_w_requantize<N>(in, out, n, nla, nlo, from_frac, to)
+    QH_WX_DISPATCH(nl, C_)
+#undef C_
 }
 
-int32_t qh_abi_version(void) { return 3; }
+void qh_wx_mul(const uint64_t *a, const uint64_t *b, uint64_t *out,
+               size_t n, int32_t nl, int32_t nla, int32_t nlb,
+               int32_t nlo, int32_t fa_frac, int32_t fb_frac,
+               const Fmt *to) {
+#define C_(N) t_w_mul<N>(a, b, out, n, nla, nlb, nlo, fa_frac, fb_frac, to)
+    QH_WX_DISPATCH(nl, C_)
+#undef C_
+}
+
+void qh_wx_addsub(const uint64_t *a, const uint64_t *b, uint64_t *out,
+                  size_t n, int32_t nl, int32_t nla, int32_t nlb,
+                  int32_t nlo, int32_t fa_frac, int32_t fb_frac,
+                  int32_t sub, const Fmt *to) {
+#define C_(N) t_w_addsub<N>(a, b, out, n, nla, nlb, nlo, fa_frac,           \
+                            fb_frac, sub, to)
+    QH_WX_DISPATCH(nl, C_)
+#undef C_
+}
+
+void qh_wx_shift(const uint64_t *in, uint64_t *out, size_t n, int32_t nl,
+                 int32_t nla, int32_t nlo, int32_t shift) {
+#define C_(N) t_w_shift<N>(in, out, n, nla, nlo, shift)
+    QH_WX_DISPATCH(nl, C_)
+#undef C_
+}
+
+void qh_wx_tree_gemm(const uint64_t *A, const uint64_t *B, uint64_t *C,
+                     int64_t m, int64_t k, int64_t n, int32_t nl,
+                     int32_t nla, int32_t nlb, int32_t nlo,
+                     int32_t fa_frac, int32_t fb_frac,
+                     const Fmt *mul_fmt, const Fmt *level_fmts,
+                     const Fmt *merge_fmts, int32_t levels,
+                     const int32_t *drain_ops, int32_t n_drain,
+                     const Fmt *out_fmt) {
+#define C_(N) t_w_tree_gemm<N>(A, B, C, m, k, n, nla, nlb, nlo,             \
+                               fa_frac, fb_frac,                            \
+                               mul_fmt, level_fmts, merge_fmts, levels,     \
+                               drain_ops, n_drain, out_fmt)
+    QH_WX_DISPATCH(nl, C_)
+#undef C_
+}
+
+int32_t qh_abi_version(void) { return 5; }
 
 }  // extern "C"

@@ -48,7 +48,7 @@ def _build() -> Optional[ctypes.CDLL]:
     if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
         try:
             subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
+                ["g++", "-O3", "-shared", "-fPIC", "-o", str(_LIB), str(_SRC)],
                 check=True, capture_output=True)
         except (OSError, subprocess.CalledProcessError):
             return None
@@ -83,25 +83,72 @@ def _build() -> Optional[ctypes.CDLL]:
                                    ctypes.c_int32, ctypes.c_int32]
     u64p = ctypes.POINTER(ctypes.c_uint64)
     lib.qh_w_limbs.restype = ctypes.c_int32
-    lib.qh_w_requantize.argtypes = [u64p, u64p, ctypes.c_size_t,
-                                    ctypes.c_int32, fp]
-    lib.qh_w_mul.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
-                             ctypes.c_int32, ctypes.c_int32, fp]
-    lib.qh_w_addsub.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
-                                ctypes.c_int32, ctypes.c_int32,
-                                ctypes.c_int32, fp]
-    lib.qh_w_shift.argtypes = [u64p, u64p, ctypes.c_size_t, ctypes.c_int32]
-    lib.qh_w_tree_gemm.argtypes = [u64p, u64p, u64p,
-                                   ctypes.c_int64, ctypes.c_int64,
-                                   ctypes.c_int64,
-                                   ctypes.c_int32, ctypes.c_int32,
-                                   fp, fp, fp, ctypes.c_int32,
-                                   ctypes.POINTER(ctypes.c_int32),
-                                   ctypes.c_int32, fp]
+    lib.qh_wx_supported.restype = ctypes.c_int32
+    lib.qh_wx_supported.argtypes = [ctypes.c_int32]
+    i32 = ctypes.c_int32
+    lib.qh_wx_requantize.argtypes = [u64p, u64p, ctypes.c_size_t,
+                                     i32, i32, i32, i32, fp]
+    lib.qh_wx_mul.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
+                              i32, i32, i32, i32, i32, i32, fp]
+    lib.qh_wx_addsub.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
+                                 i32, i32, i32, i32, i32, i32, i32, fp]
+    lib.qh_wx_shift.argtypes = [u64p, u64p, ctypes.c_size_t,
+                                i32, i32, i32, i32]
+    lib.qh_wx_tree_gemm.argtypes = [u64p, u64p, u64p,
+                                    ctypes.c_int64, ctypes.c_int64,
+                                    ctypes.c_int64, i32, i32, i32, i32,
+                                    i32, i32,
+                                    fp, fp, fp, i32,
+                                    ctypes.POINTER(i32), i32, fp]
     lib.qh_abi_version.restype = ctypes.c_int32
-    if lib.qh_abi_version() != 3 or lib.qh_w_limbs() != _NL:
+    if lib.qh_abi_version() != 5 or lib.qh_w_limbs() != _NL \
+            or not all(lib.qh_wx_supported(nl) for nl in _W_NL_OPTIONS):
         return None
     return lib
+
+
+_FL_SRC = _SRC.parent / "fastlimbs.c"
+_FL_LIB = _SRC.parent / "qublas_fastlimbs.so"
+_fl_mod = None
+_fl_tried = False
+
+
+def _build_fastlimbs():
+    """Compile + import the CPython marshalling extension (int <-> limb
+    buffers via _PyLong_AsByteArray, one C loop per batch).  Optional: the
+    pure-Python to_bytes/from_bytes loops remain the fallback."""
+    import importlib.util
+    import sysconfig
+
+    if not _FL_SRC.exists():
+        return None
+    if not _FL_LIB.exists() or _FL_LIB.stat().st_mtime < _FL_SRC.stat().st_mtime:
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC",
+                 f"-I{sysconfig.get_paths()['include']}",
+                 "-o", str(_FL_LIB), str(_FL_SRC)],
+                check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            return None
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "qublas_fastlimbs", _FL_LIB)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+    except (ImportError, OSError):
+        return None
+
+
+def get_fastlimbs():
+    global _fl_mod, _fl_tried
+    with _lock:
+        if not _fl_tried:
+            _fl_tried = True
+            if os.environ.get("QUBLAS_NATIVE", "1") != "0":
+                _fl_mod = _build_fastlimbs()
+        return _fl_mod
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -134,34 +181,66 @@ def _ptr(a):
 
 _MAX_TOTAL_BITS = 126  # i128 headroom
 
-# multiword engine envelope: 8x64-bit limbs; every intermediate (products,
-# alignment shifts, +1 rounding carries) must fit 512 bits signed
+# multiword engine envelope: templated limb counts (8/16/32 x uint64 —
+# 512/1024/2048-bit working widths); every intermediate (products,
+# alignment shifts, +1 rounding carries) must fit the picked width signed.
+# _NL stays the legacy/default marshalling width; wider ops pick the
+# smallest sufficient count via _w_pick_nl (round-3: >512-bit working
+# widths — e.g. 300-bit x 300-bit products — now run compiled instead of
+# on per-element Python ints).
 _NL = 8
-_W_MAX_BITS = 510
+_W_NL_OPTIONS = (8, 16, 32)
+_W_MAX_BITS = 64 * _W_NL_OPTIONS[-1] - 2
 
 
-def _to_limbs(arr) -> Optional[np.ndarray]:
-    """Object array of Python ints -> (n, NL) uint64 limb matrix (LE,
-    two's complement mod 2^512).  None if any value needs > 511 bits.
+def _nl_for(bits: int) -> int:
+    """Limbs needed to store a ``bits``-bit signed value (element width on
+    the variable-limb ABI — operands marshal at their value width)."""
+    return max((bits + 63) // 64, 1)
+
+
+def _w_pick_nl(need_bits: int) -> Optional[int]:
+    """Smallest engine limb count whose signed working width (with the
+    2-bit negation/carry margin) covers ``need_bits``."""
+    for nl in _W_NL_OPTIONS:
+        if need_bits <= 64 * nl - 2:
+            return nl
+    return None
+
+
+def _to_limbs(arr, nl: int = _NL) -> Optional[np.ndarray]:
+    """Object array of Python ints -> (n, nl) uint64 limb matrix (LE,
+    two's complement mod 2^(64*nl)).  None if any value does not fit.
 
     ``int.to_bytes`` does the split at C speed — the Python-level cost is
     one call per element, not one per limb."""
     flat = np.asarray(arr, dtype=object).reshape(-1)
-    nbytes = 8 * _NL
+    nbytes = 8 * nl
+    fl = get_fastlimbs()
     try:
-        buf = b"".join(
-            int(v).to_bytes(nbytes, "little", signed=True) for v in flat)
+        if fl is not None:
+            buf = fl.to_bytes(flat.tolist(), nbytes)
+        else:
+            buf = b"".join(
+                int(v).to_bytes(nbytes, "little", signed=True)
+                for v in flat)
     except OverflowError:
-        return None  # a value needs more than 512 signed bits
-    return np.frombuffer(buf, dtype=np.uint64).reshape(-1, _NL).copy()
+        return None  # a value does not fit the working width signed
+    # no copy: engine inputs are read-only, frombuffer is contiguous
+    return np.frombuffer(buf, dtype=np.uint64).reshape(-1, nl)
 
 
-def _from_limbs(limbs: np.ndarray) -> np.ndarray:
-    """(n, NL) uint64 limbs -> object array of signed Python ints."""
+def _from_limbs(limbs: np.ndarray, nl: int = _NL) -> np.ndarray:
+    """(n, nl) uint64 limbs -> object array of signed Python ints."""
     n = limbs.shape[0]
-    out = np.empty(n, dtype=object)
     raw = np.ascontiguousarray(limbs).tobytes()
-    nbytes = 8 * _NL
+    nbytes = 8 * nl
+    fl = get_fastlimbs()
+    if fl is not None:
+        out = np.empty(n, dtype=object)
+        out[:] = fl.from_bytes(raw, n, nbytes)
+        return out
+    out = np.empty(n, dtype=object)
     for i in range(n):
         out[i] = int.from_bytes(raw[i * nbytes:(i + 1) * nbytes], "little",
                                 signed=True)
@@ -172,11 +251,17 @@ def _uptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
 
 
-def _w_requant_fits(src_bits: int, from_frac: int, to: QFormat) -> bool:
+def _w_requant_bits(src_bits: int, from_frac: int, to: QFormat) -> int:
+    """Working width a multiword requantize needs (intermediates + the
+    WRP_TCPL_SAT machine word the store may wrap at)."""
     d = from_frac - to.frac_bits
     width = src_bits + max(-d, 0) + 1
     word = 64 * ((to.storage_bits + 63) // 64)  # WRP_TCPL_SAT machine word
-    return width <= _W_MAX_BITS and word <= _W_MAX_BITS
+    return max(width, word)
+
+
+def _w_requant_fits(src_bits: int, from_frac: int, to: QFormat) -> bool:
+    return _w_requant_bits(src_bits, from_frac, to) <= _W_MAX_BITS
 
 
 def _requant_fits(src_bits: int, from_frac: int, to: QFormat) -> bool:
@@ -203,6 +288,9 @@ def _value_bits(arr) -> int:
     flat = np.asarray(arr, dtype=object).reshape(-1)
     if flat.size == 0:
         return 1
+    fl = get_fastlimbs()
+    if fl is not None:
+        return fl.max_bits(flat.tolist())
     bits = 1
     for v in flat:
         v = int(v)
@@ -228,18 +316,24 @@ def requantize(raws, from_fmt: QFormat, to: QFormat) -> Optional[np.ndarray]:
 
 def requantize_wide(raws, from_frac: int, to: QFormat,
                     src_bits: int) -> Optional[np.ndarray]:
-    """Multiword (512-bit) compiled requantize; object-int in/out."""
+    """Multiword compiled requantize (working width picked per config);
+    object-int in/out."""
     lib = get_lib()
-    if lib is None or not _w_requant_fits(src_bits, from_frac, to):
+    if lib is None:
+        return None
+    nl = _w_pick_nl(_w_requant_bits(src_bits, from_frac, to))
+    if nl is None:
         return None
     arr = np.asarray(raws, dtype=object)
-    limbs = _to_limbs(arr)
+    nla = min(_nl_for(src_bits), nl)
+    nlo = min(_nl_for(_eff_width(to)), nl)
+    limbs = _to_limbs(arr, nla)
     if limbs is None:
         return None
-    out = np.empty_like(limbs)
-    lib.qh_w_requantize(_uptr(limbs), _uptr(out), limbs.shape[0],
-                        from_frac, ctypes.byref(_fmt(to)))
-    return _from_limbs(out).reshape(arr.shape)
+    out = np.empty((limbs.shape[0], nlo), dtype=np.uint64)
+    lib.qh_wx_requantize(_uptr(limbs), _uptr(out), limbs.shape[0], nl,
+                         nla, nlo, from_frac, ctypes.byref(_fmt(to)))
+    return _from_limbs(out, nlo).reshape(arr.shape)
 
 
 def double_to_raw(vals, fmt: QFormat) -> Optional[np.ndarray]:
@@ -320,29 +414,33 @@ def binary_op_wide(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
     if sb_bits is None:
         sb_bits = max(_eff_width(fb), _value_bits(b_raws))
     if op == "mul":
-        if not _w_requant_fits(sa_bits + sb_bits,
-                               fa.frac_bits + fb.frac_bits, to):
-            return None
+        need = _w_requant_bits(sa_bits + sb_bits,
+                               fa.frac_bits + fb.frac_bits, to)
     else:
         f = max(fa.frac_bits, fb.frac_bits)
         src = max(sa_bits + f - fa.frac_bits, sb_bits + f - fb.frac_bits) + 1
-        if not _w_requant_fits(src, f, to):
-            return None
+        need = _w_requant_bits(src, f, to)
+    nl = _w_pick_nl(need)
+    if nl is None:
+        return None
     a = np.asarray(a_raws, dtype=object)
     b = np.asarray(b_raws, dtype=object)
     a, b = np.broadcast_arrays(a, b)
-    la, lb = _to_limbs(a), _to_limbs(b)
+    nla, nlb = min(_nl_for(sa_bits), nl), min(_nl_for(sb_bits), nl)
+    nlo = min(_nl_for(_eff_width(to)), nl)
+    la, lb = _to_limbs(a, nla), _to_limbs(b, nlb)
     if la is None or lb is None:
         return None
-    out = np.empty_like(la)
+    out = np.empty((la.shape[0], nlo), dtype=np.uint64)
     if op == "mul":
-        lib.qh_w_mul(_uptr(la), _uptr(lb), _uptr(out), la.shape[0],
-                     fa.frac_bits, fb.frac_bits, ctypes.byref(_fmt(to)))
+        lib.qh_wx_mul(_uptr(la), _uptr(lb), _uptr(out), la.shape[0], nl,
+                      nla, nlb, nlo, fa.frac_bits, fb.frac_bits,
+                      ctypes.byref(_fmt(to)))
     else:
-        lib.qh_w_addsub(_uptr(la), _uptr(lb), _uptr(out), la.shape[0],
-                        fa.frac_bits, fb.frac_bits,
-                        1 if op == "sub" else 0, ctypes.byref(_fmt(to)))
-    return _from_limbs(out).reshape(a.shape)
+        lib.qh_wx_addsub(_uptr(la), _uptr(lb), _uptr(out), la.shape[0], nl,
+                         nla, nlb, nlo, fa.frac_bits, fb.frac_bits,
+                         1 if op == "sub" else 0, ctypes.byref(_fmt(to)))
+    return _from_limbs(out, nlo).reshape(a.shape)
 
 
 def shift_wide(raws, shift: int) -> Optional[np.ndarray]:
@@ -352,12 +450,19 @@ def shift_wide(raws, shift: int) -> Optional[np.ndarray]:
     if lib is None:
         return None
     arr = np.asarray(raws, dtype=object)
-    limbs = _to_limbs(arr)
+    vb = _value_bits(arr)
+    nl = _w_pick_nl(vb + max(shift, 0) + 1)
+    if nl is None:
+        return None
+    nla = min(_nl_for(vb), nl)
+    nlo = min(_nl_for(vb + max(shift, 0) + 1), nl)
+    limbs = _to_limbs(arr, nla)
     if limbs is None:
         return None
-    out = np.empty_like(limbs)
-    lib.qh_w_shift(_uptr(limbs), _uptr(out), limbs.shape[0], shift)
-    return _from_limbs(out).reshape(arr.shape)
+    out = np.empty((limbs.shape[0], nlo), dtype=np.uint64)
+    lib.qh_wx_shift(_uptr(limbs), _uptr(out), limbs.shape[0], nl,
+                    nla, nlo, shift)
+    return _from_limbs(out, nlo).reshape(arr.shape)
 
 
 _OPCODES = {"seed": 0, "convert": 1, "add": 2}
@@ -421,31 +526,35 @@ def tree_gemm_host(A, B, fa: QFormat, fb: QFormat, mul_fmt: QFormat,
         return final
 
     # multiword engine: the reference's >64-bit GEMM territory compiled.
-    # Envelope: products and every merge intermediate must fit 512 bits.
-    if not _w_requant_fits(ea + eb, fa.frac_bits + fb.frac_bits, mul_fmt):
-        return None
+    # Envelope: products and every merge intermediate must fit the picked
+    # working width (smallest of 512/1024/2048 bits that covers them all).
+    need = _w_requant_bits(ea + eb, fa.frac_bits + fb.frac_bits, mul_fmt)
     for l, mf in enumerate(merge_fmts):
-        if not _w_requant_fits(_eff_width(level_fmts[l]) + 1,
-                               level_fmts[l].frac_bits, mf):
-            return None
-    if not _w_requant_fits(_eff_width(final_fmt), final_fmt.frac_bits,
-                           out_fmt):
+        need = max(need, _w_requant_bits(_eff_width(level_fmts[l]) + 1,
+                                         level_fmts[l].frac_bits, mf))
+    need = max(need, _w_requant_bits(_eff_width(final_fmt),
+                                     final_fmt.frac_bits, out_fmt))
+    nl = _w_pick_nl(need)
+    if nl is None:
         return None
-    la = _to_limbs(A_obj)
-    lb = _to_limbs(np.asarray(B, dtype=object))
+    nla, nlb = min(_nl_for(ea), nl), min(_nl_for(eb), nl)
+    nlm = min(_nl_for(_eff_width(final_fmt)), nl)
+    nlo = min(_nl_for(_eff_width(out_fmt)), nl)
+    la = _to_limbs(A_obj, nla)
+    lb = _to_limbs(np.asarray(B, dtype=object), nlb)
     if la is None or lb is None:
         return None
-    out = np.empty((m * n, _NL), dtype=np.uint64)
-    lib.qh_w_tree_gemm(
-        _uptr(la), _uptr(lb), _uptr(out), m, k, n,
+    out = np.empty((m * n, nlm), dtype=np.uint64)
+    lib.qh_wx_tree_gemm(
+        _uptr(la), _uptr(lb), _uptr(out), m, k, n, nl, nla, nlb, nlm,
         fa.frac_bits, fb.frac_bits,
         ctypes.byref(_fmt(mul_fmt)), lf_arr, mf_arr, len(merge_fmts),
         ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(drain),
         ctypes.byref(_fmt(out_fmt)))
-    final = np.empty_like(out)
-    lib.qh_w_requantize(_uptr(out), _uptr(final), m * n,
-                        final_fmt.frac_bits, ctypes.byref(_fmt(out_fmt)))
-    return _from_limbs(final).reshape(m, n)
+    final = np.empty((m * n, nlo), dtype=np.uint64)
+    lib.qh_wx_requantize(_uptr(out), _uptr(final), m * n, nl, nlm, nlo,
+                         final_fmt.frac_bits, ctypes.byref(_fmt(out_fmt)))
+    return _from_limbs(final, nlo).reshape(m, n)
 
 
 def pack_bits(raws, width: int) -> Optional[str]:

@@ -123,21 +123,27 @@ def test_from_float_uses_native_and_matches():
 
 
 def test_oversized_formats_route_to_multiword():
-    """Formats past the 64-bit scalar envelope now run on the compiled
-    multiword (512-bit) engine (round 2); only configurations whose
-    intermediates exceed 512 bits refuse."""
+    """Formats past the 64-bit scalar envelope run on the compiled
+    multiword engine, which since round 3 picks its working width
+    (512/1024/2048 bits); only configurations whose intermediates exceed
+    2046 bits refuse."""
     from qublas_tpu import hostint
 
     wide = qformat(40, 40)  # storage 81: multiword territory
     got = native.requantize([(1 << 70) + 3], wide, wide)
     assert got is not None and int(got[0]) == (1 << 70) + 3
-    # shifting up by ~500 bits overflows even the multiword engine
+    # a ~900-bit intermediate now lands on the 1024-bit engine (round-2
+    # refused it at the fixed 512-bit width) and must match the oracle
     src = qformat(500, 0)
     dst = qformat(500, 400)
-    assert native.requantize([1 << 490], src, dst) is None
-    # and the exact Python model still covers it
-    assert hostint.requantize(1 << 490, 0, dst) == (1 << 490) << 400 \
-        if dst.raw_max >= (1 << 890) else True
+    got = native.requantize([1 << 490], src, dst)
+    assert got is not None
+    assert int(got[0]) == hostint.requantize(1 << 490, 0, dst)
+    # past the 2048-bit engine: refuse, exact Python model covers it
+    src2 = qformat(1500, 0)
+    dst2 = qformat(1500, 900)
+    assert native.requantize([1 << 1400], src2, dst2) is None
+    assert hostint.requantize(1 << 1400, 0, dst2) == (1 << 1400) << 900
 
 
 @pytest.mark.parametrize("k", [1, 2, 3, 5, 8, 13, 16, 33])

