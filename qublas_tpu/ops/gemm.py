@@ -211,6 +211,12 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
     plan = exact_plan(a.fmt, b.fmt, mul_fmt, add_formats, k)
     if plan is not None and _device_epilogue_ok(plan, out_fmt):
         return _fast_gemm(a, b, out_fmt, plan, use_pallas)
+    if plan is not None:
+        # proof-lossless but the dot outgrows int32: exact pair-domain dot
+        # (MXU segment decomposition for lane operands) + one pair epilogue
+        res = _fast_gemm_wide(a, b, out_fmt, plan)
+        if res is not None:
+            return res
 
     # general path: order-sensitive quantized accumulation.  Prefer the
     # streaming binary-carry evaluation (no [m, k, n] intermediate); the
@@ -273,6 +279,137 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
         return _host_gemm(a, b, out_fmt, mul_to, add_formats, mul_full_prec)
     acc = qreduce(prod, add_formats, axis=-2)
     return ew.qcast(acc, out_fmt)
+
+
+# ---------------------------------------------------------------------------
+# Wide fast path: exact 64-bit pair dots (proof-lossless, dot > int32)
+# ---------------------------------------------------------------------------
+
+_PAIR_SEG_MIN = 8        # MXU segment path only if >= this many products
+#                          accumulate exactly in one int32 segment dot
+_PAIR_CHUNK = 64         # VPU path: products materialize [m, chunk, n]
+
+
+def pair_axis_sum(ph, pl, axis: int):
+    """Log-depth exact pair summation over ``axis`` (zero-padded to even at
+    each level — the caller's losslessness proof makes any order exact)."""
+    import jax.numpy as jnp
+
+    while ph.shape[axis] > 1:
+        if ph.shape[axis] % 2:
+            pad = [(0, 0)] * ph.ndim
+            pad[axis] = (0, 1)
+            ph, pl = jnp.pad(ph, pad), jnp.pad(pl, pad)
+
+        def take(x, s):
+            idx = [slice(None)] * x.ndim
+            idx[axis] = slice(s, None, 2)
+            return x[tuple(idx)]
+
+        ph, pl = W.pair_add((take(ph, 0), take(pl, 0)),
+                            (take(ph, 1), take(pl, 1)))
+    idx = [slice(None)] * ph.ndim
+    idx[axis] = 0
+    return ph[tuple(idx)], pl[tuple(idx)]
+
+
+def pair_dot_2d(ad, bd, prod_iv: Interval):
+    """Exact [m, n] (hi, lo) pair dot of ``[m, k] @ [k, n]``.
+
+    MXU path: when every product fits an int32 lane, split K into segments
+    short enough that each segment's dot provably fits int32, run them as
+    one batched integer matmul on the MXU, and fold the per-segment dots
+    with exact pair adds — the TPU-native way to accumulate a >32-bit
+    integer dot.  Otherwise (pair operands / >32-bit products) the
+    products compute directly in the 64-bit pair domain, chunked so only
+    ``[m, chunk, n]`` materializes.  Valid only under a losslessness proof
+    (any association order yields identical bits); callers prove the dot
+    and every partial fit the signed 64-bit pair domain.
+    """
+    import jax.numpy as jnp
+
+    from .widths import I32_MAX
+
+    a_pair = isinstance(ad, W.PairArray)
+    b_pair = isinstance(bd, W.PairArray)
+    k_loc = ad.shape[-1]
+    if not a_pair and not b_pair and prod_iv.fits32:
+        mx = max(abs(prod_iv.lo), abs(prod_iv.hi))
+        seg = k_loc if mx == 0 else max(I32_MAX // mx, 1)
+        if seg >= _PAIR_SEG_MIN:
+            a32 = ad.astype(jnp.int32)
+            b32 = bd.astype(jnp.int32)
+            nseg = -(-k_loc // seg)
+            pad = nseg * seg - k_loc
+            if pad:
+                a32 = jnp.pad(a32, ((0, 0), (0, pad)))
+                b32 = jnp.pad(b32, ((0, pad), (0, 0)))
+            m, n = a32.shape[0], b32.shape[1]
+            dots = jnp.einsum(
+                "msl,sln->smn",
+                a32.reshape(m, nseg, seg), b32.reshape(nseg, seg, n),
+                preferred_element_type=jnp.int32)     # [nseg, m, n]
+            hi, lo = W.widen(dots)
+            return pair_axis_sum(hi, lo, 0)
+
+    def col(sl):
+        if a_pair:
+            return ad.hi[:, sl, None], ad.lo[:, sl, None]
+        return ad[:, sl, None].astype(jnp.int32), None   # lane marker
+
+    def row(sl):
+        if b_pair:
+            return bd.hi[sl, :], bd.lo[sl, :]
+        return bd[sl, :].astype(jnp.int32), None
+
+    acc = None
+    for t in range(0, k_loc, _PAIR_CHUNK):
+        sl = slice(t, min(t + _PAIR_CHUNK, k_loc))
+        ch, cl = col(sl)
+        rh, rl = row(sl)
+        if cl is None and rl is None:
+            ph, pl = W.mul32_wide(ch, rh)             # [m, c, n]
+        else:
+            cp = (ch, cl) if cl is not None else W.widen(ch)
+            rp = (rh, rl) if rl is not None else W.widen(rh)
+            ph, pl = W.pair_mul(cp, rp)
+        sh, sv = pair_axis_sum(ph, pl, -2)            # [m, n]
+        acc = (sh, sv) if acc is None else W.pair_add(acc, (sh, sv))
+    return acc
+
+
+def _fast_gemm_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
+                    plan: ExactPlan) -> Optional[QTensor]:
+    """Single-chip analogue of the sharded wide-K strategy: when the
+    accumulation is proof-lossless but the dot outgrows int32 (so the MXU
+    int32 fast path refused), compute the exact dot in the 64-bit pair
+    domain — MXU segment dots for lane operands, chunked pair products
+    otherwise — and requantize once from the raw-product scale.  Bit-exact
+    by the same argument as :func:`_fast_gemm`; replaces the slower
+    order-preserving streaming tree for these configs.  Returns None when
+    the config is outside the pair regime (caller falls through).
+    """
+    from .widths import route_requant, storage_kind
+
+    if a.ndim != 2 or b.ndim != 2:
+        return None
+    if a.is_limb or b.is_limb or a.is_host or b.is_host:
+        return None
+    if not plan.dot_interval.fits64:
+        return None
+    kind = storage_kind(out_fmt)
+    if kind not in ("lane", "pair"):
+        return None
+    if route_requant(plan.dot_interval, plan.prod_frac, out_fmt) \
+            not in ("i32", "pair"):
+        return None
+    prod_iv = fmt_interval(a.fmt) * fmt_interval(b.fmt)
+    hi, lo = pair_dot_2d(a.data, b.data, prod_iv)
+    if kind == "lane":
+        raw = W.requantize_pair((hi, lo), plan.prod_frac, out_fmt)
+        return QTensor(raw.astype(dtype_for(out_fmt)), out_fmt)
+    h2, l2 = W.requantize_pair_keep((hi, lo), plan.prod_frac, out_fmt)
+    return QTensor(W.PairArray(h2, l2), out_fmt)
 
 
 # ---------------------------------------------------------------------------

@@ -42,7 +42,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import wideint as W
-from ..ops.gemm import exact_plan, qgemul
+from ..ops.gemm import exact_plan, pair_dot_2d, qgemul
 from ..ops.widths import I32_MAX, Interval, dtype_for, fmt_interval
 from ..qformat import QFormat, mul_merge
 from ..qtensor import QTensor
@@ -485,94 +485,6 @@ def _k_wide_plan(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to,
     return plan
 
 
-def _pair_axis_sum(ph, pl, axis: int):
-    """Log-depth exact pair summation over ``axis`` (zero-padded to even at
-    each level — the caller's losslessness proof makes any order exact)."""
-    while ph.shape[axis] > 1:
-        mdim = ph.shape[axis]
-        if mdim % 2:
-            pad = [(0, 0)] * ph.ndim
-            pad[axis] = (0, 1)
-            ph, pl = jnp.pad(ph, pad), jnp.pad(pl, pad)
-
-        def take(x, s):
-            idx = [slice(None)] * x.ndim
-            idx[axis] = slice(s, None, 2)
-            return x[tuple(idx)]
-
-        ph, pl = W.pair_add((take(ph, 0), take(pl, 0)),
-                            (take(ph, 1), take(pl, 1)))
-    idx = [slice(None)] * ph.ndim
-    idx[axis] = 0
-    return ph[tuple(idx)], pl[tuple(idx)]
-
-
-_KW_SEG_MIN = 8          # MXU segment path only if >= this many products
-#                          accumulate exactly in one int32 segment dot
-_KW_CHUNK = 64           # VPU path: products materialize [m, chunk, n]
-
-
-def _pair_partial_dot(ad, bd, prod_iv):
-    """Exact [m, n] pair dot of a local K-slice.
-
-    MXU path: when every product fits an int32 lane, split K into segments
-    short enough that each segment's dot provably fits int32, run them as
-    one batched integer matmul on the MXU, and fold the per-segment dots
-    with exact pair adds — the TPU-native way to accumulate a >32-bit
-    integer dot.  Otherwise (pair operands / >32-bit products) the products
-    compute directly in the 64-bit pair domain, chunked so only
-    ``[m, chunk, n]`` materializes.
-    """
-    a_pair = isinstance(ad, W.PairArray)
-    b_pair = isinstance(bd, W.PairArray)
-    k_loc = ad.shape[-1]
-    if not a_pair and not b_pair and prod_iv.fits32:
-        mx = max(abs(prod_iv.lo), abs(prod_iv.hi))
-        seg = k_loc if mx == 0 else max((I32_MAX) // mx, 1)
-        if seg >= _KW_SEG_MIN:
-            a32 = ad.astype(jnp.int32)
-            b32 = bd.astype(jnp.int32)
-            nseg = -(-k_loc // seg)
-            pad = nseg * seg - k_loc
-            if pad:
-                a32 = jnp.pad(a32, ((0, 0), (0, pad)))
-                b32 = jnp.pad(b32, ((0, pad), (0, 0)))
-            m, n = a32.shape[0], b32.shape[1]
-            dots = jnp.einsum(
-                "msl,sln->smn",
-                a32.reshape(m, nseg, seg), b32.reshape(nseg, seg, n),
-                preferred_element_type=jnp.int32)     # [nseg, m, n]
-            hi, lo = W.widen(dots)
-            return _pair_axis_sum(hi, lo, 0)
-
-    def col(sl):
-        if a_pair:
-            return ad.hi[:, sl, None], ad.lo[:, sl, None]
-        x = ad[:, sl, None].astype(jnp.int32)
-        return x, None                                # lane marker
-
-    def row(sl):
-        if b_pair:
-            return bd.hi[sl, :], bd.lo[sl, :]
-        x = bd[sl, :].astype(jnp.int32)
-        return x, None
-
-    acc = None
-    for t in range(0, k_loc, _KW_CHUNK):
-        sl = slice(t, min(t + _KW_CHUNK, k_loc))
-        ch, cl = col(sl)
-        rh, rl = row(sl)
-        if cl is None and rl is None:
-            ph, pl = W.mul32_wide(ch, rh)             # [m, c, n]
-        else:
-            cp = (ch, cl) if cl is not None else W.widen(ch)
-            rp = (rh, rl) if rl is not None else W.widen(rh)
-            ph, pl = W.pair_mul(cp, rp)
-        sh, sv = _pair_axis_sum(ph, pl, -2)           # [m, n]
-        acc = (sh, sv) if acc is None else W.pair_add(acc, (sh, sv))
-    return acc
-
-
 def _psum_pair(ph, pl, scatter: bool):
     """Carry-correct cross-device sum of 64-bit pairs: psum four 16-bit
     limb columns as int32 (each per-device column < 2^16, so the summed
@@ -612,7 +524,7 @@ def sharded_qgemul_k_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
 
     Each chip computes its K-slice's partial dot *exactly* in (hi, lo)
     pair arithmetic (MXU segment dots when products fit int32 lanes —
-    :func:`_pair_partial_dot`), partials combine with a carry-correct
+    :func:`~qublas_tpu.ops.gemm.pair_dot_2d`), partials combine with a carry-correct
     psum/psum_scatter of 16-bit limb columns over ICI, and the pair
     requantize epilogue (:func:`~qublas_tpu.ops.wideint.requantize_pair` /
     ``_keep``) runs after the collective.  Bit-exact by the same argument
@@ -651,7 +563,7 @@ def sharded_qgemul_k_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
                  in_specs=(P(None, "tp"), P("tp", None)),
                  out_specs=out_s)
         def block(ad, bd):
-            ph, pl = _pair_partial_dot(ad, bd, prod_iv)
+            ph, pl = pair_dot_2d(ad, bd, prod_iv)
             hi, lo = _psum_pair(ph, pl, reduce_scatter)
             if kind == "lane":
                 raw = W.requantize_pair((hi, lo), prod_frac, out_fmt) \
