@@ -137,9 +137,20 @@ def sweep_gemm(trials):
         mul_to = None if rng.randint(0, 2) else rand_fmt(rng, mx + 10)
         layers = tuple(rand_fmt(rng, mx + 10)
                        for _ in range(rng.randint(0, 2)))
-        m, k, n2 = 2, int(rng.randint(1, 10)), 2
+        # every 4th trial stretches k into streaming territory (round 3:
+        # general-k ragged-tail stream + the pair-domain wide fast path)
+        # with the size gate lowered so the paths actually engage
+        stream_trial = t % 4 == 3
+        m, n2 = 2, 2
+        k = int(rng.randint(16, 90)) if stream_trial else \
+            int(rng.randint(1, 10))
         A = rand_raws(rng, fa, m * k).reshape(m, k)
         B = rand_raws(rng, fb, k * n2).reshape(k, n2)
+        from qublas_tpu.ops import gemm as _g
+
+        saved_gate = _g._STREAM_MIN_ELEMS
+        if stream_trial:
+            _g._STREAM_MIN_ELEMS = 0
         try:
             dev = qgemul(from_raw(A, fa), from_raw(B, fb), out,
                          mul_to=mul_to, add_formats=layers)
@@ -156,6 +167,8 @@ def sweep_gemm(trials):
         except Exception as e:
             fail("CRASH gemm", fa, fb, out, mul_to, layers,
                  type(e).__name__, str(e)[:150])
+        finally:
+            _g._STREAM_MIN_ELEMS = saved_gate
 
 
 BASIC_TAGS = ["ac", "bd", "ad", "bc", "acbd", "adbc"]
