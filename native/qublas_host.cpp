@@ -22,6 +22,7 @@
 #include <cstring>
 #include <cmath>
 #include <cstddef>
+#include <cstdlib>
 
 typedef __int128 i128;
 
@@ -692,12 +693,16 @@ int32_t qh_wx_supported(int32_t nl) {
     return nl == 8 || nl == 16 || nl == 32;
 }
 
+// an unsupported nl is an ABI bug (Python gates via qh_wx_supported);
+// abort loudly rather than hand back an uninitialized output buffer as
+// if it were a valid result — silent bit divergence is the one failure
+// class this codebase exists to prevent
 #define QH_WX_DISPATCH(nl, CALL)                                            \
     switch (nl) {                                                           \
     case 8:  CALL(8);  break;                                               \
     case 16: CALL(16); break;                                               \
     case 32: CALL(32); break;                                               \
-    default: break;                                                         \
+    default: abort();                                                       \
     }
 
 void qh_wx_requantize(const uint64_t *in, uint64_t *out, size_t n,

@@ -105,6 +105,8 @@ class ExactPlan:
     prod_frac: int        # fa.frac + fb.frac — scale of the raw dot product
     final_fmt: QFormat    # format of the tree's final value
     dot_interval: Interval  # bound on every partial sum of raw products
+    prod_interval: Interval  # bound on one raw product (consumers: the
+    #                          pair-domain dot's segment-length proof)
 
 
 def tree_exact(value_iv: Interval, value_fmt: QFormat, add_formats,
@@ -160,7 +162,8 @@ def exact_plan(fa: QFormat, fb: QFormat, mul_fmt: QFormat, add_formats,
     final_fmt = tree_exact(iv, mul_fmt, add_formats, k)
     if final_fmt is None:
         return None
-    return ExactPlan(pf, final_fmt, dot_partial_interval(prod_iv, k))
+    return ExactPlan(pf, final_fmt, dot_partial_interval(prod_iv, k),
+                     prod_iv)
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +338,10 @@ def pair_dot_2d(ad, bd, prod_iv: Interval):
     k_loc = ad.shape[-1]
     if not a_pair and not b_pair and prod_iv.fits32:
         mx = max(abs(prod_iv.lo), abs(prod_iv.hi))
-        seg = k_loc if mx == 0 else max(I32_MAX // mx, 1)
+        # clamp to k: a small product interval would otherwise zero-pad
+        # the operands out to ~I32_MAX // mx elements (multi-GB arrays of
+        # zeros for narrow formats — round-3 review finding)
+        seg = k_loc if mx == 0 else max(min(I32_MAX // mx, k_loc), 1)
         if seg >= _PAIR_SEG_MIN:
             a32 = ad.astype(jnp.int32)
             b32 = bd.astype(jnp.int32)
@@ -378,6 +384,27 @@ def pair_dot_2d(ad, bd, prod_iv: Interval):
     return acc
 
 
+def wide_dot_ok(a: QTensor, b: QTensor, out_fmt: QFormat,
+                plan: ExactPlan) -> bool:
+    """Shared admission gate for the pair-domain wide dot — the single
+    source for both the single-chip fast path and the sharded ``k_wide``
+    strategy (they must never de-synchronize): 2-D lane/pair operands,
+    the dot (and by inclusion every partial and product) in the signed
+    64-bit domain, and an epilogue that runs there too."""
+    from .widths import route_requant, storage_kind
+
+    if a.ndim != 2 or b.ndim != 2:
+        return False
+    if a.is_limb or b.is_limb or a.is_host or b.is_host:
+        return False
+    if not plan.dot_interval.fits64:
+        return False
+    if storage_kind(out_fmt) not in ("lane", "pair"):
+        return False
+    return route_requant(plan.dot_interval, plan.prod_frac, out_fmt) \
+        in ("i32", "pair")
+
+
 def _fast_gemm_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
                     plan: ExactPlan) -> Optional[QTensor]:
     """Single-chip analogue of the sharded wide-K strategy: when the
@@ -389,22 +416,12 @@ def _fast_gemm_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
     order-preserving streaming tree for these configs.  Returns None when
     the config is outside the pair regime (caller falls through).
     """
-    from .widths import route_requant, storage_kind
+    from .widths import storage_kind
 
-    if a.ndim != 2 or b.ndim != 2:
-        return None
-    if a.is_limb or b.is_limb or a.is_host or b.is_host:
-        return None
-    if not plan.dot_interval.fits64:
+    if not wide_dot_ok(a, b, out_fmt, plan):
         return None
     kind = storage_kind(out_fmt)
-    if kind not in ("lane", "pair"):
-        return None
-    if route_requant(plan.dot_interval, plan.prod_frac, out_fmt) \
-            not in ("i32", "pair"):
-        return None
-    prod_iv = fmt_interval(a.fmt) * fmt_interval(b.fmt)
-    hi, lo = pair_dot_2d(a.data, b.data, prod_iv)
+    hi, lo = pair_dot_2d(a.data, b.data, plan.prod_interval)
     if kind == "lane":
         raw = W.requantize_pair((hi, lo), plan.prod_frac, out_fmt)
         return QTensor(raw.astype(dtype_for(out_fmt)), out_fmt)

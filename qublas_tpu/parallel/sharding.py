@@ -43,7 +43,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import wideint as W
 from ..ops.gemm import exact_plan, pair_dot_2d, qgemul
-from ..ops.widths import I32_MAX, Interval, dtype_for, fmt_interval
+from ..ops.widths import Interval, dtype_for, fmt_interval
 from ..qformat import QFormat, mul_merge
 from ..qtensor import QTensor
 
@@ -99,8 +99,36 @@ def _freeze(x):
     return x
 
 
-_PROGRAM_CACHE: dict = {}      # insertion-ordered (dict) -> LRU eviction
-_PROGRAM_CACHE_MAX = 512
+class _LRU:
+    """Small bounded LRU over an insertion-ordered dict — the one
+    implementation both module caches share (program cache and probe
+    cache previously hand-rolled the same pop/re-insert/evict idiom)."""
+
+    def __init__(self, max_items: int):
+        self.max_items = max_items
+        self._d: dict = {}
+
+    def get(self, key):
+        v = self._d.pop(key, None)
+        if v is not None:
+            self._d[key] = v       # re-insert: most recently used
+        return v
+
+    def put(self, key, value) -> None:
+        self._d.pop(key, None)
+        while len(self._d) >= self.max_items:
+            self._d.pop(next(iter(self._d)))
+        self._d[key] = value
+
+    def __len__(self):
+        return len(self._d)
+
+
+_PROGRAM_CACHE = _LRU(512)
+
+# probe keys include operand *shapes*: shape churn in a long-lived
+# process must stay bounded
+_PROBE_CACHE = _LRU(2048)
 
 
 def _cached(key, build):
@@ -114,31 +142,19 @@ def _cached(key, build):
     the cache is LRU-bounded so pathological key churn cannot retain
     compiled programs forever."""
     key = _freeze(key)
-    fn = _PROGRAM_CACHE.pop(key, None)
+    fn = _PROGRAM_CACHE.get(key)
     if fn is None:
         fn = jax.jit(build())
-        while len(_PROGRAM_CACHE) >= _PROGRAM_CACHE_MAX:
-            _PROGRAM_CACHE.pop(next(iter(_PROGRAM_CACHE)))
-    _PROGRAM_CACHE[key] = fn   # re-insert: most recently used
+    _PROGRAM_CACHE.put(key, fn)
     return fn
 
 
-_PROBE_CACHE: dict = {}       # insertion-ordered (dict) -> LRU eviction
-_PROBE_CACHE_MAX = 2048       # keys include operand *shapes*: shape churn
-#                               in a long-lived process must stay bounded
-
-
 def _probe_cache_get(key):
-    v = _PROBE_CACHE.pop(key, None)
-    if v is not None:
-        _PROBE_CACHE[key] = v  # re-insert: most recently used
-    return v
+    return _PROBE_CACHE.get(key)
 
 
 def _probe_cache_put(key, verdict) -> None:
-    while len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
-        _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
-    _PROBE_CACHE[key] = verdict
+    _PROBE_CACHE.put(key, verdict)
 
 
 def _check_traceable(pa: QTensor, pb: QTensor, out_fmt, mul_to, add_formats,
@@ -240,7 +256,7 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                 strategy = "k"
             elif _k_wide_plan(a, b, out_fmt, mul_to, add_formats,
                               kw.get("mul_full_prec", False),
-                              mesh.shape["tp"]) is not None:
+                              mesh.shape["tp"], plan=plan) is not None:
                 strategy = "k_wide"
             else:
                 strategy = "mn"
@@ -458,29 +474,24 @@ def sharded_qgemul_k_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
 # ---------------------------------------------------------------------------
 
 def _k_wide_plan(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to,
-                 add_formats, mul_full_prec, tp: int):
+                 add_formats, mul_full_prec, tp: int, plan=None):
     """Proof gate for the wide K strategy (round-3 item 8): the global
     accumulation must be provably lossless with the *user's* formats (so
-    any association/distribution order yields identical bits), every
-    partial and the full dot must fit the signed-64-bit pair domain, and
-    the epilogue must run in it.  Returns the ExactPlan or None."""
-    from ..ops.widths import route_requant, storage_kind
+    any association/distribution order yields identical bits), plus the
+    shared pair-domain admission gate
+    (:func:`~qublas_tpu.ops.gemm.wide_dot_ok` — the single source this
+    strategy and the single-chip fast path both use) and a tp-divisible
+    contraction dim.  ``plan`` lets callers pass an already-computed
+    ExactPlan.  Returns the ExactPlan or None."""
+    from ..ops.gemm import wide_dot_ok
 
-    if a.ndim != 2 or b.ndim != 2:
+    if a.shape[-1] % tp:
         return None
-    if a.is_limb or b.is_limb or a.is_host or b.is_host:
-        return None
-    k = a.shape[-1]
-    if k % tp:
-        return None
-    mul_fmt = mul_merge(a.fmt, b.fmt, mul_to, mul_full_prec)
-    plan = exact_plan(a.fmt, b.fmt, mul_fmt, add_formats, k)
-    if plan is None or not plan.dot_interval.fits64:
-        return None
-    if storage_kind(out_fmt) not in ("lane", "pair"):
-        return None
-    if route_requant(plan.dot_interval, plan.prod_frac, out_fmt) \
-            not in ("i32", "pair"):
+    if plan is None:
+        mul_fmt = mul_merge(a.fmt, b.fmt, mul_to, mul_full_prec)
+        plan = exact_plan(a.fmt, b.fmt, mul_fmt, add_formats,
+                          a.shape[-1])
+    if plan is None or not wide_dot_ok(a, b, out_fmt, plan):
         return None
     return plan
 
@@ -550,7 +561,7 @@ def sharded_qgemul_k_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
         raise ValueError(
             f"N={b.shape[-1]} not divisible by tp={tp} (reduce_scatter "
             f"shards the output's N dim)")
-    prod_iv = fmt_interval(a.fmt) * fmt_interval(b.fmt)
+    prod_iv = plan.prod_interval
     prod_frac = plan.prod_frac
     a = _device_put(a, mesh, P(None, "tp"))
     b = _device_put(b, mesh, P("tp", None))

@@ -146,6 +146,43 @@ def test_order_sensitive_configs_not_taken():
     assert gemm.exact_plan(f, f, mul_fmt, (), k) is None
 
 
+def test_small_product_interval_does_not_blow_up(monkeypatch):
+    """Round-3 review regression: a narrow format's segment length must
+    clamp to k — (4,0) products bound at 256, so the unclamped segment was
+    I32_MAX // 256 ≈ 8.4M elements of zero padding (multi-GB at real m/n).
+    The clamped path must stay exact."""
+    fa = qformat(4, 0)
+    out = qformat(36, 10, overflow_mode=OverflowMode.SAT_TCPL)
+    kw = dict(mul_to=qformat(9, 0), add_formats=(qformat(15, 0),))
+    m, k, n = 2, 32, 2
+    A = rand_raws(fa, m * k, 40).reshape(m, k)
+    B = rand_raws(fa, k * n, 41).reshape(k, n)
+    ta, tb = from_raw(A, fa), from_raw(B, fa)
+    mul_fmt = mul_merge(fa, fa, kw["mul_to"], False)
+    plan = gemm.exact_plan(fa, fa, mul_fmt, kw["add_formats"], k)
+    assert plan is not None
+    res = gemm._fast_gemm_wide(ta, tb, out, plan)
+    assert res is not None          # the path engages (pair-storage out)
+    ho = hostops.qgemul(
+        [[(int(A[i, j]), fa) for j in range(k)] for i in range(m)],
+        [[(int(B[i, j]), fa) for j in range(n)] for i in range(k)],
+        out, kw["mul_to"], kw["add_formats"])
+    g = np.asarray(res.raw(), dtype=object)
+    assert all(int(g[i][j]) == ho[i][j][0]
+               for i in range(m) for j in range(n))
+    # and the padded operand can never exceed k + seg elements
+    import jax
+
+    shapes = []
+
+    def probe(ad, bd):
+        r = gemm.pair_dot_2d(ad, bd, plan.prod_interval)
+        shapes.append(r[0].shape)
+        return r
+
+    jax.eval_shape(probe, ta.data, tb.data)  # must not OOM / build 8M pads
+
+
 @pytest.mark.parametrize("trial", range(6))
 def test_fuzz_vs_stream(monkeypatch, trial):
     """Random lossless wide-dot configs: fast path == streaming tree."""

@@ -15,8 +15,7 @@ from qublas_tpu.qformat import OverflowMode
 def test_probe_cache_bounded(monkeypatch):
     from qublas_tpu.parallel import sharding as sh
 
-    monkeypatch.setattr(sh, "_PROBE_CACHE", {})
-    monkeypatch.setattr(sh, "_PROBE_CACHE_MAX", 8)
+    monkeypatch.setattr(sh, "_PROBE_CACHE", sh._LRU(8))
     for i in range(100):
         sh._probe_cache_put(("shape", i), bool(i % 2))
     assert len(sh._PROBE_CACHE) <= 8
@@ -28,8 +27,7 @@ def test_probe_cache_bounded(monkeypatch):
 def test_probe_cache_lru_recency(monkeypatch):
     from qublas_tpu.parallel import sharding as sh
 
-    monkeypatch.setattr(sh, "_PROBE_CACHE", {})
-    monkeypatch.setattr(sh, "_PROBE_CACHE_MAX", 4)
+    monkeypatch.setattr(sh, "_PROBE_CACHE", sh._LRU(4))
     for i in range(4):
         sh._probe_cache_put(i, True)
     # touch 0 -> it becomes most recent; inserting 2 more evicts 1 and 2
@@ -51,8 +49,7 @@ def test_probe_cache_shape_churn_via_public_path(monkeypatch):
         pytest.skip("needs multiple devices")
     from qublas_tpu.parallel import sharding as sh
 
-    monkeypatch.setattr(sh, "_PROBE_CACHE", {})
-    monkeypatch.setattr(sh, "_PROBE_CACHE_MAX", 4)
+    monkeypatch.setattr(sh, "_PROBE_CACHE", sh._LRU(4))
     f40 = qformat(30, 9)                       # pair storage -> probe runs
     out = qformat(33, 9)
     rng = np.random.RandomState(0)
