@@ -303,8 +303,15 @@ def bench_lut_gemm():
         return qgemul(QTensor(a_data, FA), QTensor(b_data, FA), OUT,
                       mul_to=WIDE, add_formats=(WIDE,)).data
 
-    t_f = _time(fused, a_raw, b_raw, iters=64)
-    t_p = _time(plain, a_raw, b_raw, iters=64)
+    # interleave fused/plain passes with best-of per side (headline bench
+    # methodology): tunnel congestion only inflates a measurement, and
+    # back-to-back loops put all of one program's samples in one
+    # congestion window (a single-pass run recorded 0.41 here while two
+    # more recorded 0.81/0.86 — round-3 observation)
+    t_f = t_p = float("inf")
+    for _ in range(3):
+        t_f = min(t_f, _time(fused, a_raw, b_raw, iters=64, budget_s=15.0))
+        t_p = min(t_p, _time(plain, a_raw, b_raw, iters=64, budget_s=15.0))
     ops = 2.0 * M * N * K
     print(json.dumps({
         "metric": "int8_qgemul_lut_gops",
