@@ -123,6 +123,9 @@ class _LRU:
     def __len__(self):
         return len(self._d)
 
+    def clear(self) -> None:
+        self._d.clear()
+
 
 _PROGRAM_CACHE = _LRU(512)
 

@@ -241,6 +241,12 @@ def from_raw(values: Any, fmt: QFormat, validate: bool = False) -> QTensor:
             return np.ascontiguousarray(arr, dtype=dt)
     else:
         arr = np.asarray(values, dtype=object)
+        if storage_kind(fmt) is None and not validate:
+            # host storage and no range check requested: the O(n)
+            # min/max pass below would be pure overhead (it only picks
+            # device storage) — round-3 profiling of the >256-bit public
+            # elementwise path
+            return QTensor(arr, fmt)
         flat = [int(v) for v in arr.reshape(-1)]
         empty = not flat
         vmin = min(flat) if flat else 0

@@ -209,3 +209,27 @@ def test_fuzz_vs_stream(monkeypatch, trial):
         monkeypatch,
         lambda: gemm.qgemul(ta, tb, out, mul_to=mul_to, add_formats=layers))
     _assert_same(got, ref)
+
+
+def test_wrp_tcpl_sat_epilogue_vs_oracle():
+    """WRP_TCPL_SAT output (identity stub + machine-word wrap at the
+    store): the pair epilogue's low-32 truncation must equal the oracle's
+    int32 word wrap."""
+    fa = qformat(30, 9)
+    fb = qformat(8, 8)
+    out = qformat(20, 6, overflow_mode=OverflowMode.WRP_TCPL_SAT)
+    kw = dict(mul_to=qformat(40, 17), add_formats=(qformat(45, 17),))
+    m, k, n = 2, 16, 2
+    A = rand_raws(fa, m * k, 50).reshape(m, k)
+    B = rand_raws(fb, k * n, 51).reshape(k, n)
+    ta, tb = from_raw(A, fa), from_raw(B, fb)
+    plan = _taken(ta, tb, out, **kw)
+    assert plan is not None
+    got = gemm.qgemul(ta, tb, out, **kw)
+    ho = hostops.qgemul(
+        [[(int(A[i, j]), fa) for j in range(k)] for i in range(m)],
+        [[(int(B[i, j]), fb) for j in range(n)] for i in range(k)],
+        out, kw["mul_to"], kw["add_formats"])
+    g = np.asarray(got.raw(), dtype=object)
+    assert all(int(g[i][j]) == ho[i][j][0]
+               for i in range(m) for j in range(n))

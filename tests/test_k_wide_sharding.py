@@ -216,3 +216,19 @@ def test_k_wide_fuzz(trial):
                                 add_formats=layers)
     _assert_same(got, qgemul(ta, tb, out, mul_to=mul_to,
                              add_formats=layers))
+
+
+def test_k_wide_wrp_tcpl_sat_epilogue():
+    """WRP_TCPL_SAT output through the sharded wide-K epilogue."""
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import sharded_qgemul_k_wide
+
+    fa = qformat(30, 9)
+    fb = qformat(7, 8)
+    out = qformat(20, 6, overflow_mode=OverflowMode.WRP_TCPL_SAT)
+    kw = dict(mul_to=qformat(40, 17), add_formats=(qformat(45, 17),))
+    m, k, n = 2, 16, 3
+    ta = from_raw(rand_raws(fa, m * k, 60).reshape(m, k), fa)
+    tb = from_raw(rand_raws(fb, k * n, 61).reshape(k, n), fb)
+    got = sharded_qgemul_k_wide(ta, tb, out, mesh, **kw)
+    _assert_same(got, qgemul(ta, tb, out, **kw))
