@@ -175,7 +175,7 @@ def qapprox(x: QTensor, segments: Sequence[Segment]) -> QTensor:
         return QTensor(result, x.fmt)
 
     if x.is_limb:
-        # 65..256-bit storage: the same select chain in the limb domain
+        # 65..384-bit storage: the same select chain in the limb domain
         from .ops import limbint as L
 
         K = x.data.nlimbs

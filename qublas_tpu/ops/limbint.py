@@ -1,7 +1,7 @@
 """Exact N-limb integer emulation on 32-bit TPU lanes (beyond 64 bits).
 
 Generalizes :mod:`.wideint`'s (hi, lo) pair to K uint32 limbs so formats with
-65..256-bit physical storage — the reference's deep multiword ``ArbiInt``
+65..384-bit physical storage — the reference's deep multiword ``ArbiInt``
 territory (reference ``include/QuBLAS.h:566-912``; its generated test grids
 go to 200-bit formats, ``test/ArbiInt/``) — are **device-resident** instead of
 host-side Python ints.  Values are two's complement over ``32*K`` bits,
@@ -46,7 +46,7 @@ def bits_to_limbs(bits: int) -> int:
 class LimbArray:
     """Device-resident >64-bit integer tensor: (K, *shape) uint32 limbs.
 
-    Storage form of QTensor data for formats with 65..256-bit physical
+    Storage form of QTensor data for formats with 65..384-bit physical
     width.  Mirrors :class:`.wideint.PairArray`'s structural API; arithmetic
     lives in this module's ``l*`` functions, which operate on the stacked
     ``(K, ...)`` uint32 array directly.

@@ -31,11 +31,14 @@ I32_MIN, I32_MAX = -(1 << 31), (1 << 31) - 1
 # never overflow the 64-bit emulation
 I64_MIN, I64_MAX = -(1 << 63) + 1, (1 << 63) - 1
 
-# device N-limb storage envelope: formats up to 256-bit physical storage are
+# device N-limb storage envelope: formats up to 384-bit physical storage are
 # device-resident as stacked uint32 limbs (the reference's generated ArbiInt
-# grids top out at 200-bit formats); op intermediates (products, alignment
-# shifts, tie thresholds) may use working widths up to 1024 bits
-LIMB_STORE_MAX_BITS = 256
+# grids top out at 200-bit formats; 384 is the widest storage whose every
+# binary op provably stays inside the working cap — a 384x384 product is
+# ~770 working bits); op intermediates (products, alignment shifts, tie
+# thresholds) may use working widths up to 1024 bits.  Wider storage is
+# host-resident on the compiled dynamic-limb engine (native.py).
+LIMB_STORE_MAX_BITS = 384
 LIMB_INTER_MAX_BITS = 1024
 
 
@@ -297,7 +300,7 @@ def storage_kind(fmt: QFormat):
     * ``"lane"`` — one int8/int16/int32 lane per element (storage <= 32),
     * ``"pair"`` — two 32-bit limb arrays per tensor (storage 33..64;
       reference multiword ``ArbiInt``, QuBLAS.h:566-912),
-    * ``"limb"`` — stacked (K, ...) uint32 limb array (storage 65..256:
+    * ``"limb"`` — stacked (K, ...) uint32 limb array (storage 65..384:
       the reference's deep multiword territory — its generated ArbiInt
       grids go to 200-bit formats),
     * ``None``  — wider still: host-side Python-int object arrays.

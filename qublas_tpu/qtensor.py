@@ -94,7 +94,7 @@ class QTensor:
     @property
     def is_limb(self) -> bool:
         """True when storage is the device stacked (K, ...) uint32 limb
-        array (formats with 65..256-bit physical storage)."""
+        array (formats with 65..384-bit physical storage)."""
         from .ops.limbint import LimbArray
 
         return isinstance(self.data, LimbArray)

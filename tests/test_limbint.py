@@ -181,8 +181,9 @@ def test_limb_formats_are_device_resident():
         # raws round-trip bit-for-bit through the device storage
         back = [int(v) for v in np.asarray(t.raw(), dtype=object).reshape(-1)]
         assert back == [int(v) for v in raws], fa
-    # >256-bit storage falls back to host object arrays
-    f = qformat(250, 60)
+    # >384-bit storage falls back to host object arrays (the device limb
+    # cap rose from 256 to 384 in round 3)
+    f = qformat(320, 80)
     t = from_raw(np.array([1, -2], dtype=object), f)
     assert t.is_host
 
@@ -455,13 +456,13 @@ def test_sharded_mn_gemm_host_route_raises():
     mesh = _mesh_or_skip()
     from qublas_tpu.parallel import sharded_qgemul_mn
 
-    fa = qformat(200, 55)      # 256-bit storage: limb, but products blow
-    fb = qformat(200, 50)      # past the 1024-bit working envelope -> host
+    fa = qformat(200, 55)      # 256-bit storage: limb, but the 441-bit
+    fb = qformat(200, 50)      # mul_to outgrows device storage -> host
     A = from_raw(np.ones((4, 4), dtype=object), fa)
     B = from_raw(np.ones((4, 8), dtype=object), fb)
     with pytest.raises(ValueError):
         sharded_qgemul_mn(A, B, qformat(200, 55), mesh,
-                          mul_to=qformat(250, 100))
+                          mul_to=qformat(340, 100))
 
 
 def test_shard_qgemul_auto_wide_picks_mn():

@@ -117,13 +117,14 @@ def test_tree_gemm_300bit_vs_golden():
             assert int(g[i, j]) == want[i][j][0]
 
 
-def test_elementwise_host_path_uses_engine_at_300bit():
+def test_elementwise_host_path_uses_engine_at_400bit():
     """The public elementwise host route picks the compiled engine for
-    300-bit formats (the exposed square of VERDICT r2 missing-2)."""
+    >384-bit formats (storage past the round-3 device limb cap — the
+    exposed square of VERDICT r2 missing-2)."""
     from qublas_tpu import from_raw
     from qublas_tpu.ops import elementwise as ew
 
-    fa, fb = F300, qformat(180, 120)
+    fa, fb = qformat(260, 140), qformat(180, 120)   # 401-bit: host kind
     out = qformat(250, 60)
     A = rand_raws(fa, 9, 9)
     B = rand_raws(fb, 9, 10)

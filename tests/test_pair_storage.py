@@ -41,7 +41,9 @@ def test_storage_kind_boundaries():
     assert storage_kind(qformat(33, 30)) == "pair"     # 64
     assert storage_kind(qformat(34, 30)) == "limb"     # 65
     assert storage_kind(qformat(200, 55)) == "limb"    # 256
-    assert storage_kind(qformat(201, 55)) is None      # 257
+    assert storage_kind(qformat(201, 55)) == "limb"    # 257 (round 3)
+    assert storage_kind(qformat(300, 83)) == "limb"    # 384
+    assert storage_kind(qformat(300, 84)) is None      # 385: host
     # WRP_TCPL_SAT wraps at the machine word: pair up to 64
     w = qformat(40, 8, overflow_mode=OverflowMode.WRP_TCPL_SAT)
     assert storage_kind(w) == "pair"

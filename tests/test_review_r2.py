@@ -277,9 +277,10 @@ def test_qabs_qneg_word_minimum_routes_exact():
 
 
 def test_sharded_mn_lane_operands_wide_mul_to_raises_cleanly():
-    """Lane-stored int8 operands with a host-route mul_to (303-bit product
-    format) must get the clean 'outgrows device lanes' ValueError, not a
-    raw tracer crash inside shard_map."""
+    """Lane-stored int8 operands with a host-route mul_to (403-bit product
+    format — past the round-3 384-bit device limb cap) must get the clean
+    'outgrows device lanes' ValueError, not a raw tracer crash inside
+    shard_map."""
     import jax
 
     if len(jax.devices()) < 8:
@@ -292,7 +293,7 @@ def test_sharded_mn_lane_operands_wide_mul_to_raises_cleanly():
     B = from_raw(np.zeros((8, 4), dtype=int), f8)
     with pytest.raises(ValueError, match="outgrows device lanes"):
         sharded_qgemul_mn(A, B, qformat(3, 4), mesh,
-                          mul_to=QFormat(300, 2))
+                          mul_to=QFormat(400, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -365,7 +366,7 @@ def test_probe_error_chains_cause():
     B = from_raw(np.zeros((8, 4), dtype=int), f8)
     with pytest.raises(ValueError, match="outgrows device lanes") as ei:
         sharded_qgemul_mn(A, B, qformat(3, 4), mesh,
-                          mul_to=QFormat(300, 2))
+                          mul_to=QFormat(400, 2))
     assert ei.value.__cause__ is not None
 
 
@@ -411,7 +412,8 @@ def test_sharded_cgemul_mn_host_route_raises_cleanly():
     from qublas_tpu.parallel import make_mesh, sharded_cgemul_mn
 
     mesh = make_mesh(dp=2, tp=4)
-    fw = qformat(200, 100)   # 301-bit storage: host kind
+    fw = qformat(260, 140)   # 401-bit storage: host kind (301-bit became
+    #                           device limb storage in round 3)
     re = from_raw(np.ones((4, 4), dtype=object), fw)
     im = from_raw(np.ones((4, 4), dtype=object), fw)
     ca = QComplexTensor(re, im)
