@@ -568,9 +568,76 @@ def bench_wide_gemm():
     }))
 
 
+def bench_fastwide():
+    """Round-3 feature: the pair-domain wide-dot fast GEMM (proof-lossless
+    dot beyond int32; MXU segment decomposition for lane operands) vs the
+    order-preserving tree it replaced.  A/B-interleaved best-of."""
+    from qublas_tpu.ops import gemm as G
+    from qublas_tpu.qformat import mul_merge
+
+    fa = qformat(13, 0)                   # int16 lanes, |prod| <= 2^26
+    out = qformat(25, 0)
+    kw = dict(mul_to=qformat(27, 0), add_formats=(qformat(40, 0),))
+    m = n = 512
+    k = 2048                              # dot ~2^37: past int32
+    plan = exact_plan(fa, fa, mul_merge(fa, fa, kw["mul_to"]),
+                      kw["add_formats"], k)
+    assert plan is not None and not plan.dot_interval.fits32
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.randint(fa.raw_min, fa.raw_max + 1, (m, k),
+                                dtype=np.int64).astype(np.int16))
+    b = jnp.asarray(rng.randint(fa.raw_min, fa.raw_max + 1, (k, n),
+                                dtype=np.int64).astype(np.int16))
+    RG = 8
+
+    def build(disable_fast):
+        @jax.jit
+        def f(ad, bd):
+            def body(i, c):
+                r = qgemul(QTensor(ad, fa), QTensor(bd, fa), out, **kw)
+                return c + r.data.astype(jnp.int32)
+            return jax.lax.fori_loop(0, RG, body,
+                                     jnp.zeros((m, n), jnp.int32))
+
+        saved = G._fast_gemm_wide
+        saved_gate = G._STREAM_MIN_ELEMS
+        if disable_fast:
+            G._fast_gemm_wide = lambda *a2, **k2: None
+            G._STREAM_MIN_ELEMS = 0
+        try:
+            r = f(a, b)
+            np.asarray(r[:8, :128])  # compile + sync
+
+            def timed():
+                t0 = time.perf_counter()
+                rr = f(a, b)
+                np.asarray(rr[:8, :128])
+                return (time.perf_counter() - t0) / RG
+            return timed
+        finally:
+            G._fast_gemm_wide = saved
+            G._STREAM_MIN_ELEMS = saved_gate
+
+    fastt = build(False)
+    treet = build(True)
+    t_f = min(fastt(), fastt())
+    t_t = min(treet(), treet())
+    for _ in range(2):
+        t_f = min(t_f, fastt())
+        t_t = min(t_t, treet())
+    prods = float(m * n * k)
+    print(json.dumps({
+        "metric": "fastwide_gemm_gprod",
+        "value": round(prods / t_f / 1e9, 2),
+        "unit": "Gprod/s",
+        "vs_baseline": round(t_t / t_f, 2),  # vs the order-preserving tree
+    }))
+
+
 EXTRA = {"tree": bench_tree_gemm, "reduce": bench_reduce,
          "lut": bench_lut_gemm, "cgemm": bench_cgemm, "wide": bench_wide,
-         "limb": bench_limb, "wide-gemm": bench_wide_gemm}
+         "limb": bench_limb, "wide-gemm": bench_wide_gemm,
+         "fastwide": bench_fastwide}
 
 
 def main():
