@@ -405,6 +405,38 @@ def wide_dot_ok(a: QTensor, b: QTensor, out_fmt: QFormat,
         in ("i32", "pair")
 
 
+def pair_sum_1d(data, val_iv: Interval):
+    """Exact (hi, lo) pair sum of a 1-D vector of lane or pair values.
+
+    Same regime as :func:`pair_dot_2d`: valid only under a losslessness
+    proof, with the total (and by subset-sum every partial) bounded to the
+    signed 64-bit domain.  Lane values whose interval fits int32 sum in
+    int32 segments first (one vectorized reduction per segment), then the
+    per-segment sums fold with exact pair adds.
+    """
+    import jax.numpy as jnp
+
+    from .widths import I32_MAX
+
+    if isinstance(data, W.PairArray):
+        return pair_axis_sum(data.hi, data.lo, 0)
+    d32 = data.astype(jnp.int32)
+    n_loc = d32.shape[0]
+    if val_iv.fits32 and n_loc:
+        mx = max(abs(val_iv.lo), abs(val_iv.hi))
+        seg = n_loc if mx == 0 else max(min(I32_MAX // mx, n_loc), 1)
+        if seg >= _PAIR_SEG_MIN:
+            nseg = -(-n_loc // seg)
+            pad = nseg * seg - n_loc
+            if pad:
+                d32 = jnp.pad(d32, (0, pad))
+            sums = jnp.sum(d32.reshape(nseg, seg), axis=1)
+            hi, lo = W.widen(sums)
+            return pair_axis_sum(hi, lo, 0)
+    hi, lo = W.widen(d32)
+    return pair_axis_sum(hi, lo, 0)
+
+
 def _fast_gemm_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
                     plan: ExactPlan) -> Optional[QTensor]:
     """Single-chip analogue of the sharded wide-K strategy: when the

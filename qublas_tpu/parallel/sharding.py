@@ -935,32 +935,61 @@ def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTenso
     total_iv = fmt_interval(x.fmt)
     total_iv = Interval(min(total_iv.lo * n, total_iv.lo),
                         max(total_iv.hi * n, total_iv.hi))
-    if not total_iv.fits32:
-        raise ValueError("sum interval exceeds int32")
-    out_dtype = dtype_for(final_fmt)
-    if out_dtype is None:
-        raise ValueError(
-            "sharded_qreduce_k writes int32 lanes; this reduction's final "
-            "format needs wider storage - use the batch-sharded form")
-    from ..ops.widths import route_requant
+    from ..ops.widths import route_requant, storage_kind
 
-    if route_requant(total_iv, x.fmt.frac_bits, final_fmt) != "i32":
-        raise ValueError(
-            "the requantize epilogue outgrows int32 lanes for this "
-            "config - use the batch-sharded form")
+    # wide regime (round 3, mirrors the GEMM k_wide strategy): the lossless
+    # sum outgrows int32 but fits the 64-bit pair domain — per-chip exact
+    # pair sums, carry-correct 16-bit-column psum, pair epilogue
+    wide = not total_iv.fits32
+    if wide:
+        if not (total_iv.fits64
+                and not x.is_limb and not x.is_host
+                and storage_kind(final_fmt) in ("lane", "pair")
+                and route_requant(total_iv, x.fmt.frac_bits, final_fmt)
+                in ("i32", "pair")):
+            raise ValueError(
+                "sum interval exceeds the device pair domain (or the "
+                "epilogue does) - use the batch-sharded form")
+    out_dtype = dtype_for(final_fmt)
+    if not wide:
+        if out_dtype is None:
+            raise ValueError(
+                "sharded_qreduce_k writes int32 lanes; this reduction's "
+                "final format needs wider storage - use the batch-sharded "
+                "form")
+        if route_requant(total_iv, x.fmt.frac_bits, final_fmt) != "i32":
+            raise ValueError(
+                "the requantize epilogue outgrows int32 lanes for this "
+                "config - use the batch-sharded form")
 
     xd = jax.device_put(x.data, NamedSharding(mesh, P("tp")))
     frac = x.fmt.frac_bits
+    val_iv = fmt_interval(x.fmt)
 
     def build():
+        from ..ops.gemm import pair_sum_1d
+
+        out_kind = storage_kind(final_fmt)
+        out_s = _out_spec(final_fmt, P(None)) if wide and out_kind == "pair" \
+            else P(None)
+
         @partial(jax.shard_map, mesh=mesh, in_specs=(P("tp"),),
-                 out_specs=P())
+                 out_specs=out_s)
         def block(data):
-            s = jnp.sum(data.astype(jnp.int32), keepdims=True)
-            tot = jax.lax.psum(s, "tp")
-            raw = W.requantize_i32(tot, frac, final_fmt)
-            return raw.astype(out_dtype)
+            if not wide:
+                s = jnp.sum(data.astype(jnp.int32), keepdims=True)
+                tot = jax.lax.psum(s, "tp")
+                raw = W.requantize_i32(tot, frac, final_fmt)
+                return raw.astype(out_dtype)
+            ph, pl = pair_sum_1d(data, val_iv)
+            ph, pl = ph.reshape(1, 1), pl.reshape(1, 1)
+            hi, lo = _psum_pair(ph, pl, False)
+            if out_kind == "lane":
+                raw = W.requantize_pair((hi, lo), frac, final_fmt)
+                return raw.reshape(1).astype(out_dtype)
+            h2, l2 = W.requantize_pair_keep((hi, lo), frac, final_fmt)
+            return W.PairArray(h2.reshape(1), l2.reshape(1))
         return block
 
-    fn = _cached(("qrk", frac, final_fmt, mesh), build)
+    fn = _cached(("qrk", x.fmt, frac, final_fmt, wide, mesh), build)
     return QTensor(fn(xd)[0], final_fmt)

@@ -232,3 +232,50 @@ def test_k_wide_wrp_tcpl_sat_epilogue():
     tb = from_raw(rand_raws(fb, k * n, 61).reshape(k, n), fb)
     got = sharded_qgemul_k_wide(ta, tb, out, mesh, **kw)
     _assert_same(got, qgemul(ta, tb, out, **kw))
+
+
+def test_qreduce_k_wide_lane_values():
+    """Reduction-axis-sharded Qreduce whose lossless sum outgrows int32:
+    per-chip pair sums + carry-correct psum (round 3)."""
+    mesh = _mesh_or_skip()
+    from qublas_tpu.ops.reduce import qreduce
+    from qublas_tpu.parallel import sharded_qreduce_k
+
+    f = qformat(28, 0)                   # int32 lane values
+    layers = (qformat(36, 0),)           # lossless layers; sum <= 2^33
+    n = 32
+    x = from_raw(rand_raws(f, n, 70), f)
+    got = sharded_qreduce_k(x, layers, mesh=mesh)
+    ref = qreduce(x, layers)
+    assert got.fmt == ref.fmt
+    assert int(np.asarray(got.raw(), dtype=object).reshape(())) == \
+        int(np.asarray(ref.raw(), dtype=object).reshape(()))
+
+
+def test_qreduce_k_wide_pair_values():
+    mesh = _mesh_or_skip()
+    from qublas_tpu.ops.reduce import qreduce
+    from qublas_tpu.parallel import sharded_qreduce_k
+
+    f = qformat(30, 9)                   # 40-bit pair values
+    layers = (qformat(38, 9),)
+    n = 32
+    x = from_raw(rand_raws(f, n, 71), f)
+    assert x.is_pair
+    got = sharded_qreduce_k(x, layers, mesh=mesh)
+    ref = qreduce(x, layers)
+    assert got.fmt == ref.fmt and got.is_pair
+    assert int(np.asarray(got.raw(), dtype=object).reshape(())) == \
+        int(np.asarray(ref.raw(), dtype=object).reshape(()))
+
+
+def test_qreduce_k_wide_rejects_past_pair_domain():
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import sharded_qreduce_k
+
+    f = qformat(40, 28)                  # limb-stored values
+    layers = (qformat(75, 28),)
+    x = from_raw(rand_raws(f, 8, 72), f)
+    assert x.is_limb
+    with pytest.raises(ValueError):
+        sharded_qreduce_k(x, layers, mesh=mesh)
