@@ -86,23 +86,58 @@ def _ensure_backend() -> bool:
 EVIDENCE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_TPU_EVIDENCE.json")
 
+# bounded run history: enough to see several rounds of drift without the
+# file growing unboundedly
+EVIDENCE_MAX_RUNS = 24
 
-def load_last_tpu():
-    """Most recent successful TPU headline evidence, or None."""
+
+def load_evidence():
+    """Evidence history ``{"schema": 2, "runs": [...]}``, or None.
+
+    Migrates the legacy single-record file (rounds 2-3) into a one-run
+    history so old checkouts keep working.
+    """
     try:
         with open(EVIDENCE_PATH) as f:
-            return json.load(f)
+            doc = json.load(f)
     except (OSError, ValueError):
         return None
+    if isinstance(doc, dict) and isinstance(doc.get("runs"), list):
+        return doc
+    if isinstance(doc, dict) and "vs_baseline" in doc:  # legacy format
+        return {"schema": 2, "runs": [doc]}
+    return None
 
 
-def save_last_tpu(rec) -> None:
+def append_tpu_run(rec) -> None:
+    """Append one successful TPU run to the evidence history (append-only:
+    a throttled run can never clobber a strong record — ADVICE r3 / VERDICT
+    r3 weak-2; the history is bounded at EVIDENCE_MAX_RUNS)."""
+    doc = load_evidence() or {"schema": 2, "runs": []}
+    doc["schema"] = 2
+    doc["runs"] = (doc["runs"] + [rec])[-EVIDENCE_MAX_RUNS:]
     try:
         with open(EVIDENCE_PATH, "w") as f:
-            json.dump(rec, f, indent=1, sort_keys=True)
+            json.dump(doc, f, indent=1, sort_keys=True)
             f.write("\n")
     except OSError:
         pass  # read-only checkout: evidence is best-effort
+
+
+def load_last_tpu():
+    """Compact evidence summary for the fallback record: the best ratio, the
+    latest run, and the run count.  None when no TPU run is recorded."""
+    doc = load_evidence()
+    if not doc or not doc["runs"]:
+        return None
+    runs = doc["runs"]
+
+    def ratio(r):
+        v = r.get("vs_baseline")
+        return v if isinstance(v, (int, float)) else -1.0
+
+    return {"best": max(runs, key=ratio), "latest": runs[-1],
+            "n_runs": len(runs)}
 
 
 def finalize_headline(gops: float, roof_gops: float, pairs: int,
@@ -227,17 +262,64 @@ def bench_tree_gemm():
     t_l = _time(layered, a, b, iters=2) / 2
     ops = 2.0 * m * n * k
     prods = float(m * n * k)
-    print(json.dumps({
+    rec = {
         "metric": "canonical_tree_qgemul_gops",
         "value": round(ops / t_s / 1e9, 2),
         "unit": "GOP/s",
         "vs_baseline": round(t_l / t_s, 2),  # speedup over layered fallback
         "gprod_s": round(prods / t_s / 1e9, 2),
-        # recorded fraction of VPU speed-of-light (round-3 item 3: the
-        # roofline context lives in the artifact, not only in prose)
-        "vs_vpu_roofline": round(
+        # paper-model fraction of VPU speed-of-light, kept for continuity
+        # with rounds 2-3 artifacts
+        "vs_vpu_roofline_model": round(
             prods / t_s * _TREE_VPU_OPS_PER_PRODUCT / _VPU_CEILING_OPS, 4),
-    }))
+    }
+    # round-4 item: MEASURE the VPU ceiling instead of asserting it — run
+    # the per-product requantize chain standalone (same formats, resident
+    # data, no dot structure) and report the tree kernel as a fraction of
+    # that measured elementwise ceiling
+    chain = _measured_chain_prods(f)
+    if chain is not None:
+        rec["chain_gprod_s"] = round(chain / 1e9, 2)
+        rec["vs_vpu_roofline"] = round(prods / t_s / chain, 4)
+    print(json.dumps(rec))
+    return rec
+
+
+def _measured_chain_prods(f):
+    """Products/s of the tree GEMM's per-product work measured standalone:
+    the split-B quantized multiply + single-compare SAT_ZERO epilogue + one
+    quantized fold add, on VMEM/HBM-resident vectors with no dot structure.
+    This is the *measured* elementwise ceiling the blocked tree kernel is
+    judged against (VERDICT r3 weak-3 — the 14-op/6.5T paper model is kept
+    as ``vs_vpu_roofline_model`` for continuity).  Returns None if the
+    measurement fails."""
+    from qublas_tpu.ops import elementwise as ew
+
+    n = 1 << 22
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randint(f.raw_min, f.raw_max + 1, n,
+                                dtype=np.int64).astype(np.int32))
+    y = jnp.asarray(rng.randint(f.raw_min, f.raw_max + 1, n,
+                                dtype=np.int64).astype(np.int32))
+    RG = 64
+
+    @jax.jit
+    def chain(xd, yd):
+        def body(i, c):
+            p = ew.qmul(QTensor(c, f), QTensor(yd, f))      # split-B + sat
+            s = ew.qadd(p, QTensor(yd, f), to=f)            # fold add + sat
+            return s.data.astype(jnp.int32)
+        return jax.lax.fori_loop(0, RG, body, xd)
+
+    try:
+        np.asarray(chain(x, y)[:128])  # compile + sync
+        t0 = time.perf_counter()
+        out = chain(x, y)
+        np.asarray(out[:128])
+        dt = (time.perf_counter() - t0) / RG
+        return n / dt
+    except Exception:
+        return None
 
 
 def bench_reduce():
@@ -272,12 +354,14 @@ def bench_reduce():
     t_r = _time(red, x, None, iters=4) / RG
     t_b = _time(baseline, x, None, iters=4) / RG
     elems = float(B * n)
-    print(json.dumps({
+    rec = {
         "metric": "qreduce_layered_gelems",
         "value": round(elems / t_r / 1e9, 3),
         "unit": "Gelem/s",
         "vs_baseline": round(t_b / t_r, 4),  # vs plain int32 sum
-    }))
+    }
+    print(json.dumps(rec))
+    return rec
 
 
 def bench_lut_gemm():
@@ -313,12 +397,14 @@ def bench_lut_gemm():
         t_f = min(t_f, _time(fused, a_raw, b_raw, iters=64, budget_s=15.0))
         t_p = min(t_p, _time(plain, a_raw, b_raw, iters=64, budget_s=15.0))
     ops = 2.0 * M * N * K
-    print(json.dumps({
+    rec = {
         "metric": "int8_qgemul_lut_gops",
         "value": round(ops / t_f / 1e9, 2),
         "unit": "GOP/s",
         "vs_baseline": round(t_p / t_f, 4),  # vs plain quantized GEMM
-    }))
+    }
+    print(json.dumps(rec))
+    return rec
 
 
 def bench_cgemm():
@@ -360,12 +446,14 @@ def bench_cgemm():
     t_c = _time(tf, ar, None, iters=64)
     t_f = _time(floor3, ar, None, iters=64)
     ops = 3 * 2.0 * m * n * k  # the 3 TF multiplies
-    print(json.dumps({
+    rec = {
         "metric": "tf_complex_qgemul_gops",
         "value": round(ops / t_c / 1e9, 2),
         "unit": "GOP/s",
         "vs_baseline": round(t_f / t_c, 4),
-    }))
+    }
+    print(json.dumps(rec))
+    return rec
 
 
 def bench_wide():
@@ -426,12 +514,14 @@ def bench_wide():
     for x, y in zip(raws_a[:m], raws_b[:m]):
         hostops.qmul((int(x), f40), (int(y), fb), to=out)
     t_host = (time.perf_counter() - t0) * (n / m)
-    print(json.dumps({
+    rec = {
         "metric": "wide_qmul_melems",
         "value": round(n / t_dev / 1e6, 2),
         "unit": "Melem/s",
         "vs_baseline": round(t_host / t_dev, 1),  # speedup over host loop
-    }))
+    }
+    print(json.dumps(rec))
+    return rec
 
 
 def bench_limb():
@@ -483,12 +573,14 @@ def bench_limb():
     for x, y in zip(raws_a[:m], raws_b[:m]):
         hostops.qmul((int(x), fa), (int(y), fb), to=fa)
     t_host = (time.perf_counter() - t0) * (n / m)
-    print(json.dumps({
+    rec = {
         "metric": "limb_qmul_melems",
         "value": round(n / t_dev / 1e6, 2),
         "unit": "Melem/s",
         "vs_baseline": round(t_host / t_dev, 1),  # speedup over host loop
-    }))
+    }
+    print(json.dumps(rec))
+    return rec
 
 
 def bench_wide_gemm():
@@ -513,8 +605,6 @@ def bench_wide_gemm():
 
     def build(sz, min_elems):
         a, b = mk(sz, sz), mk(sz, sz)
-        saved = G._STREAM_MIN_ELEMS
-        G._STREAM_MIN_ELEMS = min_elems
 
         @jax.jit
         def f(ah, al, bh, bl):
@@ -527,20 +617,23 @@ def bench_wide_gemm():
             return jax.lax.fori_loop(0, RG, body, (ah, al))
 
         def run():
-            hi, lo = f(a.data.hi, a.data.lo, b.data.hi, b.data.lo)
-            np.asarray(lo[:8, :128])  # sync
-            return None
+            # patch active for every run so a retrace cannot flip the arm
+            # (same class as the bench_fastwide ADVICE r3 finding)
+            saved = G._STREAM_MIN_ELEMS
+            G._STREAM_MIN_ELEMS = min_elems
+            try:
+                hi, lo = f(a.data.hi, a.data.lo, b.data.hi, b.data.lo)
+                np.asarray(lo[:8, :128])  # sync
+            finally:
+                G._STREAM_MIN_ELEMS = saved
 
         def timed():
             t0 = time.perf_counter()
             run()
             return (time.perf_counter() - t0) / RG
 
-        try:
-            run()  # compile + warm-up
-            return timed
-        finally:
-            G._STREAM_MIN_ELEMS = saved
+        run()  # compile + warm-up
+        return timed
 
     # interleave stream/layered passes with best-of per side so tunnel
     # drift between back-to-back passes cannot land in the ratio
@@ -559,13 +652,15 @@ def bench_wide_gemm():
     big = 1023
     big_t = build(big, 0)
     t_big = min(big_t(), big_t())
-    print(json.dumps({
+    rec = {
         "metric": "wide_gemm_stream_gprod",
         "value": round(big ** 3 / t_big / 1e9, 2),
         "unit": "Gprod/s",
         "k": big,
         "vs_baseline": round(t_layer / t_stream, 2),  # vs layered at 512^3
-    }))
+    }
+    print(json.dumps(rec))
+    return rec
 
 
 def bench_fastwide():
@@ -599,24 +694,32 @@ def bench_fastwide():
             return jax.lax.fori_loop(0, RG, body,
                                      jnp.zeros((m, n), jnp.int32))
 
-        saved = G._fast_gemm_wide
-        saved_gate = G._STREAM_MIN_ELEMS
-        if disable_fast:
-            G._fast_gemm_wide = lambda *a2, **k2: None
-            G._STREAM_MIN_ELEMS = 0
-        try:
-            r = f(a, b)
-            np.asarray(r[:8, :128])  # compile + sync
+        def patched(run):
+            # the patch must cover every trace of ``f`` — including a
+            # retrace after cache eviction — or the "tree" arm would
+            # silently trace the fast path (ADVICE r3)
+            saved = G._fast_gemm_wide
+            saved_gate = G._STREAM_MIN_ELEMS
+            if disable_fast:
+                G._fast_gemm_wide = lambda *a2, **k2: None
+                G._STREAM_MIN_ELEMS = 0
+            try:
+                return run()
+            finally:
+                G._fast_gemm_wide = saved
+                G._STREAM_MIN_ELEMS = saved_gate
 
-            def timed():
-                t0 = time.perf_counter()
-                rr = f(a, b)
-                np.asarray(rr[:8, :128])
-                return (time.perf_counter() - t0) / RG
-            return timed
-        finally:
-            G._fast_gemm_wide = saved
-            G._STREAM_MIN_ELEMS = saved_gate
+        def once():
+            r = f(a, b)
+            np.asarray(r[:8, :128])  # sync
+
+        patched(once)  # compile + warm-up
+
+        def timed():
+            t0 = time.perf_counter()
+            patched(once)
+            return (time.perf_counter() - t0) / RG
+        return timed
 
     fastt = build(False)
     treet = build(True)
@@ -626,18 +729,56 @@ def bench_fastwide():
         t_f = min(t_f, fastt())
         t_t = min(t_t, treet())
     prods = float(m * n * k)
-    print(json.dumps({
+    rec = {
         "metric": "fastwide_gemm_gprod",
         "value": round(prods / t_f / 1e9, 2),
         "unit": "Gprod/s",
         "vs_baseline": round(t_t / t_f, 2),  # vs the order-preserving tree
-    }))
+    }
+    print(json.dumps(rec))
+    return rec
 
 
 EXTRA = {"tree": bench_tree_gemm, "reduce": bench_reduce,
          "lut": bench_lut_gemm, "cgemm": bench_cgemm, "wide": bench_wide,
          "limb": bench_limb, "wide-gemm": bench_wide_gemm,
          "fastwide": bench_fastwide}
+
+
+ALL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH_ALL.json")
+
+
+def run_all(fallback: bool) -> int:
+    """Run every per-config bench and write ONE artifact (``BENCH_ALL.json``)
+    so BASELINE.md's table rows cite committed fields instead of interactive
+    prose (VERDICT r3 weak-6 / item 8).  Each row records its own error
+    instead of aborting the sweep."""
+    rows = {}
+    for name, fn in EXTRA.items():
+        try:
+            rows[name] = fn()
+        except Exception as e:  # a broken row must not hide the others
+            rows[name] = {"error": f"{type(e).__name__}: {e}"}
+            print(json.dumps({"metric": name, "error": rows[name]["error"]}))
+    doc = {
+        "schema": 1,
+        "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "platform": "cpu-fallback" if (fallback or
+                                       jax.default_backend() == "cpu")
+        else jax.default_backend(),
+        "note": ("per-config BASELINE rows from one bench.py --all run; "
+                 "absolutes are chip-session-dependent, vs_baseline ratios "
+                 "are in-session (CLAUDE.md)"),
+        "rows": rows,
+    }
+    try:
+        with open(ALL_PATH, "w") as f:
+            json.dump(doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError:
+        pass
+    return 0
 
 
 def main():
@@ -648,9 +789,7 @@ def main():
             EXTRA[name]()
             return 0
         if name == "all":
-            for fn in EXTRA.values():
-                fn()
-            return 0
+            return run_all(fallback)
     rng = np.random.RandomState(0)
     a_raw = jnp.asarray(
         rng.randint(FA.raw_min, FA.raw_max + 1, size=(M, K), dtype=np.int64)
@@ -683,8 +822,16 @@ def main():
     # mode: back-to-back loops put all of one program's samples in one
     # congestion window).  Keeps iterating within the wall budget; stops
     # early once the ratio has stabilized at the target.
+    #
+    # Both programs compile + warm BEFORE the wall clock starts, and the
+    # loop never records fewer than MIN_PAIRS pairs: the round-3 driver run
+    # spent its whole wall on the first pair's remote compiles and shipped
+    # ab_pairs=1 (VERDICT r3 weak-1).
+    for fn in (quantized, roofline):
+        np.asarray(fn(a_raw, b_raw)[:8, :128])  # compile + sync
     wall0 = time.perf_counter()
     max_wall = float(os.environ.get("QUBLAS_BENCH_WALL", "300"))
+    MIN_PAIRS = 2
     t_best_q = float("inf")
     t_best_r = float("inf")
     pairs = 0
@@ -694,8 +841,10 @@ def main():
         t_best_r = min(t_best_r, _time(roofline, a_raw, b_raw,
                                        iters=128, budget_s=20.0))
         pairs += 1
+        if pairs < MIN_PAIRS:
+            continue
         ratio = t_best_r / t_best_q
-        if pairs >= 2 and ratio >= 0.97:
+        if ratio >= 0.97:
             break  # converged comfortably above the >=0.90 bar
         if time.perf_counter() - wall0 > max_wall or pairs >= 8:
             break
@@ -707,7 +856,7 @@ def main():
     rec = finalize_headline(gops, roof_gops, pairs, on_tpu,
                             last_tpu=load_last_tpu())
     if on_tpu:
-        save_last_tpu({
+        append_tpu_run({
             "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime()),
             "metric": rec["metric"],

@@ -22,6 +22,22 @@
 #define PY_SSIZE_T_CLEAN
 #include <Python.h>
 
+/* This file uses private CPython APIs (_PyLong_AsByteArray, _PyLong_Sign,
+ * _PyLong_NumBits) whose signatures drift across versions:
+ *   - 3.13 added a `with_exceptions` arg to _PyLong_AsByteArray (guarded
+ *     below) and changed _PyLong_NumBits' return type to a signed 64-bit
+ *     (-1 on error — the (size_t)-1 check below is bit-identical);
+ *   - 3.14+ is NOT verified.  Fail the build explicitly there instead of
+ *     miscompiling (ADVICE r3): the Python wrapper (qublas_tpu/native.py)
+ *     treats a failed build as "extension unavailable" and falls back to
+ *     pure-Python int.to_bytes marshalling, which is slower but exact.
+ * When porting to 3.14+: prefer the public PyLong_AsNativeBytes /
+ * PyLong_GetSign APIs added in 3.13/3.14. */
+#if PY_VERSION_HEX < 0x03080000 || PY_VERSION_HEX >= 0x030E0000
+#error "fastlimbs.c is pinned to CPython [3.8, 3.14): verify the private \
+_PyLong_* API signatures for this version before raising the pin"
+#endif
+
 static PyObject *fl_to_bytes(PyObject *self, PyObject *args) {
     PyObject *seq;
     Py_ssize_t nbytes;

@@ -499,12 +499,27 @@ def _k_wide_plan(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to,
     return plan
 
 
+# the carry-correct column psum sums tp 16-bit columns into int32: it is
+# exact only while tp * (2^16 - 1) + carries fit int32, i.e. tp < 2^15.
+# Guarded at every wide-strategy entry point (ADVICE r3).
+_PSUM_COLS_MAX_TP = 1 << 15
+
+
+def _check_psum_tp(mesh: Mesh) -> None:
+    tp = mesh.shape["tp"]
+    if tp >= _PSUM_COLS_MAX_TP:
+        raise ValueError(
+            f"tp={tp} exceeds the carry-correct column-psum bound "
+            f"(summed 16-bit columns must fit int32: tp < 2^15)")
+
+
 def _psum_pair(ph, pl, scatter: bool):
     """Carry-correct cross-device sum of 64-bit pairs: psum four 16-bit
     limb columns as int32 (each per-device column < 2^16, so the summed
-    column fits int32 for any realistic tp), then carry-propagate locally.
-    Mod-2^64 addition is exact for the true dot because the proof bounds
-    it (and every partial) to the signed 64-bit range."""
+    column fits int32 while tp < 2^15 — ``_check_psum_tp``), then
+    carry-propagate locally.  Mod-2^64 addition is exact for the true dot
+    because the proof bounds it (and every partial) to the signed 64-bit
+    range."""
     u_hi = jax.lax.bitcast_convert_type(ph, jnp.uint32)
     cols = (pl & jnp.uint32(0xFFFF), pl >> 16,
             u_hi & jnp.uint32(0xFFFF), u_hi >> 16)
@@ -549,6 +564,7 @@ def sharded_qgemul_k_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
     """
     from ..ops.widths import storage_kind
 
+    _check_psum_tp(mesh)
     tp = mesh.shape["tp"]
     plan = _k_wide_plan(a, b, out_fmt, mul_to, add_formats, mul_full_prec,
                         tp)
@@ -942,6 +958,7 @@ def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTenso
     # pair sums, carry-correct 16-bit-column psum, pair epilogue
     wide = not total_iv.fits32
     if wide:
+        _check_psum_tp(mesh)
         if not (total_iv.fits64
                 and not x.is_limb and not x.is_host
                 and storage_kind(final_fmt) in ("lane", "pair")
