@@ -220,6 +220,12 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
         res = _fast_gemm_wide(a, b, out_fmt, plan)
         if res is not None:
             return res
+        # proof-lossless beyond the 64-bit pair domain (wide pair/limb
+        # operands, limb outputs): balanced-digit int8 MXU dot + exact limb
+        # recombination (round 4 — these configs previously streamed)
+        res = _fast_gemm_limb(a, b, out_fmt, plan)
+        if res is not None:
+            return res
 
     # general path: order-sensitive quantized accumulation.  Prefer the
     # streaming binary-carry evaluation (no [m, k, n] intermediate); the
@@ -435,6 +441,79 @@ def pair_sum_1d(data, val_iv: Interval):
             return pair_axis_sum(hi, lo, 0)
     hi, lo = W.widen(d32)
     return pair_axis_sum(hi, lo, 0)
+
+
+# ---------------------------------------------------------------------------
+# Limb fast path: exact wide dots beyond 64 bits (balanced-digit MXU matmul)
+# ---------------------------------------------------------------------------
+
+# admission caps for the digit-decomposition dot (static, from formats and
+# shapes): the number of int8 digit-pair matmuls inside the fused
+# dot_general, and the materialized [da, db, nseg, m, n] int32 dot tensor
+_LIMBDOT_MAX_MATMULS = 2500          # 384-bit x 384-bit operands = 49*49
+_LIMBDOT_MAX_DOT_ELEMS = 1 << 28     # 1 GiB of int32 digit dots
+
+
+def limb_dot_plan(a_fmt: QFormat, b_fmt: QFormat, out_fmt: QFormat,
+                  plan: ExactPlan, k: int, m: int, n: int):
+    """Working limb count for the digit-domain wide dot, or None when the
+    config is outside its envelope.  Single source for the single-chip fast
+    path and the sharded ``k_limb`` strategy (mirrors :func:`wide_dot_ok` /
+    ``_k_wide_plan`` for the pair regime)."""
+    from . import limbdot as D
+    from .limbint import bits_to_limbs
+    from .widths import (LIMB_INTER_MAX_BITS, requant_work_bits,
+                         route_requant, storage_kind)
+
+    if storage_kind(out_fmt) is None:
+        return None
+    iva, ivb = fmt_interval(a_fmt), fmt_interval(b_fmt)
+    if D.digit_matmuls(iva, ivb) > _LIMBDOT_MAX_MATMULS:
+        return None
+    da, db = D.digits_needed(iva), D.digits_needed(ivb)
+    nseg = -(-k // D._seg_len(k, min(da, db)))
+    if da * db * nseg * m * n > _LIMBDOT_MAX_DOT_ELEMS:
+        return None
+    if route_requant(plan.dot_interval, plan.prod_frac, out_fmt) == "host":
+        return None
+    need = max(D.work_bits(iva, ivb, k),
+               requant_work_bits(plan.dot_interval, plan.prod_frac,
+                                 out_fmt))
+    if need > LIMB_INTER_MAX_BITS:
+        return None
+    return bits_to_limbs(need)
+
+
+def _fast_gemm_limb(a: QTensor, b: QTensor, out_fmt: QFormat,
+                    plan: ExactPlan) -> Optional[QTensor]:
+    """Proof-lossless dots beyond the 64-bit pair domain: balanced-digit
+    int8 MXU matmul + exact stacked-limb recombination + ONE limb
+    requantize from the raw-product scale (:mod:`.limbdot`).  Bit-exact by
+    the same argument as :func:`_fast_gemm`: the losslessness proof makes
+    every association and distribution order produce identical bits.
+    Covers wide pair operands (e.g. 40x40-bit GEMMs, 80-bit products),
+    limb-storage operands, and limb-storage outputs — configs that
+    previously ran the order-preserving stream.  Returns None outside the
+    envelope (caller falls through)."""
+    from . import limbdot as D
+    from . import limbint as L
+    from .widths import storage_kind
+
+    if a.ndim != 2 or b.ndim != 2 or a.is_host or b.is_host:
+        return None
+    Kw = limb_dot_plan(a.fmt, b.fmt, out_fmt, plan, a.shape[-1],
+                       a.shape[-2], b.shape[-1])
+    if Kw is None:
+        return None
+    acc = D.limb_dot_2d(a.data, b.data, fmt_interval(a.fmt),
+                        fmt_interval(b.fmt), Kw)
+    raw = L.requantize_limb(acc, plan.prod_frac, out_fmt)
+    kind = storage_kind(out_fmt)
+    if kind == "lane":
+        return QTensor(raw.astype(dtype_for(out_fmt)), out_fmt)
+    if kind == "pair":
+        return QTensor(W.PairArray(raw[0], raw[1]), out_fmt)
+    return QTensor(L.LimbArray(raw), out_fmt)
 
 
 def _fast_gemm_wide(a: QTensor, b: QTensor, out_fmt: QFormat,

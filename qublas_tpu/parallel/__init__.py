@@ -13,6 +13,7 @@ from .sharding import (
     sharded_cgemul_mn,
     sharded_qgemul_dp,
     sharded_qgemul_k,
+    sharded_qgemul_k_limb,
     sharded_qgemul_k_pipelined,
     sharded_qgemul_k_wide,
     sharded_qgemul_mn,
@@ -29,6 +30,7 @@ __all__ = [
     "sharded_cgemul_mn",
     "sharded_qgemul_dp",
     "sharded_qgemul_k",
+    "sharded_qgemul_k_limb",
     "sharded_qgemul_k_pipelined",
     "sharded_qgemul_k_wide",
     "sharded_qgemul_mn",

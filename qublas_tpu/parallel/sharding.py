@@ -49,7 +49,7 @@ from ..qtensor import QTensor
 
 __all__ = ["make_mesh", "shard_qgemul", "sharded_qgemul_k",
            "sharded_qgemul_k_pipelined", "sharded_qgemul_k_wide",
-           "sharded_qgemul_mn",
+           "sharded_qgemul_k_limb", "sharded_qgemul_mn",
            "sharded_qgemul_dp", "init_distributed",
            "sharded_cgemul", "sharded_cgemul_mn", "sharded_cgemul_k",
            "sharded_qreduce", "sharded_qreduce_k"]
@@ -261,8 +261,15 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                               kw.get("mul_full_prec", False),
                               mesh.shape["tp"], plan=plan) is not None:
                 strategy = "k_wide"
+            elif _k_limb_plan(a, b, out_fmt, mul_to, add_formats,
+                              kw.get("mul_full_prec", False),
+                              mesh.shape["tp"], plan=plan) is not None:
+                strategy = "k_limb"
             else:
                 strategy = "mn"
+    if strategy == "k_limb":
+        return sharded_qgemul_k_limb(a, b, out_fmt, mesh, mul_to=mul_to,
+                                     add_formats=add_formats, **kw)
     if strategy == "k_wide":
         return sharded_qgemul_k_wide(a, b, out_fmt, mesh, mul_to=mul_to,
                                      add_formats=add_formats, **kw)
@@ -606,6 +613,146 @@ def sharded_qgemul_k_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
         return block
 
     fn = _cached(("kw", a.fmt, b.fmt, prod_frac, out_fmt,
+                  bool(reduce_scatter), epilogue_lut, mesh), build)
+    res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
+    return QTensor(fn(a.data, b.data), res_fmt)
+
+
+# ---------------------------------------------------------------------------
+# Limb K sharding — digit-domain partial dots, carry-correct limb psum
+# ---------------------------------------------------------------------------
+
+def _k_limb_plan(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to,
+                 add_formats, mul_full_prec, tp: int, plan=None):
+    """Proof gate for the limb-domain K strategy (round 4): the global
+    accumulation must be provably lossless with the user's formats, plus
+    the shared limb-dot admission gate
+    (:func:`~qublas_tpu.ops.gemm.limb_dot_plan` — the single source this
+    strategy and the single-chip limb fast path both use) and a
+    tp-divisible contraction dim.  Returns (plan, working_limbs) or None.
+
+    The working limb count comes from the GLOBAL k, so it covers the
+    psummed total and — by subset-sum — every per-chip partial."""
+    from ..ops.gemm import limb_dot_plan
+
+    if a.ndim != 2 or b.ndim != 2 or a.is_host or b.is_host:
+        return None
+    if a.shape[-1] % tp:
+        return None
+    if plan is None:
+        mul_fmt = mul_merge(a.fmt, b.fmt, mul_to, mul_full_prec)
+        plan = exact_plan(a.fmt, b.fmt, mul_fmt, add_formats, a.shape[-1])
+    if plan is None:
+        return None
+    Kw = limb_dot_plan(a.fmt, b.fmt, out_fmt, plan, a.shape[-1],
+                       a.shape[-2], b.shape[-1])
+    if Kw is None:
+        return None
+    return plan, Kw
+
+
+def _psum_limbs(limbs, scatter: bool):
+    """Carry-correct cross-device sum of stacked ``(Kw, m, n)`` uint32
+    limbs — :func:`_psum_pair` generalized to ``2*Kw`` 16-bit columns
+    (VERDICT r3 item 1): split each limb into two 16-bit columns (each
+    per-device column < 2^16, so the summed column fits int32 while
+    tp < 2^15 — ``_check_psum_tp``), ONE psum / psum_scatter of the stacked
+    ``(2*Kw, m, n)`` int32 tensor over ICI, then a local carry-propagate
+    pass.  Mod-2^(32*Kw) addition is exact for the true dot because the
+    limb plan bounds it (and every partial) to the working width."""
+    Kw = limbs.shape[0]
+    cols = jnp.stack([limbs & jnp.uint32(0xFFFF), limbs >> 16], axis=1) \
+        .reshape((2 * Kw,) + limbs.shape[1:]).astype(jnp.int32)
+    if scatter:
+        s = jax.lax.psum_scatter(cols, "tp", scatter_dimension=cols.ndim - 1,
+                                 tiled=True)
+    else:
+        s = jax.lax.psum(cols, "tp")
+    halves = []
+    car = None
+    for d in range(2 * Kw):
+        t = s[d] if car is None else s[d] + car
+        halves.append(t & 0xFFFF)
+        car = t >> 16
+    out = [halves[2 * i].astype(jnp.uint32)
+           | (halves[2 * i + 1].astype(jnp.uint32) << 16)
+           for i in range(Kw)]
+    return jnp.stack(out, axis=0)
+
+
+def sharded_qgemul_k_limb(a: QTensor, b: QTensor, out_fmt: QFormat,
+                          mesh: Mesh, mul_to=None, add_formats=(),
+                          mul_full_prec=False, reduce_scatter: bool = False,
+                          epilogue_lut=None) -> QTensor:
+    """K-sharded GEMM for proof-lossless configs whose dot outgrows even the
+    64-bit pair domain — wide pair operands (e.g. 40×40-bit GEMMs), stacked
+    N-limb operands, limb-storage outputs.  Completes the "tensor-sharded
+    operands" north star across the full device width envelope (round 4;
+    these configs previously could only shard mn).
+
+    Each chip computes its K-slice's partial dot *exactly* as a
+    balanced-digit int8 MXU matmul recombined into stacked uint32 limbs
+    (:func:`~qublas_tpu.ops.limbdot.limb_dot_2d`), partials combine with a
+    carry-correct psum / psum_scatter of 2·Kw 16-bit limb columns over ICI,
+    and the limb requantize epilogue
+    (:func:`~qublas_tpu.ops.limbint.requantize_limb`) runs after the
+    collective.  Bit-exact by the losslessness proof: every association and
+    distribution order produces identical bits.
+
+    Requires the proof; raises otherwise (use strategy='mn').
+    """
+    from ..ops import limbint as L
+    from ..ops.limbdot import limb_dot_2d
+    from ..ops.widths import storage_kind
+
+    _check_psum_tp(mesh)
+    tp = mesh.shape["tp"]
+    got = _k_limb_plan(a, b, out_fmt, mul_to, add_formats, mul_full_prec,
+                       tp)
+    if got is None:
+        raise ValueError(
+            "limb K-sharding needs 2-D device operands, tp | K, a lossless "
+            "accumulation proof, and a dot/epilogue inside the limb "
+            "working envelope; use strategy='mn'")
+    plan, Kw = got
+    kind = storage_kind(out_fmt)
+    if epilogue_lut is not None and kind != "lane":
+        raise ValueError("epilogue_lut needs a lane-storage output format")
+    if reduce_scatter and b.shape[-1] % tp:
+        raise ValueError(
+            f"N={b.shape[-1]} not divisible by tp={tp} (reduce_scatter "
+            f"shards the output's N dim)")
+    iva, ivb = fmt_interval(a.fmt), fmt_interval(b.fmt)
+    prod_frac = plan.prod_frac
+    a = _device_put(a, mesh, P(None, "tp"))
+    b = _device_put(b, mesh, P("tp", None))
+    in_a = _in_spec(a, P(None, "tp"))
+    in_b = _in_spec(b, P("tp", None))
+    out_rank = P(None, "tp") if reduce_scatter else P(None, None)
+    out_s = _out_spec(out_fmt, out_rank)
+    out_dtype = dtype_for(out_fmt)
+    fa, fb = a.fmt, b.fmt
+
+    def build():
+        @partial(jax.shard_map, mesh=mesh, in_specs=(in_a, in_b),
+                 out_specs=out_s)
+        def block(ad, bd):
+            # shard_map hands PairArray/LimbArray pytrees back whole, and
+            # limb_dot_2d accepts all three storage forms directly
+            acc = limb_dot_2d(ad, bd, iva, ivb, Kw)
+            tot = _psum_limbs(acc, reduce_scatter)
+            raw = L.requantize_limb(tot, prod_frac, out_fmt)
+            if kind == "lane":
+                raw = raw.astype(out_dtype)
+                if epilogue_lut is not None:
+                    raw = epilogue_lut(QTensor(raw, out_fmt)).data
+                return raw
+            if kind == "pair":
+                return W.PairArray(raw[0], raw[1])
+            return L.LimbArray(raw)
+        return block
+
+    fn = _cached(("kl", fa, fb, prod_frac, out_fmt, Kw,
                   bool(reduce_scatter), epilogue_lut, mesh), build)
     res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
     return QTensor(fn(a.data, b.data), res_fmt)

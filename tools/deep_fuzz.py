@@ -171,6 +171,66 @@ def sweep_gemm(trials):
             _g._STREAM_MIN_ELEMS = saved_gate
 
 
+def sweep_gemm_limbwide(trials):
+    """Limb-domain wide fast dot (round 4): proof-lossless configs whose dot
+    outgrows the 64-bit pair domain (wide pair operands, limb operands, limb
+    outputs) must match the oracle AND the pre-round-4 route with the limb
+    fast path disabled.  Formats are constructed lossless (mul_to/layers wide
+    enough) so the plan exists; trials outside the limb gate are skipped and
+    not counted."""
+    from qublas_tpu.ops import gemm as _g
+    from qublas_tpu.qformat import mul_merge
+
+    done = 0
+    for t in range(trials):
+        rng = rng_for("glimb", t)
+        fa = qformat(int(rng.randint(18, 40)), int(rng.randint(4, 32)),
+                     bool(rng.randint(0, 2)))
+        fb = qformat(int(rng.randint(18, 40)), int(rng.randint(4, 32)),
+                     bool(rng.randint(0, 2)))
+        pf = fa.frac_bits + fb.frac_bits
+        k = int(rng.randint(2, 40))
+        mul_to = qformat(fa.int_bits + fb.int_bits + 2, pf)
+        layers = (qformat(fa.int_bits + fb.int_bits + k.bit_length() + 3,
+                          pf),)
+        out = rand_fmt(rng, 60)
+        m, n2 = 2, 2
+        mul_fmt = mul_merge(fa, fb, mul_to, False)
+        plan = _g.exact_plan(fa, fb, mul_fmt, layers, k)
+        if plan is None or plan.dot_interval.fits64:
+            continue
+        if _g.limb_dot_plan(fa, fb, out, plan, k, m, n2) is None:
+            continue
+        A = rand_raws(rng, fa, m * k).reshape(m, k)
+        B = rand_raws(rng, fb, k * n2).reshape(k, n2)
+        try:
+            ta, tb = from_raw(A, fa), from_raw(B, fb)
+            dev = qgemul(ta, tb, out, mul_to=mul_to, add_formats=layers)
+            saved = _g._fast_gemm_limb
+            _g._fast_gemm_limb = lambda *a, **kw: None
+            try:
+                prev = qgemul(ta, tb, out, mul_to=mul_to, add_formats=layers)
+            finally:
+                _g._fast_gemm_limb = saved
+            host = hostops.qgemul(
+                [[(int(A[i, j]), fa) for j in range(k)] for i in range(m)],
+                [[(int(B[i, j]), fb) for j in range(n2)] for i in range(k)],
+                out, mul_to=mul_to, add_formats=layers)
+            gr = np.asarray(dev.raw(), dtype=object)
+            pr = np.asarray(prev.raw(), dtype=object)
+            for i in range(m):
+                for j in range(n2):
+                    if int(gr[i][j]) != host[i][j][0] \
+                            or int(pr[i][j]) != host[i][j][0]:
+                        fail("gemm_limbwide", fa, fb, out, mul_to, layers, k,
+                             int(gr[i][j]), int(pr[i][j]), host[i][j][0])
+            done += 1
+        except Exception as e:
+            fail("CRASH gemm_limbwide", fa, fb, out, mul_to, layers,
+                 type(e).__name__, str(e)[:150])
+    return done
+
+
 BASIC_TAGS = ["ac", "bd", "ad", "bc", "acbd", "adbc"]
 TF_TAGS = ["ab", "cd", "ba", "abc", "cdb", "bad", "AB", "BC"]
 
@@ -393,15 +453,29 @@ def sweep_sharded(trials):
     mesh = make_mesh(dp=2, tp=4)
     for t in range(trials):
         rng = rng_for("shard", t)
-        mx = [16, 20, 40][t % 3]
-        fa, fb = rand_fmt(rng, mx), rand_fmt(rng, 12)
-        out = rand_fmt(rng, mx)
-        mul_to = None if rng.randint(0, 2) else rand_fmt(rng, mx + 8)
-        layers = tuple(rand_fmt(rng, mx + 8)
-                       for _ in range(rng.randint(0, 2)))
         m = 4
         k = int(rng.choice([4, 8, 12, 16]))
         n2 = 8
+        if t % 4 == 3:
+            # every 4th trial constructs a lossless wide config (mul_to /
+            # layers wide enough) so auto's k_wide / k_limb (round 4)
+            # strategies get exercised in the sharded sweep
+            fa = qformat(int(rng.randint(14, 34)), int(rng.randint(4, 20)),
+                         bool(rng.randint(0, 2)))
+            fb = qformat(int(rng.randint(14, 34)), int(rng.randint(4, 20)),
+                         bool(rng.randint(0, 2)))
+            pf = fa.frac_bits + fb.frac_bits
+            mul_to = qformat(fa.int_bits + fb.int_bits + 2, pf)
+            layers = (qformat(fa.int_bits + fb.int_bits
+                              + k.bit_length() + 3, pf),)
+            out = rand_fmt(rng, 60)
+        else:
+            mx = [16, 20, 40][t % 3]
+            fa, fb = rand_fmt(rng, mx), rand_fmt(rng, 12)
+            out = rand_fmt(rng, mx)
+            mul_to = None if rng.randint(0, 2) else rand_fmt(rng, mx + 8)
+            layers = tuple(rand_fmt(rng, mx + 8)
+                           for _ in range(rng.randint(0, 2)))
         A = rand_raws(rng, fa, m * k).reshape(m, k)
         B = rand_raws(rng, fb, k * n2).reshape(k, n2)
         try:
@@ -430,6 +504,7 @@ def main():
         ("cast", sweep_cast, trials),
         ("reduce", sweep_reduce, max(trials // 4, 50)),
         ("gemm", sweep_gemm, max(trials // 6, 50)),
+        ("gemm_limbwide", sweep_gemm_limbwide, max(trials // 6, 50)),
         ("complex", sweep_complex, max(trials // 2, 50)),
         ("cgemul", sweep_cgemul, max(trials // 6, 50)),
         ("anus", sweep_anus, max(trials // 3, 50)),
