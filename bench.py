@@ -689,7 +689,11 @@ def bench_fastwide():
         @jax.jit
         def f(ad, bd):
             def body(i, c):
-                r = qgemul(QTensor(ad, fa), QTensor(bd, fa), out, **kw)
+                # fold the carry into the LHS so each iteration depends on
+                # the last (XLA loop-invariant code motion would otherwise
+                # hoist the GEMM and time one iteration + RG adds)
+                ad2 = ad + (c[:, :1] & 0).astype(ad.dtype)
+                r = qgemul(QTensor(ad2, fa), QTensor(bd, fa), out, **kw)
                 return c + r.data.astype(jnp.int32)
             return jax.lax.fori_loop(0, RG, body,
                                      jnp.zeros((m, n), jnp.int32))
@@ -739,10 +743,101 @@ def bench_fastwide():
     return rec
 
 
+def bench_limbwide():
+    """Round-4 feature: the limb-domain wide-dot fast GEMM (proof-lossless
+    dot beyond the 64-bit pair domain; balanced-digit int8 MXU matmul +
+    exact stacked-limb recombination) vs the order-preserving streaming
+    tree these configs previously ran.  40-bit x 40-bit operands (80-bit
+    products).  A/B-interleaved best-of."""
+    from qublas_tpu.ops import gemm as G
+    from qublas_tpu.ops.wideint import PairArray
+    from qublas_tpu.qformat import mul_merge
+    from qublas_tpu.qtensor import from_raw
+
+    fa = qformat(25, 15)                  # 40-bit pair storage
+    out = qformat(60, 20)                 # limb output
+    kw = dict(mul_to=qformat(51, 30), add_formats=(qformat(62, 30),))
+    m = n = 512
+    k = 2048
+    plan = exact_plan(fa, fa, mul_merge(fa, fa, kw["mul_to"]),
+                      kw["add_formats"], k)
+    assert plan is not None and not plan.dot_interval.fits64
+    assert G.limb_dot_plan(fa, fa, out, plan, k, m, n) is not None
+    rng = np.random.RandomState(0)
+
+    def mk(r, c):
+        raws = rng.randint(-(1 << 39), 1 << 39, size=r * c, dtype=np.int64)
+        return from_raw(raws.astype(object).reshape(r, c), fa)
+
+    a, b = mk(m, k), mk(k, n)
+
+    def build(disable_fast):
+        # chain iterations INSIDE jit so one dispatch covers them (the
+        # ~25 ms tunnel round trip otherwise floors the measurement —
+        # CLAUDE.md); the slower stream arm gets fewer chained iterations
+        RG = 4 if disable_fast else 32
+
+        @jax.jit
+        def f(ah, al, bh, bl):
+            bq = QTensor(PairArray(bh, bl), fa)
+
+            def body(i, c):
+                # fold the carry into the LHS low limb so each iteration
+                # depends on the last (XLA cannot hoist the GEMM)
+                ah2 = ah + (c[:, :1] & 0)
+                r = qgemul(QTensor(PairArray(ah2, al), fa), bq, out, **kw)
+                return c + r.data.limbs[0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, RG, body,
+                                     jnp.zeros((m, n), jnp.int32))
+
+        def patched(run):
+            # patch covers every trace (incl. retrace after cache eviction)
+            saved = G._fast_gemm_limb
+            saved_gate = G._STREAM_MIN_ELEMS
+            if disable_fast:
+                G._fast_gemm_limb = lambda *a2, **k2: None
+                G._STREAM_MIN_ELEMS = 0
+            try:
+                return run()
+            finally:
+                G._fast_gemm_limb = saved
+                G._STREAM_MIN_ELEMS = saved_gate
+
+        def once():
+            r = f(a.data.hi, a.data.lo, b.data.hi, b.data.lo)
+            np.asarray(r[:8, :128])  # sync
+
+        patched(once)  # compile + warm-up
+
+        def timed():
+            t0 = time.perf_counter()
+            patched(once)
+            return (time.perf_counter() - t0) / RG
+        return timed
+
+    fastt = build(False)
+    streamt = build(True)
+    t_f = min(fastt(), fastt())
+    t_s = min(streamt(), streamt())
+    for _ in range(2):
+        t_f = min(t_f, fastt())
+        t_s = min(t_s, streamt())
+    prods = float(m * n * k)
+    rec = {
+        "metric": "limbwide_gemm_gprod",
+        "value": round(prods / t_f / 1e9, 2),
+        "unit": "Gprod/s",
+        "operand_bits": 40,
+        "vs_baseline": round(t_s / t_f, 2),  # vs the order-preserving stream
+    }
+    print(json.dumps(rec))
+    return rec
+
+
 EXTRA = {"tree": bench_tree_gemm, "reduce": bench_reduce,
          "lut": bench_lut_gemm, "cgemm": bench_cgemm, "wide": bench_wide,
          "limb": bench_limb, "wide-gemm": bench_wide_gemm,
-         "fastwide": bench_fastwide}
+         "fastwide": bench_fastwide, "limbwide": bench_limbwide}
 
 
 ALL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
