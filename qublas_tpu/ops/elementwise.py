@@ -231,9 +231,27 @@ def qdiv(a, b, to=None, full_prec: bool = False) -> QTensor:
         return _host_binary(hostops.qdiv, a, b, to=to, full_prec=full_prec)
     sa = max(b.fmt.frac_bits - a.fmt.frac_bits, 0)
     sb = max(a.fmt.frac_bits - b.fmt.frac_bits, 0)
+    s = sa + out.frac_bits
+    if route == "pair":
+        # 64-bit restoring long division on (hi, lo) pairs (round 4):
+        # pair-storage operands / numerators past int32 no longer fall to
+        # the per-element host loop.  The route proves num/den/quot fit
+        # the signed 64-bit domain and the overflow-only epilogue runs
+        # there too.
+        xp = _load_pair(a)
+        yp = _load_pair(b)
+        num = W.pair_shl(xp, s) if s >= 0 else W.pair_shr(xp, -s)
+        den = W.pair_shl(yp, sb)
+        q = W.pair_div_trunc(num, den)
+        zero_den = W.pair_eq(den, W.pair_const(0, shape=den[0].shape))
+        zero = (jnp.zeros_like(q[0]), jnp.zeros_like(q[1]))
+        q = W._pair_select(zero_den, zero, q)
+        # no frac stage (d == 0 at out.frac_bits): overflow stage only
+        if storage_kind(out) == "lane":
+            return _finish(W.requantize_pair(q, out.frac_bits, out), out)
+        return _finish(W.requantize_pair_keep(q, out.frac_bits, out), out)
     x = _load_i32(a)
     y = _load_i32(b)
-    s = sa + out.frac_bits
     num = x << s if s >= 0 else x >> (-s)
     den = y << sb
     safe_den = jnp.where(den == 0, jnp.int32(1), den)

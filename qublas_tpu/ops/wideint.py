@@ -30,6 +30,7 @@ __all__ = [
     "pair_is_neg", "pair_is_pos", "pair_to_int32",
     "requantize_pair", "requantize_i32",
     "PairArray", "pair_mul", "as_pair", "requantize_pair_keep",
+    "pair_div_trunc",
 ]
 
 _U32 = jnp.uint32
@@ -283,6 +284,53 @@ def pair_to_int32(a):
 # ---------------------------------------------------------------------------
 # Requantization epilogues
 # ---------------------------------------------------------------------------
+
+def pair_div_trunc(a, b):
+    """C++-style truncating division of two signed 64-bit pairs (round 4:
+    the device route for pair-regime Qdiv, ``widths.route_div``).
+
+    Restoring long division: both operands reduce to magnitudes (exact —
+    the route's ``fits64`` proof leaves the I64_MIN+1 margin, so negation
+    never wraps), 64 shift-compare-subtract steps run in a ``fori_loop``
+    on unsigned (hi, lo) limbs, then the quotient takes the XOR sign.
+    Divide-by-zero returns an all-ones pattern here; the CALLER must mask
+    it to the reference's zero wart (QuBLAS.h:3252-3255) — keeping the
+    wart at the op layer mirrors ``lax.div``'s role in the i32 route.
+
+    Exactness: the invariant ``R < D`` holds after every restoring step,
+    so ``R<<1 | bit < 2*D <= 2^64`` never overflows the pair; the final
+    Q is the unique integer with ``|a| = Q*|b| + R, 0 <= R < |b|`` —
+    truncation toward zero after the sign fix, exactly C++ ``/``.
+    """
+    neg_a = pair_is_neg(a)
+    neg_b = pair_is_neg(b)
+    ua = _pair_select(neg_a, pair_neg(a), a)
+    ub = _pair_select(neg_b, pair_neg(b), b)
+    nh, nl = _bitcast_u32(ua[0]), ua[1]
+    dh, dl = _bitcast_u32(ub[0]), ub[1]
+    z = jnp.zeros_like(nl)
+
+    def step(_, st):
+        nh, nl, rh, rl, qh, ql = st
+        bit = nh >> 31
+        nh = (nh << 1) | (nl >> 31)
+        nl = nl << 1
+        rh = (rh << 1) | (rl >> 31)
+        rl = (rl << 1) | bit
+        ge = (rh > dh) | ((rh == dh) & (rl >= dl))
+        sl = rl - dl
+        borrow = (rl < dl).astype(_U32)
+        sh = rh - dh - borrow
+        rh = jnp.where(ge, sh, rh)
+        rl = jnp.where(ge, sl, rl)
+        qh = (qh << 1) | (ql >> 31)
+        ql = (ql << 1) | ge.astype(_U32)
+        return nh, nl, rh, rl, qh, ql
+
+    *_rest, qh, ql = jax.lax.fori_loop(0, 64, step, (nh, nl, z, z, z, z))
+    q = (_bitcast_i32(qh), ql)
+    return _pair_select(neg_a != neg_b, pair_neg(q), q)
+
 
 def _carry_mode(mode, xl_gt, xl_ge, xl_eq, is_neg, is_pos, xh_odd):
     """Rounding carry predicate shared by the i32 and pair paths.

@@ -255,8 +255,9 @@ def route_addsub(fa: QFormat, fb: QFormat, out: QFormat, sub: bool):
 
 
 def route_div(fa: QFormat, fb: QFormat, out: QFormat):
-    """Division only has an i32 device path (no 64-bit divider on the VPU
-    emulation); wider goes to host."""
+    """Pick the device route for a quantized divide: "i32" (``lax.div``),
+    "pair" (round 4 — 64-bit restoring long division on (hi, lo) pairs,
+    ``wideint.pair_div_trunc``), or "host"."""
     shift_a = max(fb.frac_bits - fa.frac_bits, 0)
     shift_b = max(fa.frac_bits - fb.frac_bits, 0)
     num = fmt_interval(fa) << (shift_a + max(out.frac_bits, 0))
@@ -267,8 +268,18 @@ def route_div(fa: QFormat, fb: QFormat, out: QFormat):
     quot = Interval(-max(abs(num.lo), abs(num.hi)), max(abs(num.lo), abs(num.hi)))
     ok32 = num.fits32 and den.fits32 and quot.fits32
     out_iv, _ = requant_out_interval(quot, out.frac_bits, out)
-    if ok32 and out_iv.fits32 and storage_kind(out) == "lane":
+    if ok32 and out_iv.fits32 and storage_kind(out) == "lane" \
+            and storage_kind(fa) == "lane" and storage_kind(fb) == "lane":
         return "i32", num, 0
+    # pair regime: numerator/denominator/quotient in the signed 64-bit
+    # domain (with the I64_MIN+1 negation margin) and an epilogue that
+    # runs there too — the divide itself has no rounding stage, so the
+    # requantize route is checked at d == 0 (overflow stage only)
+    if num.fits64 and den.fits64 and quot.fits64 \
+            and storage_kind(fa) in ("lane", "pair") \
+            and storage_kind(fb) in ("lane", "pair") \
+            and route_requant(quot, out.frac_bits, out) in ("i32", "pair"):
+        return "pair", num, 0
     return "host", num, 0
 
 
