@@ -1102,49 +1102,78 @@ def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTenso
 
     # wide regime (round 3, mirrors the GEMM k_wide strategy): the lossless
     # sum outgrows int32 but fits the 64-bit pair domain — per-chip exact
-    # pair sums, carry-correct 16-bit-column psum, pair epilogue
-    wide = not total_iv.fits32
-    if wide:
+    # pair sums, carry-correct 16-bit-column psum, pair epilogue.
+    # Beyond the pair domain (limb values, >64-bit sums, limb-storage
+    # final formats): exact stacked-limb sums per chip, carry-correct
+    # 2*Kw-column limb psum, limb epilogue (round 4 — mirrors the GEMM
+    # k_limb strategy; these configs previously had no K strategy)
+    frac = x.fmt.frac_bits
+    regime = "i32" if total_iv.fits32 else "pair"
+    limb_k = None
+    if regime == "pair" and not (
+            total_iv.fits64 and not x.is_limb and not x.is_host
+            and storage_kind(final_fmt) in ("lane", "pair")
+            and route_requant(total_iv, frac, final_fmt)
+            in ("i32", "pair")):
+        regime = "limb"
+    if regime != "i32":
         _check_psum_tp(mesh)
-        if not (total_iv.fits64
-                and not x.is_limb and not x.is_host
-                and storage_kind(final_fmt) in ("lane", "pair")
-                and route_requant(total_iv, x.fmt.frac_bits, final_fmt)
-                in ("i32", "pair")):
+    if regime == "limb":
+        from ..ops.limbint import bits_to_limbs
+        from ..ops.widths import LIMB_INTER_MAX_BITS, requant_work_bits
+
+        need = max(total_iv.bits,
+                   requant_work_bits(total_iv, frac, final_fmt))
+        if x.is_host or storage_kind(final_fmt) is None \
+                or need > LIMB_INTER_MAX_BITS:
             raise ValueError(
-                "sum interval exceeds the device pair domain (or the "
-                "epilogue does) - use the batch-sharded form")
+                "sum outgrows the device limb working envelope - use the "
+                "batch-sharded form")
+        limb_k = bits_to_limbs(need)
     out_dtype = dtype_for(final_fmt)
-    if not wide:
+    if regime == "i32":
         if out_dtype is None:
             raise ValueError(
                 "sharded_qreduce_k writes int32 lanes; this reduction's "
                 "final format needs wider storage - use the batch-sharded "
                 "form")
-        if route_requant(total_iv, x.fmt.frac_bits, final_fmt) != "i32":
+        if route_requant(total_iv, frac, final_fmt) != "i32":
             raise ValueError(
                 "the requantize epilogue outgrows int32 lanes for this "
                 "config - use the batch-sharded form")
 
-    xd = jax.device_put(x.data, NamedSharding(mesh, P("tp")))
-    frac = x.fmt.frac_bits
+    xd = jax.device_put(x.data, NamedSharding(mesh, _in_spec(x, P("tp"))))
+    in_s = _in_spec(x, P("tp"))
     val_iv = fmt_interval(x.fmt)
 
     def build():
+        from ..ops import limbint as L
         from ..ops.gemm import pair_sum_1d
+        from ..ops.limbdot import limb_axis_sum, to_limbs_any
 
         out_kind = storage_kind(final_fmt)
-        out_s = _out_spec(final_fmt, P(None)) if wide and out_kind == "pair" \
-            else P(None)
+        out_s = _out_spec(final_fmt, P(None)) \
+            if out_kind in ("pair", "limb") and regime != "i32" else P(None)
 
-        @partial(jax.shard_map, mesh=mesh, in_specs=(P("tp"),),
+        @partial(jax.shard_map, mesh=mesh, in_specs=(in_s,),
                  out_specs=out_s)
         def block(data):
-            if not wide:
+            if regime == "i32":
                 s = jnp.sum(data.astype(jnp.int32), keepdims=True)
                 tot = jax.lax.psum(s, "tp")
                 raw = W.requantize_i32(tot, frac, final_fmt)
                 return raw.astype(out_dtype)
+            if regime == "limb":
+                limbs = to_limbs_any(data, limb_k)        # (Kw, n_loc)
+                part = limb_axis_sum(limbs, 0)            # (Kw,)
+                tot = _psum_limbs(part.reshape(limb_k, 1, 1), False)
+                raw = L.requantize_limb(tot.reshape(limb_k, 1), frac,
+                                        final_fmt)
+                if out_kind == "lane":
+                    return raw.astype(out_dtype)
+                if out_kind == "pair":
+                    return W.PairArray(raw[0], raw[1])
+                return L.LimbArray(raw)
             ph, pl = pair_sum_1d(data, val_iv)
             ph, pl = ph.reshape(1, 1), pl.reshape(1, 1)
             hi, lo = _psum_pair(ph, pl, False)
@@ -1155,5 +1184,6 @@ def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTenso
             return W.PairArray(h2.reshape(1), l2.reshape(1))
         return block
 
-    fn = _cached(("qrk", x.fmt, frac, final_fmt, wide, mesh), build)
+    fn = _cached(("qrk", x.fmt, frac, final_fmt, regime, limb_k, mesh),
+                 build)
     return QTensor(fn(xd)[0], final_fmt)

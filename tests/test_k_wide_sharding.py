@@ -269,13 +269,47 @@ def test_qreduce_k_wide_pair_values():
         int(np.asarray(ref.raw(), dtype=object).reshape(()))
 
 
-def test_qreduce_k_wide_rejects_past_pair_domain():
+def test_qreduce_k_limb_values():
+    """Round 4: limb-stored values through the K-sharded reduce (limb
+    regime — previously rejected past the pair domain)."""
     mesh = _mesh_or_skip()
+    from qublas_tpu.ops.reduce import qreduce
     from qublas_tpu.parallel import sharded_qreduce_k
 
     f = qformat(40, 28)                  # limb-stored values
     layers = (qformat(75, 28),)
     x = from_raw(rand_raws(f, 8, 72), f)
     assert x.is_limb
+    got = sharded_qreduce_k(x, layers, mesh=mesh)
+    ref = qreduce(x, layers)
+    assert got.fmt == ref.fmt and got.is_limb
+    assert int(np.asarray(got.raw(), dtype=object).reshape(())) == \
+        int(np.asarray(ref.raw(), dtype=object).reshape(()))
+
+
+def test_qreduce_k_limb_pair_values_wide_sum():
+    """Pair values whose lossless sum outgrows 64 bits: the limb regime
+    takes over where the pair psum cannot."""
+    mesh = _mesh_or_skip()
+    from qublas_tpu.ops.reduce import qreduce
+    from qublas_tpu.parallel import sharded_qreduce_k
+
+    f = qformat(60, 0)
+    layers = (qformat(66, 0),)
+    x = from_raw(rand_raws(f, 32, 73), f)
+    assert x.is_pair
+    got = sharded_qreduce_k(x, layers, mesh=mesh)
+    ref = qreduce(x, layers)
+    assert got.fmt == ref.fmt
+    assert int(np.asarray(got.raw(), dtype=object).reshape(())) == \
+        int(np.asarray(ref.raw(), dtype=object).reshape(()))
+
+
+def test_qreduce_k_rejects_host_wide():
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import sharded_qreduce_k
+
+    f = qformat(300, 0)                  # host storage
+    x = from_raw(np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=object), f)
     with pytest.raises(ValueError):
-        sharded_qreduce_k(x, layers, mesh=mesh)
+        sharded_qreduce_k(x, (qformat(400, 0),), mesh=mesh)
