@@ -274,10 +274,9 @@ def bench_tree_gemm():
             prods / t_s * _TREE_VPU_OPS_PER_PRODUCT / _VPU_CEILING_OPS, 4),
     }
     # round-4 item: MEASURE the VPU ceiling instead of asserting it — run
-    # the per-product requantize chain standalone (same formats, resident
-    # data, no dot structure) and report the tree kernel as a fraction of
-    # that measured elementwise ceiling
-    chain = _measured_chain_prods(f)
+    # the per-product chain standalone on VMEM-resident tiles and report
+    # the tree kernel as a fraction of that measured ceiling
+    chain = _measured_chain_prods(f, plan)
     if chain is not None:
         rec["chain_gprod_s"] = round(chain / 1e9, 2)
         rec["vs_vpu_roofline"] = round(prods / t_s / chain, 4)
@@ -285,39 +284,76 @@ def bench_tree_gemm():
     return rec
 
 
-def _measured_chain_prods(f):
-    """Products/s of the tree GEMM's per-product work measured standalone:
-    the split-B quantized multiply + single-compare SAT_ZERO epilogue + one
-    quantized fold add, on VMEM/HBM-resident vectors with no dot structure.
-    This is the *measured* elementwise ceiling the blocked tree kernel is
-    judged against (VERDICT r3 weak-3 — the 14-op/6.5T paper model is kept
-    as ``vs_vpu_roofline_model`` for continuity).  Returns None if the
-    measurement fails."""
-    from qublas_tpu.ops import elementwise as ew
+def _measured_chain_prods(f, plan):
+    """Products/s of the tree GEMM's exact per-product work measured
+    standalone on **VMEM-resident** tiles: a Pallas kernel chains T
+    iterations of ``_product`` (split-B quantized multiply + SAT_ZERO
+    epilogue) + ``_merge`` (one tree fold add + requantize) on a [128,256]
+    tile — the same building blocks the blocked tree kernel executes per
+    product, with no dot structure and no HBM traffic inside the chain.
 
-    n = 1 << 22
-    rng = np.random.RandomState(1)
-    x = jnp.asarray(rng.randint(f.raw_min, f.raw_max + 1, n,
-                                dtype=np.int64).astype(np.int32))
-    y = jnp.asarray(rng.randint(f.raw_min, f.raw_max + 1, n,
-                                dtype=np.int64).astype(np.int32))
-    RG = 64
+    This is the *measured* elementwise ceiling the tree kernel is judged
+    against (VERDICT r3 weak-3 — the 14-op/6.5T paper model stays as
+    ``vs_vpu_roofline_model`` for continuity).  Two chain lengths (T and
+    T//8) difference out every fixed cost — the ~25 ms tunnel round trip,
+    dispatch, and the HBM tile writes — so the result is pure sustained
+    chain throughput (the first cut of this probe at one fixed RG measured
+    exactly dispatch-floor/RG, 10 Gprod/s of tunnel, not VPU).  Returns
+    None off-TPU or if the kernel fails to compile."""
+    if jax.default_backend() != "tpu":
+        return None
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
 
-    @jax.jit
-    def chain(xd, yd):
-        def body(i, c):
-            p = ew.qmul(QTensor(c, f), QTensor(yd, f))      # split-B + sat
-            s = ew.qadd(p, QTensor(yd, f), to=f)            # fold add + sat
-            return s.data.astype(jnp.int32)
-        return jax.lax.fori_loop(0, RG, body, xd)
+    from qublas_tpu.ops import tree_gemm as TG
+
+    BM, BN, G = 128, 256, 2048
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randint(f.raw_min, f.raw_max + 1, (BM, BN),
+                                dtype=np.int64).astype(np.int32))
+    y = jnp.asarray(rng.randint(f.raw_min, f.raw_max + 1, (BM, BN),
+                                dtype=np.int64).astype(np.int32))
+
+    def build(T):
+        def kernel(x_ref, y_ref, o_ref):
+            yv = y_ref[...]
+
+            def body(i, v):
+                p = TG._product(plan, v, yv)
+                return TG._merge(plan, 0, p, p)
+
+            o_ref[...] = jax.lax.fori_loop(0, T, body, x_ref[...])[None]
+
+        run = pl.pallas_call(
+            kernel, grid=(G,),
+            in_specs=[pl.BlockSpec((BM, BN), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((BM, BN), lambda t: (0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, BM, BN), lambda t: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, BM, BN), jnp.int32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )
+        jrun = jax.jit(lambda a2, b2: run(a2, b2))
+        np.asarray(jrun(x, y)[0, :8, :128])  # compile + sync
+
+        def timed():
+            t0 = time.perf_counter()
+            out = jrun(x, y)
+            np.asarray(out[0, :8, :128])
+            return time.perf_counter() - t0
+        return timed
 
     try:
-        np.asarray(chain(x, y)[:128])  # compile + sync
-        t0 = time.perf_counter()
-        out = chain(x, y)
-        np.asarray(out[:128])
-        dt = (time.perf_counter() - t0) / RG
-        return n / dt
+        T1, T2 = 128, 16
+        long_t, short_t = build(T1), build(T2)
+        t1 = min(long_t(), long_t(), long_t())
+        t2 = min(short_t(), short_t(), short_t())
+        if t1 <= t2:
+            return None  # noise swamped the differential; don't report
+        return BM * BN * G * (T1 - T2) / (t1 - t2)
     except Exception:
         return None
 
