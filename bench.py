@@ -725,10 +725,13 @@ def bench_fastwide():
         @jax.jit
         def f(ad, bd):
             def body(i, c):
-                # fold the carry into the LHS so each iteration depends on
-                # the last (XLA loop-invariant code motion would otherwise
-                # hoist the GEMM and time one iteration + RG adds)
-                ad2 = ad + (c[:, :1] & 0).astype(ad.dtype)
+                # optimization_barrier ties the LHS to the carry so each
+                # iteration depends on the last: XLA loop-invariant code
+                # motion would otherwise hoist the GEMM and time one
+                # iteration + RG adds.  (An additive `+ (c & 0)` mask is
+                # NOT enough — the algebraic simplifier folds it away and
+                # the hoist happens anyway, measured.)
+                ad2, _ = jax.lax.optimization_barrier((ad, c))
                 r = qgemul(QTensor(ad2, fa), QTensor(bd, fa), out, **kw)
                 return c + r.data.astype(jnp.int32)
             return jax.lax.fori_loop(0, RG, body,
@@ -818,9 +821,10 @@ def bench_limbwide():
             bq = QTensor(PairArray(bh, bl), fa)
 
             def body(i, c):
-                # fold the carry into the LHS low limb so each iteration
-                # depends on the last (XLA cannot hoist the GEMM)
-                ah2 = ah + (c[:, :1] & 0)
+                # optimization_barrier ties the LHS to the carry so each
+                # iteration depends on the last (a `+ (c & 0)` mask gets
+                # algebraically folded and the GEMM hoisted — measured)
+                ah2, _ = jax.lax.optimization_barrier((ah, c))
                 r = qgemul(QTensor(PairArray(ah2, al), fa), bq, out, **kw)
                 return c + r.data.limbs[0].astype(jnp.int32)
             return jax.lax.fori_loop(0, RG, body,

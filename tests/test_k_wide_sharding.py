@@ -309,7 +309,8 @@ def test_qreduce_k_rejects_host_wide():
     mesh = _mesh_or_skip()
     from qublas_tpu.parallel import sharded_qreduce_k
 
-    f = qformat(300, 0)                  # host storage
+    f = qformat(1000, 0)                 # 1001-bit: host storage (round-4
+    #                                      cap is 992; 301-bit became limb)
     x = from_raw(np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=object), f)
     with pytest.raises(ValueError):
-        sharded_qreduce_k(x, (qformat(400, 0),), mesh=mesh)
+        sharded_qreduce_k(x, (qformat(1100, 0),), mesh=mesh)

@@ -181,11 +181,15 @@ def test_limb_formats_are_device_resident():
         # raws round-trip bit-for-bit through the device storage
         back = [int(v) for v in np.asarray(t.raw(), dtype=object).reshape(-1)]
         assert back == [int(v) for v in raws], fa
-    # >384-bit storage falls back to host object arrays (the device limb
-    # cap rose from 256 to 384 in round 3)
-    f = qformat(320, 80)
+    # >992-bit storage falls back to host object arrays (the device limb
+    # cap rose 256 -> 384 -> 992 across rounds 3-4; per-op width proofs
+    # now route individual ops, not a global storage guarantee)
+    f = qformat(920, 80)   # 1001-bit storage
     t = from_raw(np.array([1, -2], dtype=object), f)
     assert t.is_host
+    f2 = qformat(420, 80)  # 501-bit storage: device-resident since round 4
+    t2 = from_raw(np.array([1, -2], dtype=object), f2)
+    assert t2.is_limb and not t2.is_host
 
 
 def test_limb_raw_round_trip_exact():
@@ -456,13 +460,13 @@ def test_sharded_mn_gemm_host_route_raises():
     mesh = _mesh_or_skip()
     from qublas_tpu.parallel import sharded_qgemul_mn
 
-    fa = qformat(200, 55)      # 256-bit storage: limb, but the 441-bit
-    fb = qformat(200, 50)      # mul_to outgrows device storage -> host
+    fa = qformat(500, 99)      # 600-bit storage: limb, but the product
+    fb = qformat(500, 99)      # work (~1200 bits) outgrows the envelope
     A = from_raw(np.ones((4, 4), dtype=object), fa)
     B = from_raw(np.ones((4, 8), dtype=object), fb)
     with pytest.raises(ValueError):
-        sharded_qgemul_mn(A, B, qformat(200, 55), mesh,
-                          mul_to=qformat(340, 100))
+        sharded_qgemul_mn(A, B, qformat(500, 99), mesh,
+                          mul_to=qformat(1010, 198))
 
 
 def test_shard_qgemul_auto_wide_picks_mn():

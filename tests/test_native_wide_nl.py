@@ -117,14 +117,15 @@ def test_tree_gemm_300bit_vs_golden():
             assert int(g[i, j]) == want[i][j][0]
 
 
-def test_elementwise_host_path_uses_engine_at_400bit():
+def test_elementwise_host_path_uses_engine_at_1100bit():
     """The public elementwise host route picks the compiled engine for
-    >384-bit formats (storage past the round-3 device limb cap — the
-    exposed square of VERDICT r2 missing-2)."""
+    >992-bit formats (storage past the round-4 device limb cap — the
+    exposed square of VERDICT r2 missing-2; 401-bit formats became
+    device-resident when per-op width proofs replaced the global cap)."""
     from qublas_tpu import from_raw
     from qublas_tpu.ops import elementwise as ew
 
-    fa, fb = qformat(260, 140), qformat(180, 120)   # 401-bit: host kind
+    fa, fb = qformat(760, 340), qformat(180, 120)   # 1101-bit: host kind
     out = qformat(250, 60)
     A = rand_raws(fa, 9, 9)
     B = rand_raws(fb, 9, 10)

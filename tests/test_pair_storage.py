@@ -43,7 +43,9 @@ def test_storage_kind_boundaries():
     assert storage_kind(qformat(200, 55)) == "limb"    # 256
     assert storage_kind(qformat(201, 55)) == "limb"    # 257 (round 3)
     assert storage_kind(qformat(300, 83)) == "limb"    # 384
-    assert storage_kind(qformat(300, 84)) is None      # 385: host
+    assert storage_kind(qformat(300, 84)) == "limb"    # 385 (round 4)
+    assert storage_kind(qformat(600, 391)) == "limb"   # 992
+    assert storage_kind(qformat(600, 392)) is None     # 993: host
     # WRP_TCPL_SAT wraps at the machine word: pair up to 64
     w = qformat(40, 8, overflow_mode=OverflowMode.WRP_TCPL_SAT)
     assert storage_kind(w) == "pair"

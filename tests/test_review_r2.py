@@ -95,10 +95,10 @@ def test_sharded_qreduce_rejects_bad_axes():
     x = from_raw(np.zeros((8, 16), dtype=int), f)
     with pytest.raises(ValueError):
         sharded_qreduce(x, (), axis=0, mesh=mesh, batch_axis=0)
-    # 65..256-bit layer formats are limb-device-resident now; only truly
-    # host-route configs (storage > 256) get the clean error
+    # 65..992-bit layer formats are limb-device-resident now (round 4);
+    # only truly host-route configs (storage > 992) get the clean error
     with pytest.raises(ValueError):
-        sharded_qreduce(x, (QFormat(400, 50),), axis=1, mesh=mesh)
+        sharded_qreduce(x, (QFormat(1000, 50),), axis=1, mesh=mesh)
     # and the limb route must be bit-exact through shard_map
     from qublas_tpu.ops.reduce import qreduce
 
@@ -277,8 +277,8 @@ def test_qabs_qneg_word_minimum_routes_exact():
 
 
 def test_sharded_mn_lane_operands_wide_mul_to_raises_cleanly():
-    """Lane-stored int8 operands with a host-route mul_to (403-bit product
-    format — past the round-3 384-bit device limb cap) must get the clean
+    """Lane-stored int8 operands with a host-route mul_to (1203-bit product
+    format — past the round-4 992-bit device limb cap) must get the clean
     'outgrows device lanes' ValueError, not a raw tracer crash inside
     shard_map."""
     import jax
@@ -293,7 +293,7 @@ def test_sharded_mn_lane_operands_wide_mul_to_raises_cleanly():
     B = from_raw(np.zeros((8, 4), dtype=int), f8)
     with pytest.raises(ValueError, match="outgrows device lanes"):
         sharded_qgemul_mn(A, B, qformat(3, 4), mesh,
-                          mul_to=QFormat(400, 2))
+                          mul_to=QFormat(1200, 2))
 
 
 # ---------------------------------------------------------------------------
@@ -366,7 +366,7 @@ def test_probe_error_chains_cause():
     B = from_raw(np.zeros((8, 4), dtype=int), f8)
     with pytest.raises(ValueError, match="outgrows device lanes") as ei:
         sharded_qgemul_mn(A, B, qformat(3, 4), mesh,
-                          mul_to=QFormat(400, 2))
+                          mul_to=QFormat(1200, 2))
     assert ei.value.__cause__ is not None
 
 
@@ -412,8 +412,8 @@ def test_sharded_cgemul_mn_host_route_raises_cleanly():
     from qublas_tpu.parallel import make_mesh, sharded_cgemul_mn
 
     mesh = make_mesh(dp=2, tp=4)
-    fw = qformat(260, 140)   # 401-bit storage: host kind (301-bit became
-    #                           device limb storage in round 3)
+    fw = qformat(760, 340)   # 1101-bit storage: host kind (401-bit became
+    #                           device limb storage in round 4)
     re = from_raw(np.ones((4, 4), dtype=object), fw)
     im = from_raw(np.ones((4, 4), dtype=object), fw)
     ca = QComplexTensor(re, im)
