@@ -464,23 +464,48 @@ def bench_cgemm():
     out = (qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO),
            qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO))
 
+    RG = 8
+
+    # chain RG iterations INSIDE jit, each tied to the carry with an
+    # optimization_barrier (CLAUDE.md), and interleave the two arms with
+    # best-of per side — the round-3 out-of-jit single-pass methodology
+    # recorded ratios swinging 0.45..1.38 across sessions on pure drift
     @jax.jit
     def tf(x, _b):
-        c = cgemul(QComplexTensor(QTensor(x, f), QTensor(ai, f)),
-                   QComplexTensor(QTensor(br, f), QTensor(bi, f)),
-                   out, algo="tf", add_formats=(wide,), ab=mid, cd=mid,
-                   ba=mid, abc=wide, cdb=wide, bad=wide, AB=wide, BC=wide)
-        return c.real.data
+        def body(i, acc):
+            xt = jax.lax.optimization_barrier((x, acc))[0]
+            c = cgemul(QComplexTensor(QTensor(xt, f), QTensor(ai, f)),
+                       QComplexTensor(QTensor(br, f), QTensor(bi, f)),
+                       out, algo="tf", add_formats=(wide,), ab=mid, cd=mid,
+                       ba=mid, abc=wide, cdb=wide, bad=wide, AB=wide,
+                       BC=wide)
+            return acc + c.real.data.astype(jnp.int32)
+        return jax.lax.fori_loop(0, RG, body,
+                                 jnp.zeros((m, n), jnp.int32))
 
     @jax.jit
     def floor3(x, _b):
-        d1 = jnp.matmul(x, br, preferred_element_type=jnp.int32)
-        d2 = jnp.matmul(ai, br, preferred_element_type=jnp.int32)
-        d3 = jnp.matmul(x, bi, preferred_element_type=jnp.int32)
-        return (d1 + d2 + d3).astype(jnp.int8)
+        def body(i, acc):
+            xt = jax.lax.optimization_barrier((x, acc))[0]
+            d1 = jnp.matmul(xt, br, preferred_element_type=jnp.int32)
+            d2 = jnp.matmul(ai, br, preferred_element_type=jnp.int32)
+            d3 = jnp.matmul(xt, bi, preferred_element_type=jnp.int32)
+            return acc + d1 + d2 + d3
+        return jax.lax.fori_loop(0, RG, body,
+                                 jnp.zeros((m, n), jnp.int32))
 
-    t_c = _time(tf, ar, None, iters=64)
-    t_f = _time(floor3, ar, None, iters=64)
+    for fn in (tf, floor3):
+        np.asarray(fn(ar, None)[:8, :128])  # compile + warm
+
+    def timed(fn):
+        t0 = time.perf_counter()
+        np.asarray(fn(ar, None)[:8, :128])
+        return (time.perf_counter() - t0) / RG
+
+    t_c = t_f = float("inf")
+    for _ in range(4):
+        t_c = min(t_c, timed(tf))
+        t_f = min(t_f, timed(floor3))
     ops = 3 * 2.0 * m * n * k  # the 3 TF multiplies
     rec = {
         "metric": "tf_complex_qgemul_gops",
