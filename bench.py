@@ -374,14 +374,16 @@ def bench_reduce():
     RG = 16
 
     # chain RG iterations INSIDE jit (one dispatch covers them — the
-    # ~4 MB reduce is otherwise tunnel-dispatch-bound, CLAUDE.md): the [B]
-    # result folds back into the input as a zero-contribution term
+    # ~4 MB reduce is otherwise tunnel-dispatch-bound, CLAUDE.md): each
+    # iteration's input is barrier-tied to the previous result (a
+    # `* 0` feedback term gets algebraically folded and the whole loop
+    # body elided — the CLAUDE.md hoisting trap)
     def chain(fn):
         @jax.jit
         def f2(x_data, _):
             def body(i, xd):
                 y = fn(xd)
-                return xd + (y[:, None] * 0).astype(xd.dtype)
+                return jax.lax.optimization_barrier((xd, y))[0]
             return jax.lax.fori_loop(0, RG, body, x_data)
         return f2
 
