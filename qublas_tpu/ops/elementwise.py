@@ -226,12 +226,31 @@ def qdiv(a, b, to=None, full_prec: bool = False) -> QTensor:
     rounding stage."""
     a, b = _coerce_pair(a, b)
     out = add_merge(a.fmt, b.fmt, to, full_prec)
-    route, _, _ = route_div(a.fmt, b.fmt, out)
+    route, num, den = route_div(a.fmt, b.fmt, out)
     if a.is_host or b.is_host or route == "host":
         return _host_binary(hostops.qdiv, a, b, to=to, full_prec=full_prec)
     sa = max(b.fmt.frac_bits - a.fmt.frac_bits, 0)
     sb = max(a.fmt.frac_bits - b.fmt.frac_bits, 0)
     s = sa + out.frac_bits
+    if route == "limb":
+        # bit-serial restoring division on stacked limbs (round 4):
+        # completes the device-division story across every storage kind.
+        # Working width from the SAME intervals the route proof used;
+        # quotient magnitude is bounded by the numerator's, so ``num``
+        # also sizes the quotient/epilogue interval.
+        quot = Interval(-max(abs(num.lo), abs(num.hi)),
+                        max(abs(num.lo), abs(num.hi)))
+        K = _limb_work(num.bits, den.bits, quot.bits,
+                       requant_work_bits(quot, out.frac_bits, out))
+        shape = jnp.broadcast_shapes(a.shape, b.shape)
+        xs = L.lshl(L.lbroadcast_elem(_load_limb(a, K), shape), s)
+        ys = L.lshl(L.lbroadcast_elem(_load_limb(b, K), shape), sb)
+        q = L.ldiv_trunc(xs, ys, min(32 * K, num.bits))
+        # divide-by-zero -> 0 wart (the divider returns all-ones there)
+        zero_den = L.leq(ys, jnp.zeros_like(ys))
+        q = L.lselect(zero_den, jnp.zeros_like(q), q)
+        # no frac stage (d == 0 at out.frac_bits): overflow stage only
+        return _finish(L.requantize_limb(q, out.frac_bits, out), out)
     if route == "pair":
         # 64-bit restoring long division on (hi, lo) pairs (round 4):
         # pair-storage operands / numerators past int32 no longer fall to

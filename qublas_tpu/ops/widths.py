@@ -264,20 +264,23 @@ def route_addsub(fa: QFormat, fb: QFormat, out: QFormat, sub: bool):
 def route_div(fa: QFormat, fb: QFormat, out: QFormat):
     """Pick the device route for a quantized divide: "i32" (``lax.div``),
     "pair" (round 4 — 64-bit restoring long division on (hi, lo) pairs,
-    ``wideint.pair_div_trunc``), or "host"."""
+    ``wideint.pair_div_trunc``), "limb" (round 4 — bit-serial restoring
+    division on stacked uint32 limbs, ``limbint.ldiv_trunc``), or "host".
+    Returns ``(route, num_iv, den_iv)`` so the device path sizes its
+    working width from the SAME proof intervals that picked the route."""
     shift_a = max(fb.frac_bits - fa.frac_bits, 0)
     shift_b = max(fa.frac_bits - fb.frac_bits, 0)
     num = fmt_interval(fa) << (shift_a + max(out.frac_bits, 0))
     den = fmt_interval(fb) << shift_b
     # quotient magnitude is bounded by the numerator's
     if out.frac_bits < 0:
-        return "host", num, 0
+        return "host", num, den
     quot = Interval(-max(abs(num.lo), abs(num.hi)), max(abs(num.lo), abs(num.hi)))
     ok32 = num.fits32 and den.fits32 and quot.fits32
     out_iv, _ = requant_out_interval(quot, out.frac_bits, out)
     if ok32 and out_iv.fits32 and storage_kind(out) == "lane" \
             and storage_kind(fa) == "lane" and storage_kind(fb) == "lane":
-        return "i32", num, 0
+        return "i32", num, den
     # pair regime: numerator/denominator/quotient in the signed 64-bit
     # domain (with the I64_MIN+1 negation margin) and an epilogue that
     # runs there too — the divide itself has no rounding stage, so the
@@ -286,8 +289,18 @@ def route_div(fa: QFormat, fb: QFormat, out: QFormat):
             and storage_kind(fa) in ("lane", "pair") \
             and storage_kind(fb) in ("lane", "pair") \
             and route_requant(quot, out.frac_bits, out) in ("i32", "pair"):
-        return "pair", num, 0
-    return "host", num, 0
+        return "pair", num, den
+    # limb regime: any device storage kind, working widths (incl. the
+    # restoring remainder's 2*|den| bound — covered by Interval.bits'
+    # negation-headroom bit) inside the 1024-bit envelope, and an
+    # overflow-only epilogue that itself admits a device route
+    if storage_kind(fa) is not None and storage_kind(fb) is not None \
+            and max(num.bits, den.bits, quot.bits,
+                    requant_work_bits(quot, out.frac_bits, out)) \
+            <= LIMB_INTER_MAX_BITS \
+            and route_requant(quot, out.frac_bits, out) != "host":
+        return "limb", num, den
+    return "host", num, den
 
 
 def dtype_for(fmt: QFormat):

@@ -175,14 +175,15 @@ def test_i32_route_still_taken_for_narrow():
     assert _route(fa, fb, to) == "i32"
 
 
-def test_host_route_for_limb_operands():
-    """Limb-storage operands stay on the exact host path (no 128-bit
-    divider on device — recorded deviation)."""
-    fa = qformat(40, 30)   # 70-bit limb storage
+def test_limb_route_for_limb_operands():
+    """Limb-storage operands take the stacked-limb divider since late
+    round 4 (they previously fell to the host loop) — full coverage in
+    tests/test_limb_div.py."""
+    fa = qformat(40, 30)   # 71-bit limb storage
     fb = qformat(8, 8)
     to = qformat(40, 8)
-    assert _route(fa, fb, to) == "host"
+    assert _route(fa, fb, to) == "limb"
     A = rand_raws(fa, 4, 9)
     B = rand_raws(fb, 4, 10)
     ta, tb = from_raw(A, fa), from_raw(B, fb)
-    _vs_oracle(ta, tb, to, A, B)   # still correct via the host loop
+    _vs_oracle(ta, tb, to, A, B)
