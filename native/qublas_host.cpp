@@ -301,8 +301,8 @@ void qh_unpack_bits(const char *in, int64_t *out, size_t n, int32_t width,
 
 // --------------------------------------------------------------------------
 // Multiword engine: NL x uint64-limb two's-complement integers (little-
-// endian), templated over the limb count and instantiated at 8/16/32 limbs
-// (512/1024/2048-bit working widths).  Covers the reference's multiword
+// endian), templated over the limb count and instantiated at 8/16/32/64/128
+// limbs (512..8192-bit working widths).  Covers the reference's multiword
 // ArbiInt regime (QuBLAS.h:566-912; its generated tests use formats to 200
 // bits) AND the >256-bit-storage formats the device cannot hold: e.g. a
 // 300-bit x 300-bit product (600 bits) now runs compiled at NL=16 instead
@@ -690,7 +690,7 @@ extern "C" {
 int32_t qh_w_limbs(void) { return 8; }
 
 int32_t qh_wx_supported(int32_t nl) {
-    return nl == 8 || nl == 16 || nl == 32;
+    return nl == 8 || nl == 16 || nl == 32 || nl == 64 || nl == 128;
 }
 
 // an unsupported nl is an ABI bug (Python gates via qh_wx_supported);
@@ -702,6 +702,8 @@ int32_t qh_wx_supported(int32_t nl) {
     case 8:  CALL(8);  break;                                               \
     case 16: CALL(16); break;                                               \
     case 32: CALL(32); break;                                               \
+    case 64: CALL(64); break;                                               \
+    case 128: CALL(128); break;                                             \
     default: abort();                                                       \
     }
 
@@ -755,6 +757,6 @@ void qh_wx_tree_gemm(const uint64_t *A, const uint64_t *B, uint64_t *C,
 #undef C_
 }
 
-int32_t qh_abi_version(void) { return 5; }
+int32_t qh_abi_version(void) { return 6; }
 
 }  // extern "C"

@@ -101,7 +101,7 @@ def _build() -> Optional[ctypes.CDLL]:
                                     fp, fp, fp, i32,
                                     ctypes.POINTER(i32), i32, fp]
     lib.qh_abi_version.restype = ctypes.c_int32
-    if lib.qh_abi_version() != 5 or lib.qh_w_limbs() != _NL \
+    if lib.qh_abi_version() != 6 or lib.qh_w_limbs() != _NL \
             or not all(lib.qh_wx_supported(nl) for nl in _W_NL_OPTIONS):
         return None
     return lib
@@ -181,15 +181,15 @@ def _ptr(a):
 
 _MAX_TOTAL_BITS = 126  # i128 headroom
 
-# multiword engine envelope: templated limb counts (8/16/32 x uint64 —
-# 512/1024/2048-bit working widths); every intermediate (products,
-# alignment shifts, +1 rounding carries) must fit the picked width signed.
-# _NL stays the legacy/default marshalling width; wider ops pick the
-# smallest sufficient count via _w_pick_nl (round-3: >512-bit working
-# widths — e.g. 300-bit x 300-bit products — now run compiled instead of
-# on per-element Python ints).
+# multiword engine envelope: templated limb counts (8/16/32/64/128 x
+# uint64 — 512..8192-bit working widths; 64/128 added late round 4); every
+# intermediate (products, alignment shifts, +1 rounding carries) must fit
+# the picked width signed.  _NL stays the legacy/default marshalling width;
+# wider ops pick the smallest sufficient count via _w_pick_nl (round-3:
+# >512-bit working widths — e.g. 300-bit x 300-bit products — now run
+# compiled instead of on per-element Python ints).
 _NL = 8
-_W_NL_OPTIONS = (8, 16, 32)
+_W_NL_OPTIONS = (8, 16, 32, 64, 128)
 _W_MAX_BITS = 64 * _W_NL_OPTIONS[-1] - 2
 
 

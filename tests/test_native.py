@@ -124,9 +124,9 @@ def test_from_float_uses_native_and_matches():
 
 def test_oversized_formats_route_to_multiword():
     """Formats past the 64-bit scalar envelope run on the compiled
-    multiword engine, which since round 3 picks its working width
-    (512/1024/2048 bits); only configurations whose intermediates exceed
-    2046 bits refuse."""
+    multiword engine, which picks its working width per config (512..8192
+    bits since late round 4; 2048 max through round 3); only configurations
+    whose intermediates exceed 8190 bits refuse."""
     from qublas_tpu import hostint
 
     wide = qformat(40, 40)  # storage 81: multiword territory
@@ -139,11 +139,18 @@ def test_oversized_formats_route_to_multiword():
     got = native.requantize([1 << 490], src, dst)
     assert got is not None
     assert int(got[0]) == hostint.requantize(1 << 490, 0, dst)
-    # past the 2048-bit engine: refuse, exact Python model covers it
+    # ~2400-bit intermediates land on the round-4 4096-bit engine (these
+    # refused through round 3 and ran the Python-int loop)
     src2 = qformat(1500, 0)
     dst2 = qformat(1500, 900)
-    assert native.requantize([1 << 1400], src2, dst2) is None
-    assert hostint.requantize(1 << 1400, 0, dst2) == (1 << 1400) << 900
+    got = native.requantize([1 << 1400], src2, dst2)
+    assert got is not None
+    assert int(got[0]) == hostint.requantize(1 << 1400, 0, dst2)
+    # past the 8192-bit engine: refuse, exact Python model covers it
+    src3 = qformat(5000, 0)
+    dst3 = qformat(5000, 4000)
+    assert native.requantize([1 << 4900], src3, dst3) is None
+    assert hostint.requantize(1 << 4900, 0, dst3) == (1 << 4900) << 4000
 
 
 @pytest.mark.parametrize("k", [1, 2, 3, 5, 8, 13, 16, 33])

@@ -1,12 +1,13 @@
 """Dynamic-limb native engine (round-3 item 9, VERDICT r2 missing-2).
 
-The multiword C++ engine is now templated over the limb count (8/16/32
-uint64 limbs = 512/1024/2048-bit working widths) and picks the smallest
-sufficient width per config — so >256-bit-storage formats (device: host
-route) and >512-bit intermediates (e.g. a 300-bit x 300-bit product) run
-compiled instead of on per-element Python ints.  Every case differentially
-pinned to the exact Python golden model (hostops/hostint), which is itself
-pinned to the compiled reference by the goldens.
+The multiword C++ engine is templated over the limb count (8/16/32/64/128
+uint64 limbs = 512..8192-bit working widths since late round 4; 2048 max
+through round 3) and picks the smallest sufficient width per config — so
+wide-storage formats (device: host route) and wide intermediates (e.g. a
+300-bit x 300-bit product) run compiled instead of on per-element Python
+ints.  Every case differentially pinned to the exact Python golden model
+(hostops/hostint), which is itself pinned to the compiled reference by the
+goldens.
 """
 
 import random
@@ -40,7 +41,11 @@ def test_pick_nl():
     assert native._w_pick_nl(1022) == 16
     assert native._w_pick_nl(1023) == 32
     assert native._w_pick_nl(2046) == 32
-    assert native._w_pick_nl(2047) is None
+    assert native._w_pick_nl(2047) == 64      # round 4: 4096-bit engine
+    assert native._w_pick_nl(4094) == 64
+    assert native._w_pick_nl(4095) == 128     # round 4: 8192-bit engine
+    assert native._w_pick_nl(8190) == 128
+    assert native._w_pick_nl(8191) is None
 
 
 @pytest.mark.parametrize("rm", list(RoundMode))
@@ -150,3 +155,63 @@ def test_legacy_nl8_paths_unchanged():
     for x, y, g in zip(A, B, got.reshape(-1)):
         want, _ = hostops.qmul((int(x), fa), (int(y), fb), to=out)
         assert int(g) == want
+
+
+@pytest.mark.parametrize("rm", [RoundMode.TRN_TCPL, RoundMode.RND_CONV,
+                                RoundMode.TRN_SMGN])
+def test_mul_1200bit_vs_golden_nl64(rm):
+    """1200-bit x 1200-bit products (~2400-bit intermediates -> nl=64,
+    round 4; these refused through round 3 and ran Python-int loops)."""
+    fa = qformat(800, 400)
+    fb = qformat(700, 500)
+    out = qformat(900, 300, round_mode=rm,
+                  overflow_mode=OverflowMode.SAT_ZERO)
+    assert native._w_pick_nl(
+        native._w_requant_bits(fa.storage_bits + fb.storage_bits,
+                               fa.frac_bits + fb.frac_bits, out)) == 64
+    A = rand_raws(fa, 8, 21)
+    B = rand_raws(fb, 8, 22)
+    got = native.binary_op("mul", A, B, fa, fb, out)
+    assert got is not None, "must stay on the compiled engine"
+    for x, y, g in zip(A, B, got.reshape(-1)):
+        want, _ = hostops.qmul((int(x), fa), (int(y), fb), to=out)
+        assert int(g) == want
+
+
+def test_mul_2500bit_vs_golden_nl128():
+    """2500-bit x 2500-bit products (~5000-bit intermediates -> nl=128):
+    the reference compiles arbitrary ArbiInt widths (QuBLAS.h:566-912);
+    this pins our widest compiled envelope against the exact model."""
+    fa = qformat(1500, 1000)
+    fb = qformat(1200, 1300)
+    out = qformat(2000, 400, round_mode=RoundMode.RND_POS_INF,
+                  overflow_mode=OverflowMode.SAT_TCPL)
+    A = rand_raws(fa, 6, 23)
+    B = rand_raws(fb, 6, 24)
+    got = native.binary_op("mul", A, B, fa, fb, out)
+    assert got is not None, "must stay on the compiled engine"
+    for x, y, g in zip(A, B, got.reshape(-1)):
+        want, _ = hostops.qmul((int(x), fa), (int(y), fb), to=out)
+        assert int(g) == want
+
+
+def test_requantize_3000bit_source_vs_golden():
+    """A ~3000-bit requantize (wide source plus a deep frac move) lands on
+    the 4096-bit engine and matches the exact model bit-for-bit."""
+    src = qformat(2000, 999)             # 3000-bit storage
+    to = qformat(1500, 1400, round_mode=RoundMode.RND_NEG_INF,
+                 overflow_mode=OverflowMode.WRP_TCPL)
+    A = rand_raws(src, 8, 25)
+    got = native.requantize(A, src, to)
+    assert got is not None
+    for x, g in zip(A, got.reshape(-1)):
+        want = hostint.requantize(int(x), src.frac_bits, to)
+        assert int(g) == want
+
+
+def test_beyond_8190_refuses():
+    """Working widths past the 8192-bit engine refuse (Python ints cover)."""
+    src = qformat(5000, 0)
+    dst = qformat(5000, 4000)            # ~9000-bit working width
+    assert native.requantize([1 << 4900], src, dst) is None
+    assert hostint.requantize(1 << 4900, 0, dst) == (1 << 4900) << 4000
