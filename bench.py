@@ -141,14 +141,22 @@ def load_last_tpu():
 
 
 def finalize_headline(gops: float, roof_gops: float, pairs: int,
-                      on_tpu: bool, last_tpu=None) -> dict:
+                      on_tpu: bool, last_tpu=None, device=None) -> dict:
     """Build the headline JSON record.  ``vs_baseline`` (the field the
     >=0.90-of-roofline bar is judged on) is populated ONLY for a real TPU
     measurement; on CPU fallback it is null and the CPU ratio moves to an
     explicitly informational field — a >1.0 CPU ratio must not be able to
     masquerade as the MXU bar (VERDICT r2 weak-2/weak-8).  When falling
     back, the most recent successful TPU run rides along as ``last_tpu``
-    so the bar stays judgeable across a tunnel outage."""
+    so the bar stays judgeable across a tunnel outage.
+
+    ``device`` (round 4): optional DEVICE-trace measurement
+    ``{"gops", "roofline_gops", "ab_pairs"}`` from ``_device_op_time``.
+    When present on a TPU run it becomes the primary value/vs_baseline
+    (``timing: "device-trace"``) and the wall-clock numbers move to
+    ``wall_*`` fields — the wall ratio is biased TOWARD 1.0 because both
+    arms pay the same large tunnel dispatch overhead, so the device ratio
+    is the stricter and honest one."""
     ratio = round(gops / roof_gops, 4)
     rec = {
         "metric": "int8_qgemul_gops",
@@ -160,6 +168,17 @@ def finalize_headline(gops: float, roof_gops: float, pairs: int,
     if on_tpu:
         rec["platform"] = "tpu"
         rec["vs_baseline"] = ratio
+        rec["timing"] = "wall"
+        if device is not None:
+            rec["wall_gops"] = rec["value"]
+            rec["wall_roofline_gops"] = rec["roofline_gops"]
+            rec["wall_vs_baseline"] = ratio
+            rec["value"] = round(device["gops"], 2)
+            rec["roofline_gops"] = round(device["roofline_gops"], 2)
+            rec["vs_baseline"] = round(
+                device["gops"] / device["roofline_gops"], 4)
+            rec["device_ab_pairs"] = device["ab_pairs"]
+            rec["timing"] = "device-trace"
     else:
         rec["platform"] = "cpu-fallback"
         rec["vs_baseline"] = None
@@ -205,6 +224,33 @@ def _time(fn, a, b, iters=ITERS, budget_s=45.0):
             break
     np.asarray(x[:8, :128])
     return (time.perf_counter() - t0) / done
+
+
+def _device_op_time(fn, a, b):
+    """DEVICE-trace seconds of ``fn(a, b)``'s dominant XLA op for one
+    dispatch — the round-4 honest timing path.
+
+    Wall clock through the tunnel conflates device time with a large,
+    *session-varying* dispatch/fetch overhead (measured: a tree-GEMM
+    iteration that wall-times 2.25 ms is 0.39 ms of device time, and most
+    of the documented ~5x "session throttling" lives in the tunnel, not
+    the chip).  ``utils.profiling.device_busy`` parses the profiler's
+    trace-viewer JSON for the device's own op durations; the dominant op
+    (the GEMM fusion / the chained ``while`` loop) excludes the result
+    copy and slice.  Returns None when the trace is unavailable (CPU
+    backend / profiler failure) — callers keep the wall numbers then.
+    """
+    from qublas_tpu.utils.profiling import device_busy
+
+    def go():
+        np.asarray(fn(a, b)[:8, :128])
+
+    p = device_busy(go)
+    if not p:
+        return None
+    ts = [v for k2, v in p["ops"].items()
+          if not k2.startswith(("copy", "dynamic_slice", "pad"))]
+    return max(ts) if ts else None
 
 
 # VPU roofline model for the order-sensitive tree GEMM (--tree), the single
@@ -266,6 +312,7 @@ def bench_tree_gemm():
         "metric": "canonical_tree_qgemul_gops",
         "value": round(ops / t_s / 1e9, 2),
         "unit": "GOP/s",
+        "timing": "wall",
         "vs_baseline": round(t_l / t_s, 2),  # speedup over layered fallback
         "gprod_s": round(prods / t_s / 1e9, 2),
         # paper-model fraction of VPU speed-of-light, kept for continuity
@@ -273,13 +320,31 @@ def bench_tree_gemm():
         "vs_vpu_roofline_model": round(
             prods / t_s * _TREE_VPU_OPS_PER_PRODUCT / _VPU_CEILING_OPS, 4),
     }
-    # round-4 item: MEASURE the VPU ceiling instead of asserting it — run
-    # the per-product chain standalone on VMEM-resident tiles and report
-    # the tree kernel as a fraction of that measured ceiling
+    # round-4 (late): DEVICE-trace timing — the while row covers the RG
+    # chained iterations with no tunnel time.  The round-4 discovery here:
+    # wall numbers understated this kernel ~2x (a 2.25 ms/iter wall is a
+    # 0.39 ms/iter device time; most "session throttling" is the tunnel).
+    t_dev = _device_op_time(stream, a, b)
+    if t_dev is not None:
+        t_dev /= RG
+        rec["wall_gops"] = rec["value"]
+        rec["value"] = round(ops / t_dev / 1e9, 2)
+        rec["timing"] = "device-trace"
+        rec["gprod_s"] = round(prods / t_dev / 1e9, 2)
+        rec["vs_vpu_roofline_model"] = round(
+            prods / t_dev * _TREE_VPU_OPS_PER_PRODUCT / _VPU_CEILING_OPS, 4)
+    # the standalone per-product chain, device-timed when possible.  NOTE
+    # (round-4 correction): this is a *serial dependent* chain — each
+    # iteration's product consumes the previous merge — so it measures
+    # latency-bound throughput, NOT a ceiling; the real kernel's products
+    # are independent and pipeline, and measures ~1.37x the chain rate.
+    # The r4 "kernel at 0.64-0.71 of measured ceiling" conclusion rested
+    # on comparing tunnel-polluted wall kernel time against this chain.
     chain = _measured_chain_prods(f, plan)
     if chain is not None:
-        rec["chain_gprod_s"] = round(chain / 1e9, 2)
-        rec["vs_vpu_roofline"] = round(prods / t_s / chain, 4)
+        rec["serial_chain_gprod_s"] = round(chain / 1e9, 2)
+        t_ref = t_dev if t_dev is not None else t_s
+        rec["vs_serial_chain"] = round(prods / t_ref / chain, 4)
     print(json.dumps(rec))
     return rec
 
@@ -292,9 +357,12 @@ def _measured_chain_prods(f, plan):
     tile — the same building blocks the blocked tree kernel executes per
     product, with no dot structure and no HBM traffic inside the chain.
 
-    This is the *measured* elementwise ceiling the tree kernel is judged
-    against (VERDICT r3 weak-3 — the 14-op/6.5T paper model stays as
-    ``vs_vpu_roofline_model`` for continuity).  Two chain lengths (T and
+    Round-4 correction: this is a SERIAL DEPENDENT chain (each product
+    consumes the previous merge), so it measures latency-bound throughput,
+    not a ceiling — the kernel's independent products pipeline past it
+    (device-trace measured: kernel ~1.37x this rate).  Reported as
+    ``serial_chain_gprod_s`` context; the 14-op/6.5T paper model stays as
+    ``vs_vpu_roofline_model``.  Two chain lengths (T and
     T//8) difference out every fixed cost — the ~25 ms tunnel round trip,
     dispatch, and the HBM tile writes — so the result is pure sustained
     chain throughput (the first cut of this probe at one fixed RG measured
@@ -339,10 +407,24 @@ def _measured_chain_prods(f, plan):
         jrun = jax.jit(lambda a2, b2: run(a2, b2))
         np.asarray(jrun(x, y)[0, :8, :128])  # compile + sync
 
-        def timed():
-            t0 = time.perf_counter()
+        def go():
             out = jrun(x, y)
             np.asarray(out[0, :8, :128])
+
+        def timed():
+            # device-trace time of the kernel op when available (round 4);
+            # wall otherwise — the two-length differencing below cancels
+            # fixed costs either way
+            from qublas_tpu.utils.profiling import device_busy
+
+            p = device_busy(go)
+            if p:
+                ts = [v for k2, v in p["ops"].items()
+                      if not k2.startswith(("copy", "dynamic_slice", "pad"))]
+                if ts:
+                    return max(ts)
+            t0 = time.perf_counter()
+            go()
             return time.perf_counter() - t0
         return timed
 
@@ -1015,10 +1097,35 @@ def main():
     gops = ops / t_best_q / 1e9
     roof_gops = ops / t_best_r / 1e9
     on_tpu = not fallback and jax.default_backend() != "cpu"
-    rec = finalize_headline(gops, roof_gops, pairs, on_tpu,
-                            last_tpu=load_last_tpu())
+
+    # device-trace A/B refinement (round 4): profile each arm and compare
+    # the dominant GEMM ops' device durations — immune to the tunnel
+    # overhead that biases the wall ratio toward 1.0.  Device times are
+    # far more stable than wall times (sub-1% across traces), so 2 pairs
+    # suffice; interleaved best-of all the same.
+    device = None
     if on_tpu:
-        append_tpu_run({
+        td_q = td_r = float("inf")
+        dev_pairs = 0
+        for _ in range(3):
+            tq = _device_op_time(quantized, a_raw, b_raw)
+            tr = _device_op_time(roofline, a_raw, b_raw)
+            if tq is None or tr is None:
+                break
+            td_q = min(td_q, tq)
+            td_r = min(td_r, tr)
+            dev_pairs += 1
+            if dev_pairs >= 2:
+                break
+        if dev_pairs >= 2:
+            device = {"gops": ops / td_q / 1e9,
+                      "roofline_gops": ops / td_r / 1e9,
+                      "ab_pairs": dev_pairs}
+
+    rec = finalize_headline(gops, roof_gops, pairs, on_tpu,
+                            last_tpu=load_last_tpu(), device=device)
+    if on_tpu:
+        run_rec = {
             "timestamp_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                            time.gmtime()),
             "metric": rec["metric"],
@@ -1027,10 +1134,15 @@ def main():
             "roofline_gops": rec["roofline_gops"],
             "vs_baseline": rec["vs_baseline"],
             "ab_pairs": rec["ab_pairs"],
+            "timing": rec.get("timing", "wall"),
             "note": ("recorded by bench.py on a successful TPU run; "
                      "A/B-interleaved best-of vs the same-session measured "
                      "raw int8-matmul roofline"),
-        })
+        }
+        if "wall_vs_baseline" in rec:
+            run_rec["wall_vs_baseline"] = rec["wall_vs_baseline"]
+            run_rec["wall_gops"] = rec["wall_gops"]
+        append_tpu_run(run_rec)
     print(json.dumps(rec))
     return 0
 

@@ -27,14 +27,17 @@ Backends sharing the schedule:
   remaining layers.  Tuned defaults from the round-2 on-chip sweep: blk=32,
   128x256 tiles, single-compare SAT_ZERO epilogue (QUBLAS_TREE_* env
   overrides).  The performance record is single-sourced: ``bench.py
-  --tree`` prints GOP/s, speedup-over-layered, Gprod/s, and
-  ``vs_vpu_roofline`` (the 14-int32-ops/product VPU model defined there);
-  BASELINE.md's tree row quotes that artifact (round 3, in-session:
-  311 GOP/s, 16.2x layered, ~34% of VPU speed-of-light).  The gap to the
-  ceiling is Mosaic scheduling of the short dependent int32 chains, not
-  memory (VMEM traffic is ~12 B/product at >5x headroom); restructuring
-  is exhausted (CLAUDE.md: fold-as-you-go and larger tiles all measure
-  within session noise).
+  --tree``; BASELINE.md's tree row quotes that artifact.  Late round 4
+  replaced wall-clock with DEVICE-TRACE timing (utils.profiling
+  .device_busy) and the picture changed completely: the kernel runs
+  **348 Gprod/s device-true** at 512^3 (~0.39 ms/iter; wall timings had
+  been charging it up to ~2x of tunnel overhead), which is 75% of the
+  14-op/6.5T VPU paper model and **1.37x the serial per-product chain**
+  (the round-4 "measured ceiling" probe was a latency-bound dependent
+  chain, not a ceiling — independent products pipeline past it).  Phase 2
+  is ~6% of device time; earlier "0.34 / 0.64-0.71 of ceiling"
+  conclusions were artifacts of tunnel-polluted walls on one side or the
+  other.
 * :func:`tree_gemm_scan` — ``lax.scan`` over k-blocks with a binary-carry
   slot stack.  Portable (CPU / any shape), no [m,k,n] intermediate.
 * :func:`tree_gemm_pallas` — the original slot-stack kernel; bit-exact in

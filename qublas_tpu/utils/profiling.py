@@ -8,7 +8,7 @@ import contextlib
 import time
 from typing import Callable, Optional
 
-__all__ = ["trace", "roofline_report", "timeit_chained"]
+__all__ = ["trace", "roofline_report", "timeit_chained", "device_busy"]
 
 
 @contextlib.contextmanager
@@ -38,6 +38,82 @@ def timeit_chained(fn: Callable, a, b, iters: int = 64) -> float:
         x = fn(x, b)
     np.asarray(x[:1, :128] if x.ndim >= 2 else x[:1])
     return (time.perf_counter() - t0) / iters
+
+
+def device_busy(run: Callable[[], None], logdir: Optional[str] = None):
+    """DEVICE-side timing of ``run()`` via a jax.profiler trace — the only
+    honest way to time kernels through the tunneled backend (round-4
+    discovery: wall-clock measurements conflate chip time with a large and
+    *session-varying* tunnel overhead; a tree-GEMM iteration that wall-times
+    2.25 ms is 0.39 ms of actual device time, and most of the documented
+    ~5x "session throttling" lives in the tunnel, not the chip).
+
+    Runs ``run()`` (which must itself block on its result, e.g. via an
+    ``np.asarray`` slice fetch) under ``jax.profiler.trace`` and parses the
+    emitted trace-viewer JSON.  Returns a dict:
+
+    * ``busy_s``   — sum of XLA-op durations on the device ("XLA Ops" rows)
+    * ``span_s``   — first-op-start to last-op-end on that thread (includes
+      device-side gaps, excludes host/tunnel time)
+    * ``ops``      — {op_name: total_seconds} breakdown (fusions, custom
+      calls / Pallas kernels, loops nest under ``while``/``closed_call``
+      rows — subtract children when summing)
+
+    Returns None when no device rows appear (CPU backend) or the trace
+    cannot be parsed.  Keep one trace per call: the newest session dir is
+    read.
+    """
+    import glob
+    import gzip
+    import json
+    import os
+    import tempfile
+
+    import jax
+
+    owned = logdir is None
+    if owned:
+        logdir = tempfile.mkdtemp(prefix="qublas_prof_")
+    with trace(logdir):
+        run()
+    try:
+        sessions = sorted(glob.glob(os.path.join(
+            logdir, "plugins", "profile", "*")))
+        if not sessions:
+            return None
+        files = glob.glob(os.path.join(sessions[-1], "*.trace.json.gz"))
+        if not files:
+            return None
+        data = json.load(gzip.open(files[0]))
+        ev = data.get("traceEvents", [])
+        dev_pids = {e["pid"] for e in ev
+                    if e.get("ph") == "M" and e.get("name") == "process_name"
+                    and "TPU" in e.get("args", {}).get("name", "")}
+        op_tids = {(e["pid"], e.get("tid")) for e in ev
+                   if e.get("ph") == "M" and e.get("name") == "thread_name"
+                   and e["pid"] in dev_pids
+                   and e.get("args", {}).get("name") == "XLA Ops"}
+        rows = [e for e in ev if e.get("ph") == "X"
+                and (e.get("pid"), e.get("tid")) in op_tids]
+        if not rows:
+            return None
+        ops: dict = {}
+        for e in rows:
+            ops[e["name"]] = ops.get(e["name"], 0.0) + e.get("dur", 0.0) / 1e6
+        ts0 = min(e["ts"] for e in rows)
+        ts1 = max(e["ts"] + e.get("dur", 0.0) for e in rows)
+        return {
+            "busy_s": sum(e.get("dur", 0.0) for e in rows) / 1e6,
+            "span_s": (ts1 - ts0) / 1e6,
+            "ops": ops,
+        }
+    except (OSError, ValueError, KeyError):
+        return None
+    finally:
+        if owned:
+            import shutil
+
+            shutil.rmtree(logdir, ignore_errors=True)
 
 
 def roofline_report(fn: Callable, a, b, flops: float,

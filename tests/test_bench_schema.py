@@ -115,3 +115,30 @@ def test_evidence_migrates_legacy_single_record(tmp_path, monkeypatch):
     (tmp_path / "evidence.json").write_text("{not json")
     assert bench.load_last_tpu() is None
     assert bench.load_evidence() is None
+
+
+def test_tpu_device_trace_record():
+    """Round 4: a device-trace refinement becomes the primary
+    value/vs_baseline; wall numbers move to wall_* fields (the wall ratio
+    is biased toward 1.0 by shared tunnel overhead)."""
+    bench = _load_bench()
+    rec = bench.finalize_headline(
+        200000.0, 205000.0, 3, on_tpu=True,
+        device={"gops": 380000.0, "roofline_gops": 384000.0, "ab_pairs": 2})
+    parsed = json.loads(json.dumps(rec))
+    assert parsed["platform"] == "tpu"
+    assert parsed["timing"] == "device-trace"
+    assert parsed["value"] == 380000.0
+    assert parsed["roofline_gops"] == 384000.0
+    assert parsed["vs_baseline"] == round(380000.0 / 384000.0, 4)
+    assert parsed["wall_gops"] == 200000.0
+    assert parsed["wall_vs_baseline"] == round(200000.0 / 205000.0, 4)
+    assert parsed["device_ab_pairs"] == 2
+
+
+def test_tpu_record_without_device_keeps_wall_timing():
+    bench = _load_bench()
+    rec = bench.finalize_headline(200000.0, 205000.0, 3, on_tpu=True)
+    parsed = json.loads(json.dumps(rec))
+    assert parsed["timing"] == "wall"
+    assert "wall_gops" not in parsed
