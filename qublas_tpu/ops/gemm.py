@@ -215,15 +215,20 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
     if plan is not None and _device_epilogue_ok(plan, out_fmt):
         return _fast_gemm(a, b, out_fmt, plan, use_pallas)
     if plan is not None:
-        # proof-lossless but the dot outgrows int32: exact pair-domain dot
-        # (MXU segment decomposition for lane operands) + one pair epilogue
-        res = _fast_gemm_wide(a, b, out_fmt, plan)
+        # proof-lossless but the dot outgrows int32.  Try the balanced-digit
+        # int8 MXU dot FIRST (round 4 reorder): device-trace measurements
+        # put it 28-672x faster than the pair-domain dot wherever both
+        # apply (512x2048x512: 13-bit lanes 12.9 Tprod/s vs 0.47; 28-bit
+        # lanes 4.7 Tprod/s vs 0.007 — the pair path's segment dots decay
+        # with operand width while digit matmuls ride the MXU).  Both are
+        # bit-exact by the losslessness proof, so order is purely a
+        # performance choice.
+        res = _fast_gemm_limb(a, b, out_fmt, plan)
         if res is not None:
             return res
-        # proof-lossless beyond the 64-bit pair domain (wide pair/limb
-        # operands, limb outputs): balanced-digit int8 MXU dot + exact limb
-        # recombination (round 4 — these configs previously streamed)
-        res = _fast_gemm_limb(a, b, out_fmt, plan)
+        # pair-domain fallback for configs outside the digit-dot envelope
+        # (oversized digit grids / dot tensors, host-route epilogues)
+        res = _fast_gemm_wide(a, b, out_fmt, plan)
         if res is not None:
             return res
 

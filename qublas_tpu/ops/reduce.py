@@ -25,14 +25,27 @@ Semantics replicated exactly:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .. import hostops
-from ..qformat import QFormat
+from ..qformat import QFormat, add_merge
 from ..qtensor import QTensor, from_raw
 from . import elementwise as ew
 
 __all__ = ["qreduce", "qreduce_args", "layer_format"]
+
+# late round 4: a VMEM Pallas reducer was rebuilt and measured DEVICE-TRUE
+# (the round-2 "0.84x" wall verdict was tunnel-polluted either way): best
+# tile 84 us/iter vs the XLA slice/add chain's 63 us on the 4096x1024
+# bench config (BT 256/512 = 109/84 us; BT >= 1024 Mosaic HTTP 500), so
+# XLA stays the default and the kernel is opt-in for future re-testing.
+# The remaining gap to a plain int32 sum (~10x) is COMPUTE, not traffic:
+# the per-layer requantize (RND_CONV rounding + SAT_ZERO clamp) costs
+# ~20 int-ops per input element vs the sum's 1 add — the semantics put
+# the op there, not the schedule.  QUBLAS_REDUCE_PALLAS=1 enables.
+_USE_PALLAS = os.environ.get("QUBLAS_REDUCE_PALLAS", "0") == "1"
 
 
 def qreduce_args(values, layer_formats=()):
@@ -82,9 +95,13 @@ def qreduce(x: QTensor, layer_formats=(), axis=None) -> QTensor:
     reduce whole); this is what the GEMM path uses for dot products.
 
     The per-layer slice/add program is the production path on every
-    backend: a fused Pallas VMEM reducer was built and measured at 0.84x
-    the XLA path on the v5e (round-2 quantification) — XLA's own fusion of
-    the log-depth layer chain wins, so the kernel was removed.
+    backend: a fused Pallas VMEM reducer was built twice (round 2 wall-
+    timed 0.84x; late round 4 DEVICE-TRACE timed 0.75x at its best tile)
+    and loses both times — XLA's own fusion of the log-depth layer chain
+    wins, so the kernel stays opt-in (``QUBLAS_REDUCE_PALLAS=1``,
+    :func:`_qreduce_pallas`).  Reshape-based pairings were also measured
+    7x WORSE than the stride-2 slices (device-trace, round 4) — don't
+    "clean up" the slicing.
     """
     layer_formats = _normalize(layer_formats)
     if axis is None:
@@ -100,6 +117,11 @@ def qreduce(x: QTensor, layer_formats=(), axis=None) -> QTensor:
 
     # move the reduction axis to the front; everything after is batch
     cur = QTensor(_moveaxis(x.data, axis, 0), x.fmt)
+
+    res = _qreduce_pallas(cur, layer_formats)
+    if res is not None:
+        return res
+
     layer = 0
     while cur.shape[0] > 1:
         m = cur.shape[0]
@@ -121,6 +143,125 @@ def qreduce(x: QTensor, layer_formats=(), axis=None) -> QTensor:
         layer += 1
     out = QTensor(cur.data[0], cur.fmt)
     return out
+
+
+def _plan_reduce_lanes(fmt: QFormat, layer_formats, n: int):
+    """Prove the whole tree's adds, requantizes, and odd-tail converting
+    assignments fit int32 lanes (exact interval walk — the same proof shape
+    as ``tree_gemm.plan_tree``'s layer loop, seeded with the input format's
+    storage interval).  Returns the per-layer ``(cur_fmt, merge_fmt, m)``
+    schedule and the final format, or None -> the slice/add XLA path."""
+    from .widths import (dtype_for, fmt_interval, requant_out_interval,
+                         route_requant, storage_kind)
+
+    if storage_kind(fmt) != "lane":
+        return None
+    iv = fmt_interval(fmt)
+    cur = fmt
+    sched = []
+    m = n
+    layer = 0
+    while m > 1:
+        lf = layer_format(layer_formats, layer)
+        if lf is None:
+            lf = add_merge(cur, cur)
+        s = iv + iv
+        if not s.fits32:
+            return None
+        if route_requant(s, cur.frac_bits, lf) != "i32":
+            return None
+        pair_iv, _ = requant_out_interval(s, cur.frac_bits, lf)
+        lo, hi = pair_iv.lo, pair_iv.hi
+        if m % 2:
+            if route_requant(iv, cur.frac_bits, lf) != "i32":
+                return None
+            tail_iv, _ = requant_out_interval(iv, cur.frac_bits, lf)
+            lo, hi = min(lo, tail_iv.lo), max(hi, tail_iv.hi)
+        from .widths import Interval
+
+        iv = Interval(lo, hi)
+        sched.append((cur, lf, m))
+        cur = lf
+        m = (m + 1) // 2
+        layer += 1
+    if dtype_for(cur) is None:
+        return None
+    return sched, cur
+
+
+def _qreduce_pallas(cur: QTensor, layer_formats):
+    """VMEM Pallas tree reducer (late round 4, opt-in): load each batch
+    tile once, fold ALL layers in VMEM with the exact per-layer
+    requantize, write one row.  Measured device-true SLOWER than the XLA
+    slice/add chain (84 vs 63 us/iter at 4096x1024, best tile; see the
+    ``_USE_PALLAS`` note) — kept behind QUBLAS_REDUCE_PALLAS=1 as the
+    recorded negative result and for re-testing on future toolchains.
+
+    Proof-gated by :func:`_plan_reduce_lanes`; taken for lane-storage
+    inputs with a lane-tileable batch and a power-of-two reduction length
+    (odd layer tails would need an in-kernel concat, which Mosaic does not
+    lower — those configs keep the XLA path).  Returns None to fall
+    through to the XLA path.
+    """
+    if not _USE_PALLAS:
+        return None
+    import jax
+
+    backend = jax.default_backend()
+    n = cur.shape[0]
+    # odd tails need an in-kernel concat (unsupported); require halving to
+    # stay even all the way down — i.e. n a power of two — and enough rows
+    # for the fold to beat the load (tiny n is fusion-friendly in XLA)
+    if n < 4 or n & (n - 1):
+        return None
+    planned = _plan_reduce_lanes(cur.fmt, layer_formats, n)
+    if planned is None:
+        return None
+    sched, final_fmt = planned
+
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from . import wideint as W
+    from .widths import dtype_for
+
+    batch_shape = cur.shape[1:]
+    bsz = 1
+    for d in batch_shape:
+        bsz *= d
+    if bsz == 0 or bsz % 128:
+        return None
+    data = cur.data.reshape(n, bsz)
+    BT = 512
+    while BT > 128 and bsz % BT:
+        BT //= 2
+    if bsz % BT:
+        return None
+    out_dtype = dtype_for(final_fmt)
+
+    def kernel(x_ref, o_ref):
+        v = x_ref[...].astype(jnp.int32)           # (n, BT)
+        for cur_fmt, lf, m in sched:
+            half = m // 2
+            v2 = v.reshape(half, 2, v.shape[-1])   # static pair fold
+            v = W.requantize_i32(v2[:, 0] + v2[:, 1], cur_fmt.frac_bits, lf)
+        o_ref[...] = v.astype(out_dtype)
+
+    run = pl.pallas_call(
+        kernel,
+        grid=(bsz // BT,),
+        in_specs=[pl.BlockSpec((n, BT), lambda j: (0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, BT), lambda j: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, bsz), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=backend != "tpu",
+    )
+    raw = run(data)[0].reshape(batch_shape)
+    return QTensor(raw, final_fmt)
 
 
 def _moveaxis(arr, src, dst):

@@ -8,7 +8,8 @@ import contextlib
 import time
 from typing import Callable, Optional
 
-__all__ = ["trace", "roofline_report", "timeit_chained", "device_busy"]
+__all__ = ["trace", "roofline_report", "timeit_chained", "device_busy",
+           "parse_trace_events"]
 
 
 @contextlib.contextmanager
@@ -55,6 +56,10 @@ def device_busy(run: Callable[[], None], logdir: Optional[str] = None):
     * ``busy_s``   — sum of XLA-op durations on the device ("XLA Ops" rows)
     * ``span_s``   — first-op-start to last-op-end on that thread (includes
       device-side gaps, excludes host/tunnel time)
+    * ``module_s`` — duration of the LONGEST "XLA Modules" event: the
+      device time of one full jit-program execution (the robust
+      per-dispatch number — op rows can be unrolled/nested and fool a
+      dominant-op heuristic)
     * ``ops``      — {op_name: total_seconds} breakdown (fusions, custom
       calls / Pallas kernels, loops nest under ``while``/``closed_call``
       rows — subtract children when summing)
@@ -68,8 +73,6 @@ def device_busy(run: Callable[[], None], logdir: Optional[str] = None):
     import json
     import os
     import tempfile
-
-    import jax
 
     owned = logdir is None
     if owned:
@@ -85,28 +88,7 @@ def device_busy(run: Callable[[], None], logdir: Optional[str] = None):
         if not files:
             return None
         data = json.load(gzip.open(files[0]))
-        ev = data.get("traceEvents", [])
-        dev_pids = {e["pid"] for e in ev
-                    if e.get("ph") == "M" and e.get("name") == "process_name"
-                    and "TPU" in e.get("args", {}).get("name", "")}
-        op_tids = {(e["pid"], e.get("tid")) for e in ev
-                   if e.get("ph") == "M" and e.get("name") == "thread_name"
-                   and e["pid"] in dev_pids
-                   and e.get("args", {}).get("name") == "XLA Ops"}
-        rows = [e for e in ev if e.get("ph") == "X"
-                and (e.get("pid"), e.get("tid")) in op_tids]
-        if not rows:
-            return None
-        ops: dict = {}
-        for e in rows:
-            ops[e["name"]] = ops.get(e["name"], 0.0) + e.get("dur", 0.0) / 1e6
-        ts0 = min(e["ts"] for e in rows)
-        ts1 = max(e["ts"] + e.get("dur", 0.0) for e in rows)
-        return {
-            "busy_s": sum(e.get("dur", 0.0) for e in rows) / 1e6,
-            "span_s": (ts1 - ts0) / 1e6,
-            "ops": ops,
-        }
+        return parse_trace_events(data.get("traceEvents", []))
     except (OSError, ValueError, KeyError):
         return None
     finally:
@@ -114,6 +96,42 @@ def device_busy(run: Callable[[], None], logdir: Optional[str] = None):
             import shutil
 
             shutil.rmtree(logdir, ignore_errors=True)
+
+
+def parse_trace_events(ev):
+    """Pure parser behind :func:`device_busy`: trace-viewer events ->
+    {busy_s, span_s, module_s, ops} for the TPU device rows, or None when
+    there are none (CPU backend).  Split out so the extraction logic is
+    unit-testable without a chip (tests/test_profiling.py)."""
+    dev_pids = {e["pid"] for e in ev
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "TPU" in e.get("args", {}).get("name", "")}
+    op_tids = {(e["pid"], e.get("tid")) for e in ev
+               if e.get("ph") == "M" and e.get("name") == "thread_name"
+               and e["pid"] in dev_pids
+               and e.get("args", {}).get("name") == "XLA Ops"}
+    mod_tids = {(e["pid"], e.get("tid")) for e in ev
+                if e.get("ph") == "M" and e.get("name") == "thread_name"
+                and e["pid"] in dev_pids
+                and e.get("args", {}).get("name") == "XLA Modules"}
+    rows = [e for e in ev if e.get("ph") == "X"
+            and (e.get("pid"), e.get("tid")) in op_tids]
+    mod_rows = [e for e in ev if e.get("ph") == "X"
+                and (e.get("pid"), e.get("tid")) in mod_tids]
+    if not rows:
+        return None
+    ops: dict = {}
+    for e in rows:
+        ops[e["name"]] = ops.get(e["name"], 0.0) + e.get("dur", 0.0) / 1e6
+    ts0 = min(e["ts"] for e in rows)
+    ts1 = max(e["ts"] + e.get("dur", 0.0) for e in rows)
+    return {
+        "busy_s": sum(e.get("dur", 0.0) for e in rows) / 1e6,
+        "span_s": (ts1 - ts0) / 1e6,
+        "module_s": (max((e.get("dur", 0.0) for e in mod_rows),
+                         default=0.0) / 1e6) or None,
+        "ops": ops,
+    }
 
 
 def roofline_report(fn: Callable, a, b, flops: float,
