@@ -251,20 +251,23 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                               a.shape[-1])
             # K needs int32 partial dots + the full int32-lane epilogue
             # proof (the same gate as the single-chip MXU fast path) +
-            # a tp-divisible contraction dim; a proof-lossless dot in the
-            # 64-bit domain routes to the wide-K strategy (round 3);
+            # a tp-divisible contraction dim.  Proof-lossless dots beyond
+            # int32 prefer the LIMB strategy (late round 4, mirroring the
+            # single-chip dispatch reorder: its per-chip balanced-digit
+            # int8 MXU partial dots measured 28-672x the pair-domain dots
+            # k_wide runs, device-trace) with k_wide as the fallback;
             # otherwise mn is always valid
             if plan is not None and _device_epilogue_ok(plan, out_fmt) \
                     and a.shape[-1] % mesh.shape["tp"] == 0:
                 strategy = "k"
-            elif _k_wide_plan(a, b, out_fmt, mul_to, add_formats,
-                              kw.get("mul_full_prec", False),
-                              mesh.shape["tp"], plan=plan) is not None:
-                strategy = "k_wide"
             elif _k_limb_plan(a, b, out_fmt, mul_to, add_formats,
                               kw.get("mul_full_prec", False),
                               mesh.shape["tp"], plan=plan) is not None:
                 strategy = "k_limb"
+            elif _k_wide_plan(a, b, out_fmt, mul_to, add_formats,
+                              kw.get("mul_full_prec", False),
+                              mesh.shape["tp"], plan=plan) is not None:
+                strategy = "k_wide"
             else:
                 strategy = "mn"
     if strategy == "k_limb":
