@@ -1114,10 +1114,67 @@ def bench_limbwide():
     return rec
 
 
+def bench_native():
+    """Rounds 3-4 native host engine (host-side CPU — stable, no chip):
+    300-bit and 1200-bit elementwise qmul through the compiled multiword
+    engine (incl. marshalling) vs the exact Python-int golden loop.
+    value = Melem/s at 300 bits; vs_baseline = speedup over the loop.
+    The 1200-bit row exercises the late-round-4 NL=64 instantiation."""
+    import random
+
+    from qublas_tpu import hostops, native
+
+    if not native.available():
+        rec = {"metric": "native_qmul_melems", "value": None,
+               "unit": "Melem/s", "vs_baseline": None,
+               "error": "no native toolchain"}
+        print(json.dumps(rec))
+        return rec
+
+    def row(bits_a, bits_b, out_f, n):
+        fa = qformat(bits_a[0], bits_a[1])
+        fb = qformat(bits_b[0], bits_b[1])
+        out = qformat(out_f[0], out_f[1])
+        rng = random.Random(f"bn:{bits_a}")
+        A = np.array([rng.randint(fa.raw_min, fa.raw_max)
+                      for _ in range(n)], dtype=object)
+        B = np.array([rng.randint(fb.raw_min, fb.raw_max)
+                      for _ in range(n)], dtype=object)
+        t_eng = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            got = native.binary_op("mul", A, B, fa, fb, out)
+            t_eng = min(t_eng, time.perf_counter() - t0)
+        assert got is not None, "config must stay on the compiled engine"
+        # loop arm on a slice, scaled (the loop is O(n) in element count)
+        m = max(n // 8, 64)
+        t0 = time.perf_counter()
+        want = [hostops.qmul((int(x), fa), (int(y), fb), to=out)[0]
+                for x, y in zip(A[:m], B[:m])]
+        t_loop = (time.perf_counter() - t0) * (n / m)
+        assert [int(v) for v in got.reshape(-1)[:m]] == want
+        return n / t_eng / 1e6, t_loop / t_eng
+
+    mel300, speed300 = row((200, 100), (180, 120), (250, 60), 8192)
+    mel1200, speed1200 = row((800, 400), (700, 500), (900, 300), 2048)
+    rec = {
+        "metric": "native_qmul_melems",
+        "value": round(mel300, 2),
+        "unit": "Melem/s",
+        "vs_baseline": round(speed300, 1),   # vs the Python-int loop
+        "bits": 300,
+        "melems_1200bit": round(mel1200, 2),
+        "vs_loop_1200bit": round(speed1200, 1),
+    }
+    print(json.dumps(rec))
+    return rec
+
+
 EXTRA = {"tree": bench_tree_gemm, "reduce": bench_reduce,
          "lut": bench_lut_gemm, "cgemm": bench_cgemm, "wide": bench_wide,
          "limb": bench_limb, "wide-gemm": bench_wide_gemm,
-         "fastwide": bench_fastwide, "limbwide": bench_limbwide}
+         "fastwide": bench_fastwide, "limbwide": bench_limbwide,
+         "native": bench_native}
 
 
 ALL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -209,3 +209,44 @@ def test_psum_tp_bound_guard():
 
     with pytest.raises(ValueError, match="2\\^15"):
         _check_psum_tp(FakeMesh())
+
+
+def test_auto_prefers_k_limb_over_k_wide():
+    """Late-round-4 auto reorder: for a proof-lossless dot past int32 that
+    BOTH wide strategies admit, the auto probe picks k_limb (its per-chip
+    partial dots are the balanced-digit MXU kernel, measured 28-672x the
+    pair-domain dots k_wide runs)."""
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import shard_qgemul
+    from qublas_tpu.parallel.sharding import _k_limb_plan, _k_wide_plan
+
+    fa = qformat(13, 0)
+    out = qformat(25, 0)
+    kw = dict(mul_to=qformat(27, 0), add_formats=(qformat(40, 0),))
+    m, k, n = 4, 96, 4
+    ta = from_raw(rand_raws(fa, m * k, 11).reshape(m, k), fa)
+    tb = from_raw(rand_raws(fa, k * n, 12).reshape(k, n), fa)
+
+    # the overlap is real: both plans admit the config at tp=4
+    assert _k_wide_plan(ta, tb, out, kw["mul_to"], kw["add_formats"],
+                        False, 4) is not None
+    assert _k_limb_plan(ta, tb, out, kw["mul_to"], kw["add_formats"],
+                        False, 4) is not None
+
+    # spy on the strategy runners: auto must route to k_limb, never k_wide
+    from qublas_tpu.parallel import sharding as S
+
+    taken = []
+    orig_l, orig_w = S.sharded_qgemul_k_limb, S.sharded_qgemul_k_wide
+    S.sharded_qgemul_k_limb = (
+        lambda *a, **kk: taken.append("k_limb") or orig_l(*a, **kk))
+    S.sharded_qgemul_k_wide = (
+        lambda *a, **kk: taken.append("k_wide") or orig_w(*a, **kk))
+    try:
+        got = shard_qgemul(ta, tb, out, mesh, strategy="auto", **kw)
+    finally:
+        S.sharded_qgemul_k_limb = orig_l
+        S.sharded_qgemul_k_wide = orig_w
+    assert taken == ["k_limb"], taken
+    ref = qgemul(ta, tb, out, **kw)
+    _assert_same(got, ref)
