@@ -208,6 +208,14 @@ def limb_dot_2d(ad, bd, iva: Interval, ivb: Interval, Kw: int):
         col = cols[0]
         for c in cols[1:]:
             col = col + c                               # int32-exact by seg
-        term = L.lshl(i32_to_limbs(col, Kw), 8 * s)     # (Kw, nseg, m, n)
+        # The barrier is load-bearing on TPU: letting XLA fuse the
+        # int32->uint32 limb conversion chain into lshl's shift/or network
+        # miscompiles on the TPU backend (jit output diverges from the
+        # op-by-op result; observed on v5e, round 4 — eager exact, jit
+        # wrong by high-digit bit flips).  Materializing the sign-extended
+        # limbs first compiles correctly everywhere and costs one tiny
+        # intermediate.
+        limbs = jax.lax.optimization_barrier(i32_to_limbs(col, Kw))
+        term = L.lshl(limbs, 8 * s)                     # (Kw, nseg, m, n)
         acc = term if acc is None else L.ladd(acc, term)
     return limb_axis_sum(acc, 0)                        # (Kw, m, n)

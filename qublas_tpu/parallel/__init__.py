@@ -14,8 +14,10 @@ from .sharding import (
     sharded_qgemul_dp,
     sharded_qgemul_k,
     sharded_qgemul_k_limb,
+    sharded_qgemul_k_limb_pipelined,
     sharded_qgemul_k_pipelined,
     sharded_qgemul_k_wide,
+    sharded_qgemul_k_wide_pipelined,
     sharded_qgemul_mn,
     sharded_qreduce,
     sharded_qreduce_k,
@@ -31,8 +33,10 @@ __all__ = [
     "sharded_qgemul_dp",
     "sharded_qgemul_k",
     "sharded_qgemul_k_limb",
+    "sharded_qgemul_k_limb_pipelined",
     "sharded_qgemul_k_pipelined",
     "sharded_qgemul_k_wide",
+    "sharded_qgemul_k_wide_pipelined",
     "sharded_qgemul_mn",
     "sharded_qreduce",
     "sharded_qreduce_k",

@@ -49,7 +49,8 @@ from ..qtensor import QTensor
 
 __all__ = ["make_mesh", "shard_qgemul", "sharded_qgemul_k",
            "sharded_qgemul_k_pipelined", "sharded_qgemul_k_wide",
-           "sharded_qgemul_k_limb", "sharded_qgemul_mn",
+           "sharded_qgemul_k_wide_pipelined", "sharded_qgemul_k_limb",
+           "sharded_qgemul_k_limb_pipelined", "sharded_qgemul_mn",
            "sharded_qgemul_dp", "init_distributed",
            "sharded_cgemul", "sharded_cgemul_mn", "sharded_cgemul_k",
            "sharded_qreduce", "sharded_qreduce_k"]
@@ -273,9 +274,17 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
     if strategy == "k_limb":
         return sharded_qgemul_k_limb(a, b, out_fmt, mesh, mul_to=mul_to,
                                      add_formats=add_formats, **kw)
+    if strategy == "k_limb_pipelined":
+        return sharded_qgemul_k_limb_pipelined(a, b, out_fmt, mesh,
+                                               mul_to=mul_to,
+                                               add_formats=add_formats, **kw)
     if strategy == "k_wide":
         return sharded_qgemul_k_wide(a, b, out_fmt, mesh, mul_to=mul_to,
                                      add_formats=add_formats, **kw)
+    if strategy == "k_wide_pipelined":
+        return sharded_qgemul_k_wide_pipelined(a, b, out_fmt, mesh,
+                                               mul_to=mul_to,
+                                               add_formats=add_formats, **kw)
     if strategy == "k":
         return sharded_qgemul_k(a, b, out_fmt, mesh, mul_to=mul_to,
                                 add_formats=add_formats, **kw)
@@ -621,6 +630,97 @@ def sharded_qgemul_k_wide(a: QTensor, b: QTensor, out_fmt: QFormat,
     return QTensor(fn(a.data, b.data), res_fmt)
 
 
+def _slice_n(y, start, size):
+    """Dynamic N-block slice of a ``[k, n]`` operand in any device storage
+    form (lane array / PairArray / LimbArray — the limb stack keeps its
+    leading K axis)."""
+    from ..ops import limbint as L
+
+    if isinstance(y, W.PairArray):
+        return W.PairArray(
+            jax.lax.dynamic_slice_in_dim(y.hi, start, size, axis=1),
+            jax.lax.dynamic_slice_in_dim(y.lo, start, size, axis=1))
+    if isinstance(y, L.LimbArray):
+        return L.LimbArray(
+            jax.lax.dynamic_slice_in_dim(y.limbs, start, size, axis=2))
+    return jax.lax.dynamic_slice_in_dim(y, start, size, axis=1)
+
+
+def sharded_qgemul_k_wide_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
+                                    mesh: Mesh, mul_to=None, add_formats=(),
+                                    mul_full_prec=False,
+                                    epilogue_lut=None) -> QTensor:
+    """Pair-domain K-sharded GEMM as a decomposed reduce-scatter matmul —
+    :func:`sharded_qgemul_k_pipelined`'s latency-hiding ring generalized to
+    dots beyond int32 (round 4).
+
+    Each of the ``tp`` steps computes one output N-block's exact (hi, lo)
+    partial dot (:func:`~qublas_tpu.ops.gemm.pair_dot_2d`) while the pair
+    accumulator ring-rotates via ``ppermute`` — XLA overlaps the async
+    permute with the next block's MXU/VPU compute.  Ring accumulation uses
+    exact mod-2^64 :func:`~qublas_tpu.ops.wideint.pair_add` (no column psum,
+    so no tp bound): every intermediate is a subset sum of ≤k products and
+    the losslessness proof bounds it to the signed 64-bit domain.
+
+    Output is N-sharded over ``tp`` (reduce-scatter layout).  Same proof
+    gate as :func:`sharded_qgemul_k_wide`; raises otherwise (use 'mn').
+    """
+    from ..ops.widths import storage_kind
+
+    tp = mesh.shape["tp"]
+    n = b.shape[-1]
+    plan = _k_wide_plan(a, b, out_fmt, mul_to, add_formats, mul_full_prec,
+                        tp)
+    if plan is None or n % tp:
+        raise ValueError(
+            "pipelined wide K-sharding needs 2-D lane/pair operands, "
+            "tp | K and tp | N, a lossless accumulation proof with the dot "
+            "in the 64-bit domain, and a lane/pair-domain epilogue; use "
+            "strategy='mn'")
+    kind = storage_kind(out_fmt)
+    if epilogue_lut is not None and kind != "lane":
+        raise ValueError("epilogue_lut needs a lane-storage output format")
+    bn = n // tp
+    prod_iv = plan.prod_interval
+    prod_frac = plan.prod_frac
+    a = _device_put(a, mesh, P(None, "tp"))
+    b = _device_put(b, mesh, P("tp", None))
+    out_s = _out_spec(out_fmt, P(None, "tp"))
+    out_dtype = dtype_for(out_fmt)
+    perm = [(j, (j + 1) % tp) for j in range(tp)]
+
+    def build():
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(P(None, "tp"), P("tp", None)),
+                 out_specs=out_s)
+        def block(ad, bd):
+            idx = jax.lax.axis_index("tp")
+            m_loc = ad.shape[0]
+            acc = (jnp.zeros((m_loc, bn), jnp.int32),
+                   jnp.zeros((m_loc, bn), jnp.uint32))
+            for i in range(tp):
+                blk = (idx + tp - 1 - i) % tp
+                yb = _slice_n(bd, blk * bn, bn)
+                p = pair_dot_2d(ad, yb, prod_iv)
+                acc = (jax.lax.ppermute(acc[0], "tp", perm),
+                       jax.lax.ppermute(acc[1], "tp", perm))
+                acc = W.pair_add(acc, p)
+            if kind == "lane":
+                raw = W.requantize_pair(acc, prod_frac, out_fmt) \
+                    .astype(out_dtype)
+                if epilogue_lut is not None:
+                    raw = epilogue_lut(QTensor(raw, out_fmt)).data
+                return raw
+            h2, l2 = W.requantize_pair_keep(acc, prod_frac, out_fmt)
+            return W.PairArray(h2, l2)
+        return block
+
+    fn = _cached(("kwp", a.fmt, b.fmt, prod_frac, out_fmt, epilogue_lut,
+                  mesh, bn), build)
+    res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
+    return QTensor(fn(a.data, b.data), res_fmt)
+
+
 # ---------------------------------------------------------------------------
 # Limb K sharding — digit-domain partial dots, carry-correct limb psum
 # ---------------------------------------------------------------------------
@@ -757,6 +857,84 @@ def sharded_qgemul_k_limb(a: QTensor, b: QTensor, out_fmt: QFormat,
 
     fn = _cached(("kl", fa, fb, prod_frac, out_fmt, Kw,
                   bool(reduce_scatter), epilogue_lut, mesh), build)
+    res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
+    return QTensor(fn(a.data, b.data), res_fmt)
+
+
+def sharded_qgemul_k_limb_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
+                                    mesh: Mesh, mul_to=None, add_formats=(),
+                                    mul_full_prec=False,
+                                    epilogue_lut=None) -> QTensor:
+    """Limb-domain K-sharded GEMM as a decomposed reduce-scatter matmul —
+    the latency-hiding ``ppermute`` ring for proof-lossless dots beyond the
+    64-bit pair domain (round 4; completes the pipelined family across the
+    full device width envelope).
+
+    Each of the ``tp`` steps computes one output N-block's exact stacked
+    ``(Kw, m, bn)`` limb partial dot
+    (:func:`~qublas_tpu.ops.limbdot.limb_dot_2d`) while the limb accumulator
+    ring-rotates via ``ppermute``.  Ring accumulation uses exact
+    mod-2^(32·Kw) :func:`~qublas_tpu.ops.limbint.ladd` (no column psum, so
+    no tp bound): every intermediate is a subset sum of ≤k products and the
+    global-k limb plan bounds it to the working width.
+
+    Output is N-sharded over ``tp``.  Same proof gate as
+    :func:`sharded_qgemul_k_limb`; raises otherwise (use 'mn').
+    """
+    from ..ops import limbint as L
+    from ..ops.limbdot import limb_dot_2d
+    from ..ops.widths import storage_kind
+
+    tp = mesh.shape["tp"]
+    n = b.shape[-1]
+    got = _k_limb_plan(a, b, out_fmt, mul_to, add_formats, mul_full_prec,
+                       tp)
+    if got is None or n % tp:
+        raise ValueError(
+            "pipelined limb K-sharding needs 2-D device operands, tp | K "
+            "and tp | N, a lossless accumulation proof, and a dot/epilogue "
+            "inside the limb working envelope; use strategy='mn'")
+    plan, Kw = got
+    kind = storage_kind(out_fmt)
+    if epilogue_lut is not None and kind != "lane":
+        raise ValueError("epilogue_lut needs a lane-storage output format")
+    bn = n // tp
+    iva, ivb = fmt_interval(a.fmt), fmt_interval(b.fmt)
+    prod_frac = plan.prod_frac
+    a = _device_put(a, mesh, P(None, "tp"))
+    b = _device_put(b, mesh, P("tp", None))
+    in_a = _in_spec(a, P(None, "tp"))
+    in_b = _in_spec(b, P("tp", None))
+    out_s = _out_spec(out_fmt, P(None, "tp"))
+    out_dtype = dtype_for(out_fmt)
+    fa, fb = a.fmt, b.fmt
+    perm = [(j, (j + 1) % tp) for j in range(tp)]
+
+    def build():
+        @partial(jax.shard_map, mesh=mesh, in_specs=(in_a, in_b),
+                 out_specs=out_s)
+        def block(ad, bd):
+            idx = jax.lax.axis_index("tp")
+            m_loc = ad.shape[0]
+            acc = jnp.zeros((Kw, m_loc, bn), jnp.uint32)
+            for i in range(tp):
+                blk = (idx + tp - 1 - i) % tp
+                yb = _slice_n(bd, blk * bn, bn)
+                p = limb_dot_2d(ad, yb, iva, ivb, Kw)
+                acc = L.ladd(jax.lax.ppermute(acc, "tp", perm), p)
+            raw = L.requantize_limb(acc, prod_frac, out_fmt)
+            if kind == "lane":
+                raw = raw.astype(out_dtype)
+                if epilogue_lut is not None:
+                    raw = epilogue_lut(QTensor(raw, out_fmt)).data
+                return raw
+            if kind == "pair":
+                return W.PairArray(raw[0], raw[1])
+            return L.LimbArray(raw)
+        return block
+
+    fn = _cached(("klp", fa, fb, prod_frac, out_fmt, Kw, epilogue_lut,
+                  mesh, bn), build)
     res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
     return QTensor(fn(a.data, b.data), res_fmt)
 
