@@ -488,6 +488,33 @@ def sweep_sharded(trials):
             if got.fmt != ref.fmt or \
                     [int(v) for v in g] != [int(v) for v in w]:
                 fail("shard", fa, fb, out, mul_to, layers, k)
+            if t % 2:
+                # odd trials also push the explicit ppermute-pipelined
+                # rings (int32 / pair / limb regime picked by the same
+                # plans auto uses; n2=8 always divides tp).  A config
+                # outside every pipelined gate raises ValueError -> fine.
+                from qublas_tpu.parallel.sharding import (
+                    _k_limb_plan, _k_wide_plan)
+
+                ta, tb = from_raw(A, fa), from_raw(B, fb)
+                if _k_limb_plan(ta, tb, out, mul_to, layers, False,
+                                4) is not None:
+                    strat = "k_limb_pipelined"
+                elif _k_wide_plan(ta, tb, out, mul_to, layers, False,
+                                  4) is not None:
+                    strat = "k_wide_pipelined"
+                else:
+                    strat = "k_pipelined"
+                try:
+                    gp = shard_qgemul(ta, tb, out, mesh, mul_to=mul_to,
+                                      add_formats=layers, strategy=strat)
+                    gpr = np.asarray(gp.raw(), dtype=object).reshape(-1)
+                    if gp.fmt != ref.fmt or \
+                            [int(v) for v in gpr] != [int(v) for v in w]:
+                        fail("shard_pipelined", strat, fa, fb, out,
+                             mul_to, layers, k)
+                except ValueError:
+                    pass  # outside the strategy's gate: clean rejection
         except ValueError:
             pass  # clean host-route/config rejections are fine
         except Exception as e:
