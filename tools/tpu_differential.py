@@ -283,6 +283,69 @@ def run_anus():
           (x.data,), ref.fmt, want)
 
 
+def run_sharded():
+    """shard_map programs on a 1x1 mesh of the real device: a tp=1 ring /
+    psum is a legitimate single-chip execution of the sharded code paths
+    (the original limb-dot miscompile reproduced through exactly this
+    route before it showed anywhere else)."""
+    from qublas_tpu.parallel import make_mesh, shard_qgemul
+
+    mesh = make_mesh(dp=1, tp=1)
+    cases = [
+        # int32 K-psum + its ppermute ring
+        ("shard.k", "k", qformat(3, 4), qformat(3, 4),
+         qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO),
+         qformat(20, 8), (qformat(20, 8),), 4, 16, 4),
+        ("shard.k_pipelined", "k_pipelined", qformat(3, 4), qformat(3, 4),
+         qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO),
+         qformat(20, 8), (qformat(20, 8),), 4, 16, 4),
+        # pair-domain psum + ring
+        ("shard.k_wide", "k_wide", qformat(30, 9), qformat(7, 8),
+         qformat(20, 6, overflow_mode=OverflowMode.SAT_ZERO),
+         qformat(40, 17), (qformat(45, 17),), 4, 16, 8),
+        ("shard.k_wide_pipelined", "k_wide_pipelined",
+         qformat(30, 9), qformat(7, 8),
+         qformat(20, 6, overflow_mode=OverflowMode.SAT_ZERO),
+         qformat(40, 17), (qformat(45, 17),), 4, 16, 8),
+        # limb-domain psum + ring (beyond-pair dots)
+        ("shard.k_limb", "k_limb", qformat(25, 15), qformat(25, 15),
+         qformat(60, 20, round_mode=RoundMode.RND_CONV,
+                 overflow_mode=OverflowMode.SAT_TCPL),
+         qformat(51, 30), (qformat(57, 30),), 3, 16, 8),
+        ("shard.k_limb_pipelined", "k_limb_pipelined",
+         qformat(25, 15), qformat(25, 15),
+         qformat(60, 20, round_mode=RoundMode.RND_CONV,
+                 overflow_mode=OverflowMode.SAT_TCPL),
+         qformat(51, 30), (qformat(57, 30),), 3, 16, 8),
+    ]
+    global FAILS
+    for tag, strat, fa, fb, out, mul_to, layers, m, k, n in cases:
+        A = _raws(fa, m * k, tag + "a").reshape(m, k)
+        B = _raws(fb, k * n, tag + "b").reshape(k, n)
+        host = hostops.qgemul(
+            [[(int(A[i][j]), fa) for j in range(k)] for i in range(m)],
+            [[(int(B[i][j]), fb) for j in range(n)] for i in range(k)],
+            out, mul_to=mul_to, add_formats=layers)
+        want = [r for row in host for (r, _) in row]
+        t0 = time.time()
+        try:
+            got = shard_qgemul(from_raw(A, fa), from_raw(B, fb), out, mesh,
+                               mul_to=mul_to, add_formats=layers,
+                               strategy=strat)
+            g = _ints(got)
+        except Exception as e:  # noqa: BLE001
+            FAILS += 1
+            print(f"FAIL {tag}: CRASH {type(e).__name__}: {str(e)[:200]}",
+                  flush=True)
+            continue
+        if g != want:
+            FAILS += 1
+            print(f"FAIL {tag}: diverges from oracle\n"
+                  f"  got  {g}\n  want {want}", flush=True)
+        else:
+            print(f"PASS {tag} ({time.time() - t0:.1f}s)", flush=True)
+
+
 def main():
     t0 = time.time()
     print("platform:", jax.devices()[0].platform,
@@ -293,6 +356,7 @@ def main():
     run_gemm()
     run_cgemm()
     run_anus()
+    run_sharded()
     print(f"done in {time.time() - t0:.0f}s — "
           f"{'ALL CLEAN' if not FAILS else f'{FAILS} FAILURES'}"
           f" ({SKIPS} host-routed skips)", flush=True)
