@@ -1114,6 +1114,112 @@ def bench_limbwide():
     return rec
 
 
+def bench_cgemm_wide():
+    """Late-round-4 feature: the limb-domain complex GEMM fast path
+    (proof-lossless complex dots beyond int32: 4 balanced-digit limb MXU
+    dots + exact limb shift/combine epilogues) vs the layered
+    order-preserving path these configs previously ran.  40-bit pair
+    operands, 80-bit products, basic algo.  A/B-interleaved best-of with
+    device-trace refinement."""
+    from qublas_tpu.complex import QComplexTensor
+    from qublas_tpu.ops import cgemm as C
+    from qublas_tpu.ops.cgemm import cgemul
+    from qublas_tpu.ops.wideint import PairArray
+    from qublas_tpu.qtensor import from_raw
+
+    fa = qformat(25, 15)                  # 40-bit pair storage
+    w51, acc = qformat(51, 30), qformat(52, 30)
+    kw = dict(algo="basic", add_formats=(qformat(62, 30),),
+              ac=w51, bd=w51, ad=w51, bc=w51, acbd=acc, adbc=acc)
+    outf = (qformat(60, 20),) * 2         # limb output parts
+    m = n = 128
+    k = 512
+    rng = np.random.RandomState(0)
+
+    def mk(r, c):
+        raws = rng.randint(-(1 << 39), 1 << 39, size=r * c, dtype=np.int64)
+        return from_raw(raws.astype(object).reshape(r, c), fa)
+
+    ca = QComplexTensor(mk(m, k), mk(m, k))
+    cb = QComplexTensor(mk(k, n), mk(k, n))
+    info = {}
+    probe = C._fast_cgemul(ca, cb, outf[0], outf[1], "basic",
+                           (kw["add_formats"][0],), (kw["add_formats"][0],),
+                           {t: kw[t] for t in
+                            ("ac", "bd", "ad", "bc", "acbd", "adbc")},
+                           info=info)
+    assert probe is not None and info.get("domain") == "limb"
+    _timing = {"dev": False}
+
+    def build(disable_fast):
+        # chain iterations INSIDE jit (CLAUDE.md); the layered arm is far
+        # slower — fewer chained iterations
+        RG = 1 if disable_fast else 8
+
+        @jax.jit
+        def f(arh, arl, aih, ail, brh, brl, bih, bil):
+            qb = QComplexTensor(QTensor(PairArray(brh, brl), fa),
+                                QTensor(PairArray(bih, bil), fa))
+
+            def body(i, c):
+                arh2, _ = jax.lax.optimization_barrier((arh, c))
+                qa = QComplexTensor(QTensor(PairArray(arh2, arl), fa),
+                                    QTensor(PairArray(aih, ail), fa))
+                r = cgemul(qa, qb, outf, **kw)
+                return c + r.real.data.limbs[0].astype(jnp.int32)
+            return jax.lax.fori_loop(0, RG, body,
+                                     jnp.zeros((m, n), jnp.int32))
+
+        def patched(run):
+            saved = C._fast_cgemul
+            if disable_fast:
+                C._fast_cgemul = lambda *a2, **k2: None
+            try:
+                return run()
+            finally:
+                C._fast_cgemul = saved
+
+        def once():
+            r = f(ca.real.data.hi, ca.real.data.lo,
+                  ca.imag.data.hi, ca.imag.data.lo,
+                  cb.real.data.hi, cb.real.data.lo,
+                  cb.imag.data.hi, cb.imag.data.lo)
+            np.asarray(r[:8, :128])  # sync
+
+        patched(once)  # compile + warm-up
+
+        def timed():
+            from qublas_tpu.utils.profiling import device_busy
+
+            p = patched(lambda: device_busy(once))
+            if p and p.get("module_s"):
+                _timing["dev"] = True
+                return p["module_s"] / RG
+            t0 = time.perf_counter()
+            patched(once)
+            return (time.perf_counter() - t0) / RG
+        return timed
+
+    fastt = build(False)
+    slowt = build(True)
+    t_f = min(fastt(), fastt())
+    t_s = min(slowt(), slowt())
+    for _ in range(2):
+        t_f = min(t_f, fastt())
+        t_s = min(t_s, slowt())
+    prods = float(m * n * k)              # complex products per GEMM
+    rec = {
+        "metric": "cgemm_wide_gcprod",
+        "value": round(prods / t_f / 1e9, 3),
+        "unit": "Gcprod/s",
+        "operand_bits": 40,
+        "timing": "device-trace" if _timing["dev"] else "wall",
+        "vs_baseline": round(t_s / t_f, 2),  # vs the layered path
+    }
+    print(json.dumps(rec))
+    return rec
+
+
 def bench_native():
     """Rounds 3-4 native host engine (host-side CPU — stable, no chip):
     300-bit and 1200-bit elementwise qmul through the compiled multiword
@@ -1174,7 +1280,7 @@ EXTRA = {"tree": bench_tree_gemm, "reduce": bench_reduce,
          "lut": bench_lut_gemm, "cgemm": bench_cgemm, "wide": bench_wide,
          "limb": bench_limb, "wide-gemm": bench_wide_gemm,
          "fastwide": bench_fastwide, "limbwide": bench_limbwide,
-         "native": bench_native}
+         "cgemmwide": bench_cgemm_wide, "native": bench_native}
 
 
 ALL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -70,7 +70,8 @@ def _single_default(*specs):
 
 
 def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
-                 dot_reduce=None, k_total=None):
+                 dot_reduce=None, k_total=None, limb_dot_reduce=None,
+                 cap_mn=None, info=None):
     """Return the fast-path result, or None when the proof fails.
 
     ``dot_reduce`` (optional) is applied to each integer dot product before
@@ -79,6 +80,16 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
     int32 dots sum over ICI, which is bit-exact because the proof (run
     against ``k_total``, the *global* contraction length) guarantees
     lossless integer accumulation in any order.
+
+    When the pipeline is proven lossless but outgrows int32 lanes — wide
+    dots, pair/limb operands, pair/limb output formats — the dots compute
+    in the stacked-limb domain instead (balanced-digit MXU matmuls,
+    :func:`~qublas_tpu.ops.limbdot.limb_dot_2d`) with exact limb
+    shift/combine epilogues: the complex side of the round-4 wide-dot
+    capability.  ``limb_dot_reduce`` is that path's K-sharding hook (a
+    carry-correct limb psum); ``cap_mn`` overrides the output dims used in
+    the limb envelope caps so a 1×1 sharding probe decides identically to
+    the full-shape trace.
     """
     import jax.numpy as jnp
 
@@ -86,9 +97,10 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
         return None
     far, fai = a.real.fmt, a.imag.fmt
     fbr, fbi = b.real.fmt, b.imag.fmt
-    if any(t.is_host or t.is_pair or t.is_limb
-           for t in (a.real, a.imag, b.real, b.imag)):
+    if any(t.is_host for t in (a.real, a.imag, b.real, b.imag)):
         return None
+    lane_ops = not any(t.is_pair or t.is_limb
+                       for t in (a.real, a.imag, b.real, b.imag))
     k = k_total if k_total is not None else a.shape[-1]
     ar = _Step(fmt_interval(far), far)
     ai = _Step(fmt_interval(fai), fai)
@@ -135,98 +147,244 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
         return None
     orf = orf or fin_r
     oif = oif or fin_i
-    if dtype_for(orf) is None or dtype_for(oif) is None:
-        return None
+    from .widths import storage_kind
+
+    if storage_kind(orf) is None or storage_kind(oif) is None:
+        return None                       # host-storage outputs
     re_tot = dot_partial_interval(re_p.iv, k)
     im_tot = dot_partial_interval(im_p.iv, k)
     # final values at tree frac: lossless layers only shift left
     re_tot = re_tot << (fin_r.frac_bits - re_p.fmt.frac_bits)
     im_tot = im_tot << (fin_i.frac_bits - im_p.fmt.frac_bits)
-    if not (re_tot.fits32 and im_tot.fits32):
-        return None
-    if route_requant(re_tot, fin_r.frac_bits, orf) != "i32":
-        return None
-    if route_requant(im_tot, fin_i.frac_bits, oif) != "i32":
-        return None
-
-    def shifted(x, pre_shift):
-        y = x.data.astype(jnp.int32)
-        return y << pre_shift if pre_shift else y
-
-    def dot(x, y, iv_x, iv_y, post_shift):
-        # every shifted dot term must itself fit int32, not just the
-        # combined difference
-        iv = dot_partial_interval(iv_x * iv_y, k)
-        if not iv.fits32 or not (iv << post_shift).fits32:
-            return None
-        xd, yd = x, y
-        if xd.dtype != jnp.int8 or yd.dtype != jnp.int8:
-            xd = xd.astype(jnp.int32)
-            yd = yd.astype(jnp.int32)
-        return jnp.matmul(xd, yd, preferred_element_type=jnp.int32)
 
     from ..complex import QComplexTensor
 
-    if algo == "tf":
-        # precomputed elementwise operands must fit int32 lanes
-        if not (s_ab.iv.fits32 and s_cd.iv.fits32 and s_ba.iv.fits32):
+    def i32_path():
+        """int32-lane compute: lane operands, int32-provable dots and
+        epilogues.  Returns None on any WIDTH gate (the proof already
+        passed) — the caller falls through to the limb domain."""
+        if not lane_ops:
             return None
-        # precompute the lossless elementwise sums at their step formats
-        fal1 = max(far.frac_bits, fai.frac_bits)
-        w1 = s_ab.fmt.frac_bits - fal1
-        S1 = (shifted(a.real, fal1 - far.frac_bits + w1)
-              + shifted(a.imag, fal1 - fai.frac_bits + w1))
-        fal2 = max(fbr.frac_bits, fbi.frac_bits)
-        w2 = s_cd.fmt.frac_bits - fal2
-        S2 = (shifted(b.real, fal2 - fbr.frac_bits + w2)
-              + shifted(b.imag, fal2 - fbi.frac_bits + w2))
-        w3 = s_ba.fmt.frac_bits - fal1
-        S3 = (shifted(a.imag, fal1 - fai.frac_bits + w3)
-              - shifted(a.real, fal1 - far.frac_bits + w3))
-        fA = s_ab.fmt.frac_bits + fbr.frac_bits
-        fB = s_cd.fmt.frac_bits + fai.frac_bits
-        fC = s_ba.fmt.frac_bits + fbi.frac_bits
-        dA = dot(S1, b.real.data.astype(jnp.int32), s_ab.iv,
-                 fmt_interval(fbr), fin_r.frac_bits - fA)
-        dB = dot(a.imag.data.astype(jnp.int32), S2, fmt_interval(fai),
-                 s_cd.iv, max(fin_r.frac_bits, fin_i.frac_bits) - fB)
-        dC = dot(S3, b.imag.data.astype(jnp.int32), s_ba.iv,
-                 fmt_interval(fbi), fin_i.frac_bits - fC)
-        if dA is None or dB is None or dC is None:
+        if dtype_for(orf) is None or dtype_for(oif) is None:
             return None
-        if dot_reduce is not None:
-            dA, dB, dC = dot_reduce(dA), dot_reduce(dB), dot_reduce(dC)
-        re = ((dA << (fin_r.frac_bits - fA))
-              - (dB << (fin_r.frac_bits - fB)))
-        im = ((dB << (fin_i.frac_bits - fB))
-              - (dC << (fin_i.frac_bits - fC)))
-    else:
-        dac = dot(a.real.data, b.real.data, fmt_interval(far),
-                  fmt_interval(fbr),
-                  fin_r.frac_bits - far.frac_bits - fbr.frac_bits)
-        dbd = dot(a.imag.data, b.imag.data, fmt_interval(fai),
-                  fmt_interval(fbi),
-                  fin_r.frac_bits - fai.frac_bits - fbi.frac_bits)
-        dad = dot(a.real.data, b.imag.data, fmt_interval(far),
-                  fmt_interval(fbi),
-                  fin_i.frac_bits - far.frac_bits - fbi.frac_bits)
-        dbc = dot(a.imag.data, b.real.data, fmt_interval(fai),
-                  fmt_interval(fbr),
-                  fin_i.frac_bits - fai.frac_bits - fbr.frac_bits)
-        if dac is None or dbd is None or dad is None or dbc is None:
+        if not (re_tot.fits32 and im_tot.fits32):
             return None
-        if dot_reduce is not None:
-            dac, dbd = dot_reduce(dac), dot_reduce(dbd)
-            dad, dbc = dot_reduce(dad), dot_reduce(dbc)
-        re = ((dac << (fin_r.frac_bits - far.frac_bits - fbr.frac_bits))
-              - (dbd << (fin_r.frac_bits - fai.frac_bits - fbi.frac_bits)))
-        im = ((dad << (fin_i.frac_bits - far.frac_bits - fbi.frac_bits))
-              + (dbc << (fin_i.frac_bits - fai.frac_bits - fbr.frac_bits)))
+        if route_requant(re_tot, fin_r.frac_bits, orf) != "i32":
+            return None
+        if route_requant(im_tot, fin_i.frac_bits, oif) != "i32":
+            return None
 
-    raw_r = W.requantize_i32(re, fin_r.frac_bits, orf)
-    raw_i = W.requantize_i32(im, fin_i.frac_bits, oif)
-    return QComplexTensor(QTensor(raw_r.astype(dtype_for(orf)), orf),
-                          QTensor(raw_i.astype(dtype_for(oif)), oif))
+        def shifted(x, pre_shift):
+            y = x.data.astype(jnp.int32)
+            return y << pre_shift if pre_shift else y
+
+        def dot(x, y, iv_x, iv_y, post_shift):
+            # every shifted dot term must itself fit int32, not just the
+            # combined difference
+            iv = dot_partial_interval(iv_x * iv_y, k)
+            if not iv.fits32 or not (iv << post_shift).fits32:
+                return None
+            xd, yd = x, y
+            if xd.dtype != jnp.int8 or yd.dtype != jnp.int8:
+                xd = xd.astype(jnp.int32)
+                yd = yd.astype(jnp.int32)
+            return jnp.matmul(xd, yd, preferred_element_type=jnp.int32)
+
+        if algo == "tf":
+            # precomputed elementwise operands must fit int32 lanes
+            if not (s_ab.iv.fits32 and s_cd.iv.fits32 and s_ba.iv.fits32):
+                return None
+            # precompute the lossless elementwise sums at their step formats
+            fal1 = max(far.frac_bits, fai.frac_bits)
+            w1 = s_ab.fmt.frac_bits - fal1
+            S1 = (shifted(a.real, fal1 - far.frac_bits + w1)
+                  + shifted(a.imag, fal1 - fai.frac_bits + w1))
+            fal2 = max(fbr.frac_bits, fbi.frac_bits)
+            w2 = s_cd.fmt.frac_bits - fal2
+            S2 = (shifted(b.real, fal2 - fbr.frac_bits + w2)
+                  + shifted(b.imag, fal2 - fbi.frac_bits + w2))
+            w3 = s_ba.fmt.frac_bits - fal1
+            S3 = (shifted(a.imag, fal1 - fai.frac_bits + w3)
+                  - shifted(a.real, fal1 - far.frac_bits + w3))
+            fA = s_ab.fmt.frac_bits + fbr.frac_bits
+            fB = s_cd.fmt.frac_bits + fai.frac_bits
+            fC = s_ba.fmt.frac_bits + fbi.frac_bits
+            dA = dot(S1, b.real.data.astype(jnp.int32), s_ab.iv,
+                     fmt_interval(fbr), fin_r.frac_bits - fA)
+            dB = dot(a.imag.data.astype(jnp.int32), S2, fmt_interval(fai),
+                     s_cd.iv, max(fin_r.frac_bits, fin_i.frac_bits) - fB)
+            dC = dot(S3, b.imag.data.astype(jnp.int32), s_ba.iv,
+                     fmt_interval(fbi), fin_i.frac_bits - fC)
+            if dA is None or dB is None or dC is None:
+                return None
+            if dot_reduce is not None:
+                dA, dB, dC = dot_reduce(dA), dot_reduce(dB), dot_reduce(dC)
+            re = ((dA << (fin_r.frac_bits - fA))
+                  - (dB << (fin_r.frac_bits - fB)))
+            im = ((dB << (fin_i.frac_bits - fB))
+                  - (dC << (fin_i.frac_bits - fC)))
+        else:
+            dac = dot(a.real.data, b.real.data, fmt_interval(far),
+                      fmt_interval(fbr),
+                      fin_r.frac_bits - far.frac_bits - fbr.frac_bits)
+            dbd = dot(a.imag.data, b.imag.data, fmt_interval(fai),
+                      fmt_interval(fbi),
+                      fin_r.frac_bits - fai.frac_bits - fbi.frac_bits)
+            dad = dot(a.real.data, b.imag.data, fmt_interval(far),
+                      fmt_interval(fbi),
+                      fin_i.frac_bits - far.frac_bits - fbi.frac_bits)
+            dbc = dot(a.imag.data, b.real.data, fmt_interval(fai),
+                      fmt_interval(fbr),
+                      fin_i.frac_bits - fai.frac_bits - fbr.frac_bits)
+            if dac is None or dbd is None or dad is None or dbc is None:
+                return None
+            if dot_reduce is not None:
+                dac, dbd = dot_reduce(dac), dot_reduce(dbd)
+                dad, dbc = dot_reduce(dad), dot_reduce(dbc)
+            re = ((dac << (fin_r.frac_bits - far.frac_bits - fbr.frac_bits))
+                  - (dbd << (fin_r.frac_bits - fai.frac_bits
+                             - fbi.frac_bits)))
+            im = ((dad << (fin_i.frac_bits - far.frac_bits - fbi.frac_bits))
+                  + (dbc << (fin_i.frac_bits - fai.frac_bits
+                             - fbr.frac_bits)))
+
+        raw_r = W.requantize_i32(re, fin_r.frac_bits, orf)
+        raw_i = W.requantize_i32(im, fin_i.frac_bits, oif)
+        return QComplexTensor(QTensor(raw_r.astype(dtype_for(orf)), orf),
+                              QTensor(raw_i.astype(dtype_for(oif)), oif))
+
+    def limb_path():
+        """Stacked-limb compute for proof-lossless configs beyond int32:
+        each integer dot runs as a balanced-digit MXU matmul recombined
+        into ``Kw`` uint32 limbs (:func:`~qublas_tpu.ops.limbdot.limb_dot_2d`),
+        the shift/combine epilogue is exact limb arithmetic, and ONE limb
+        requantize per part lands the result in any device storage.
+        Bit-exact by the losslessness proof (identical to the real GEMM's
+        limb fast-path argument, `ops/gemm.py:_fast_gemm_limb`).  Returns
+        None outside the limb envelope."""
+        from . import limbdot as D
+        from . import limbint as L
+        from .gemm import _LIMBDOT_MAX_DOT_ELEMS, _LIMBDOT_MAX_MATMULS
+        from .widths import LIMB_INTER_MAX_BITS, requant_work_bits
+
+        if dot_reduce is not None and limb_dot_reduce is None:
+            # a K-sharding caller that cannot psum limb stacks must not
+            # silently get unreduced partials
+            return None
+        if route_requant(re_tot, fin_r.frac_bits, orf) == "host":
+            return None
+        if route_requant(im_tot, fin_i.frac_bits, oif) == "host":
+            return None
+        cm, cn = cap_mn if cap_mn is not None else (a.real.shape[0],
+                                                    b.real.shape[1])
+        iv_ar, iv_ai = fmt_interval(far), fmt_interval(fai)
+        iv_br, iv_bi = fmt_interval(fbr), fmt_interval(fbi)
+
+        if algo == "tf":
+            fal1 = max(far.frac_bits, fai.frac_bits)
+            fal2 = max(fbr.frac_bits, fbi.frac_bits)
+            w1 = s_ab.fmt.frac_bits - fal1
+            w2 = s_cd.fmt.frac_bits - fal2
+            w3 = s_ba.fmt.frac_bits - fal1
+            fA = s_ab.fmt.frac_bits + fbr.frac_bits
+            fB = s_cd.fmt.frac_bits + fai.frac_bits
+            fC = s_ba.fmt.frac_bits + fbi.frac_bits
+            dspecs = [(s_ab.iv, iv_br, fin_r.frac_bits - fA),
+                      (iv_ai, s_cd.iv,
+                       max(fin_r.frac_bits, fin_i.frac_bits) - fB),
+                      (s_ba.iv, iv_bi, fin_i.frac_bits - fC)]
+            align = [fal1 - far.frac_bits + w1, fal1 - fai.frac_bits + w1,
+                     fal2 - fbr.frac_bits + w2, fal2 - fbi.frac_bits + w2,
+                     fal1 - fai.frac_bits + w3, fal1 - far.frac_bits + w3]
+            extra_bits = [s_ab.iv.bits, s_cd.iv.bits, s_ba.iv.bits]
+        else:
+            dspecs = [(iv_ar, iv_br,
+                       fin_r.frac_bits - far.frac_bits - fbr.frac_bits),
+                      (iv_ai, iv_bi,
+                       fin_r.frac_bits - fai.frac_bits - fbi.frac_bits),
+                      (iv_ar, iv_bi,
+                       fin_i.frac_bits - far.frac_bits - fbi.frac_bits),
+                      (iv_ai, iv_br,
+                       fin_i.frac_bits - fai.frac_bits - fbr.frac_bits)]
+            align = []
+            extra_bits = []
+        if any(s < 0 for _, _, s in dspecs) or any(s < 0 for s in align):
+            return None                   # shift invariant violated
+
+        need = max(requant_work_bits(re_tot, fin_r.frac_bits, orf),
+                   requant_work_bits(im_tot, fin_i.frac_bits, oif),
+                   re_tot.bits, im_tot.bits, *([1] + extra_bits))
+        for ivx, ivy, sh in dspecs:
+            if D.digit_matmuls(ivx, ivy) > _LIMBDOT_MAX_MATMULS:
+                return None
+            nd_x, nd_y = D.digits_needed(ivx), D.digits_needed(ivy)
+            nseg = -(-k // D._seg_len(k, min(nd_x, nd_y)))
+            if nd_x * nd_y * nseg * cm * cn > _LIMBDOT_MAX_DOT_ELEMS:
+                return None
+            need = max(need, D.work_bits(ivx, ivy, k),
+                       (dot_partial_interval(ivx * ivy, k) << sh).bits)
+        if need > LIMB_INTER_MAX_BITS:
+            return None
+        Kw = L.bits_to_limbs(need)
+
+        def tolimb(x, shift):
+            l = D.to_limbs_any(x, Kw)
+            return L.lshl(l, shift) if shift else l
+
+        if algo == "tf":
+            S1 = L.ladd(tolimb(a.real.data, align[0]),
+                        tolimb(a.imag.data, align[1]))
+            S2 = L.ladd(tolimb(b.real.data, align[2]),
+                        tolimb(b.imag.data, align[3]))
+            S3 = L.lsub(tolimb(a.imag.data, align[4]),
+                        tolimb(a.real.data, align[5]))
+            dA = D.limb_dot_2d(L.LimbArray(S1), b.real.data,
+                               s_ab.iv, iv_br, Kw)
+            dB = D.limb_dot_2d(a.imag.data, L.LimbArray(S2),
+                               iv_ai, s_cd.iv, Kw)
+            dC = D.limb_dot_2d(L.LimbArray(S3), b.imag.data,
+                               s_ba.iv, iv_bi, Kw)
+            if limb_dot_reduce is not None:
+                dA, dB, dC = (limb_dot_reduce(dA), limb_dot_reduce(dB),
+                              limb_dot_reduce(dC))
+            re = L.lsub(L.lshl(dA, fin_r.frac_bits - fA),
+                        L.lshl(dB, fin_r.frac_bits - fB))
+            im = L.lsub(L.lshl(dB, fin_i.frac_bits - fB),
+                        L.lshl(dC, fin_i.frac_bits - fC))
+        else:
+            dac = D.limb_dot_2d(a.real.data, b.real.data, iv_ar, iv_br, Kw)
+            dbd = D.limb_dot_2d(a.imag.data, b.imag.data, iv_ai, iv_bi, Kw)
+            dad = D.limb_dot_2d(a.real.data, b.imag.data, iv_ar, iv_bi, Kw)
+            dbc = D.limb_dot_2d(a.imag.data, b.real.data, iv_ai, iv_br, Kw)
+            if limb_dot_reduce is not None:
+                dac, dbd = limb_dot_reduce(dac), limb_dot_reduce(dbd)
+                dad, dbc = limb_dot_reduce(dad), limb_dot_reduce(dbc)
+            re = L.lsub(L.lshl(dac, dspecs[0][2]),
+                        L.lshl(dbd, dspecs[1][2]))
+            im = L.ladd(L.lshl(dad, dspecs[2][2]),
+                        L.lshl(dbc, dspecs[3][2]))
+
+        def wrap(raw, fmt):
+            kind = storage_kind(fmt)
+            if kind == "lane":
+                return QTensor(raw.astype(dtype_for(fmt)), fmt)
+            if kind == "pair":
+                return QTensor(W.PairArray(raw[0], raw[1]), fmt)
+            return QTensor(L.LimbArray(raw), fmt)
+
+        raw_r = L.requantize_limb(re, fin_r.frac_bits, orf)
+        raw_i = L.requantize_limb(im, fin_i.frac_bits, oif)
+        return QComplexTensor(wrap(raw_r, orf), wrap(raw_i, oif))
+
+    res = i32_path()
+    if res is not None:
+        if info is not None:
+            info["domain"] = "i32"
+        return res
+    res = limb_path()
+    if res is not None and info is not None:
+        info["domain"] = "limb"
+    return res
 
 
 def _part_formats(spec):
@@ -298,7 +456,12 @@ def cgemul(a, b, out_fmt, algo: str = "basic", add_formats=(),
                 QTensor(b.real.data[idx0][:, :1], b.real.fmt),
                 QTensor(b.imag.data[idx0][:, :1], b.imag.fmt)),
             orf, oif, algo, r_layers, i_layers, mul_tags, k_total=k)
-        if probe is not None:
+        if probe is not None and not (probe.real.is_pair or probe.real.is_limb
+                                      or probe.imag.is_pair
+                                      or probe.imag.is_limb):
+            # vmap composes with lane-array results only: a batched
+            # PairArray/LimbArray leaf would put the batch dim ahead of
+            # the limb axis and the storage wrapper would misread it
             def one(ar, ai, br, bi):
                 c = _fast_cgemul(
                     QComplexTensor(QTensor(ar, a.real.fmt),

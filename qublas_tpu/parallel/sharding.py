@@ -1000,14 +1000,15 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
         # and the eager 1-row x 1-col probe costs a device dispatch
         key = _freeze(("cauto", a.real.fmt, a.imag.fmt, b.real.fmt,
                        b.imag.fmt, out_fmt, algo, add_formats, mul_tags,
-                       a.shape[-1]))
+                       a.shape[-1], a.shape[0], b.shape[-1]))
         ok = _probe_cache_get(key)
         if ok is None:
             orf, oif = _part_formats(out_fmt)
             r_layers, i_layers = _split_layers(add_formats)
             probe = _fast_cgemul(_crow(a, 0), _ccol(b, 0), orf, oif, algo,
                                  r_layers, i_layers, mul_tags,
-                                 k_total=a.shape[-1])
+                                 k_total=a.shape[-1],
+                                 cap_mn=(a.shape[0], b.shape[-1]))
             ok = probe is not None
             _probe_cache_put(key, ok)
         strategy = "k" if ok and a.shape[-1] % mesh.shape["tp"] == 0 \
@@ -1138,39 +1139,54 @@ def sharded_cgemul_k(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     orf, oif = _part_formats(out_fmt)
     r_layers, i_layers = _split_layers(add_formats)
     # 1-row x 1-col probe with the GLOBAL k: validates the proof and
-    # recovers output formats without computing the full product
+    # recovers output formats without computing the full product.  cap_mn
+    # pins the limb-envelope caps to the FULL output dims so the probe's
+    # domain decision matches the full-shape trace inside shard_map
+    cap = (a.shape[0], b.shape[-1])
+    pinfo = {}
     probe = _fast_cgemul(_crow(a, 0), _ccol(b, 0), orf, oif, algo,
-                         r_layers, i_layers, mul_tags, k_total=k)
+                         r_layers, i_layers, mul_tags, k_total=k,
+                         cap_mn=cap, info=pinfo)
     if probe is None:
         raise ValueError(
             "K-sharded cgemul needs the lossless fast-path proof; this "
             "config is order-sensitive - use strategy='mn'")
+    if pinfo.get("domain") == "limb":
+        # the limb-domain hook psums 16-bit columns (same soundness bound
+        # as the wide/limb GEMM strategies)
+        _check_psum_tp(mesh)
     far, fai = a.real.fmt, a.imag.fmt
     fbr, fbi = b.real.fmt, b.imag.fmt
-    ar = jax.device_put(a.real.data, NamedSharding(mesh, P(None, "tp")))
-    ai = jax.device_put(a.imag.data, NamedSharding(mesh, P(None, "tp")))
-    br = jax.device_put(b.real.data, NamedSharding(mesh, P("tp", None)))
-    bi = jax.device_put(b.imag.data, NamedSharding(mesh, P("tp", None)))
+    in_ar = _in_spec(a.real, P(None, "tp"))
+    in_ai = _in_spec(a.imag, P(None, "tp"))
+    in_br = _in_spec(b.real, P("tp", None))
+    in_bi = _in_spec(b.imag, P("tp", None))
+    ar = jax.device_put(a.real.data, NamedSharding(mesh, in_ar))
+    ai = jax.device_put(a.imag.data, NamedSharding(mesh, in_ai))
+    br = jax.device_put(b.real.data, NamedSharding(mesh, in_br))
+    bi = jax.device_put(b.imag.data, NamedSharding(mesh, in_bi))
+    out_r = _out_spec(probe.real.fmt, P(None, None))
+    out_i = _out_spec(probe.imag.fmt, P(None, None))
 
     def build():
         @partial(jax.shard_map, mesh=mesh,
-                 in_specs=(P(None, "tp"), P(None, "tp"),
-                           P("tp", None), P("tp", None)),
-                 out_specs=(P(None, None), P(None, None)))
+                 in_specs=(in_ar, in_ai, in_br, in_bi),
+                 out_specs=(out_r, out_i))
         def block(ard, aid, brd, bid):
             la = QComplexTensor(QTensor(ard, far), QTensor(aid, fai))
             lb = QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi))
             c = _fast_cgemul(la, lb, orf, oif, algo, r_layers, i_layers,
                              mul_tags,
                              dot_reduce=lambda d: jax.lax.psum(d, "tp"),
-                             k_total=k)
+                             limb_dot_reduce=lambda d: _psum_limbs(d, False),
+                             k_total=k, cap_mn=cap)
             # probe above proved the plan; local slices share the formats
             return c.real.data, c.imag.data
         return block
 
     fn = _cached(("ck", far, fai, fbr, fbi, orf, oif, algo,
                   _freeze(r_layers), _freeze(i_layers), _freeze(mul_tags),
-                  mesh, k), build)
+                  mesh, k, cap), build)
     rr, ri = fn(ar, ai, br, bi)
     return QComplexTensor(QTensor(rr, probe.real.fmt),
                           QTensor(ri, probe.imag.fmt))

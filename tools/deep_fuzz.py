@@ -277,8 +277,34 @@ def sweep_complex(trials):
 def sweep_cgemul(trials):
     for t in range(trials):
         rng = rng_for("cg", t)
-        fr, fi = rand_fmt(rng, 8), rand_fmt(rng, 8)
-        m, k, n2 = 2, int(rng.randint(1, 6)), 2
+        mul_tags = {}
+        if t % 3 == 2:
+            # every 3rd trial constructs a lossless WIDE config (operands
+            # up to ~30 bits, tags/layers wide enough that the proof
+            # holds) so the limb-domain complex fast path (late round 4)
+            # stays in the sweep alongside the layered path
+            fr = qformat(int(rng.randint(10, 30)), int(rng.randint(4, 16)),
+                         bool(rng.randint(0, 2)))
+            fi = qformat(int(rng.randint(10, 30)), int(rng.randint(4, 16)),
+                         bool(rng.randint(0, 2)))
+            ib = max(fr.int_bits, fi.int_bits) + 1
+            pf = max(fr.frac_bits, fi.frac_bits) * 2
+            k = int(rng.randint(1, 20))
+            w = qformat(2 * ib + 2, pf)
+            acc = qformat(2 * ib + 3, pf)
+            mul_tags = dict(ac=w, bd=w, ad=w, bc=w, acbd=acc, adbc=acc)
+            layers = (qformat(2 * ib + k.bit_length() + 4, pf),)
+            out = (rand_fmt(rng, 55), rand_fmt(rng, 55))
+            algo = "basic"
+            m, n2 = 2, 2
+        else:
+            fr, fi = rand_fmt(rng, 8), rand_fmt(rng, 8)
+            m, k, n2 = 2, int(rng.randint(1, 6)), 2
+            out = (rand_fmt(rng, 10), rand_fmt(rng, 10))
+            layers = tuple(rand_fmt(rng, 14) if rng.randint(0, 2)
+                           else (rand_fmt(rng, 14), rand_fmt(rng, 14))
+                           for _ in range(rng.randint(0, 3)))
+            algo = ["basic", "tf"][rng.randint(0, 2)]
 
         def rc(r, c):
             return QComplexTensor(
@@ -286,13 +312,9 @@ def sweep_cgemul(trials):
                 from_raw(rand_raws(rng, fi, r * c).reshape(r, c), fi))
 
         a, b = rc(m, k), rc(k, n2)
-        out = (rand_fmt(rng, 10), rand_fmt(rng, 10))
-        layers = tuple(rand_fmt(rng, 14) if rng.randint(0, 2)
-                       else (rand_fmt(rng, 14), rand_fmt(rng, 14))
-                       for _ in range(rng.randint(0, 3)))
-        algo = ["basic", "tf"][rng.randint(0, 2)]
         try:
-            dev = cgemul(a, b, out, algo=algo, add_formats=layers)
+            dev = cgemul(a, b, out, algo=algo, add_formats=layers,
+                         **mul_tags)
 
             def rows(c):
                 re = np.asarray(c.real.raw(), dtype=object)
@@ -303,7 +325,7 @@ def sweep_cgemul(trials):
                         for i in range(re.shape[0])]
 
             host = hostops.cgemul(rows(a), rows(b), out, algo=algo,
-                                  add_formats=layers)
+                                  add_formats=layers, **mul_tags)
             dr = np.asarray(dev.real.raw(), dtype=object)
             di = np.asarray(dev.imag.raw(), dtype=object)
             for i in range(m):

@@ -232,43 +232,64 @@ def run_cgemm():
     w = qformat(20, 8)
     mid = qformat(5, 4)
     out = (qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO),) * 2
+    f40 = qformat(25, 15)
+    w51 = qformat(51, 30)
+    acc = qformat(52, 30)
+    s26 = qformat(26, 15)
+    p52 = qformat(52, 30)
+    outw = (qformat(60, 20, round_mode=RoundMode.RND_CONV,
+                    overflow_mode=OverflowMode.SAT_TCPL),) * 2
+    cases = [
+        # int32 fast path
+        ("cgemm.basic", fa, out, "basic",
+         dict(ac=mid, bd=mid, ad=mid, bc=mid, acbd=w, adbc=w,
+              add_formats=(w,))),
+        ("cgemm.tf", fa, out, "tf",
+         dict(ab=mid, cd=mid, ba=mid, abc=w, cdb=w, bad=w, AB=w, BC=w,
+              add_formats=(w,))),
+        # limb-domain wide path: 40-bit pair operands, 80-bit products
+        ("cgemm.basic_wide", f40, outw, "basic",
+         dict(ac=w51, bd=w51, ad=w51, bc=w51, acbd=acc, adbc=acc,
+              add_formats=(qformat(58, 30),))),
+        ("cgemm.tf_wide", f40, outw, "tf",
+         dict(ab=s26, cd=s26, ba=s26, abc=p52, cdb=p52, bad=p52,
+              AB=qformat(53, 30), BC=qformat(53, 30),
+              add_formats=(qformat(58, 30),))),
+    ]
     m, k, n = 2, 4, 2
-    Ar = _raws(fa, m * k, "cga").reshape(m, k)
-    Ai = _raws(fa, m * k, "cgb").reshape(m, k)
-    Br = _raws(fa, k * n, "cgc").reshape(k, n)
-    Bi = _raws(fa, k * n, "cgd").reshape(k, n)
-    ca = QComplexTensor(from_raw(Ar, fa), from_raw(Ai, fa))
-    cb = QComplexTensor(from_raw(Br, fa), from_raw(Bi, fa))
-    for algo, kw in (
-            ("basic", dict(ac=mid, bd=mid, ad=mid, bc=mid,
-                           acbd=w, adbc=w, add_formats=(w,))),
-            ("tf", dict(ab=mid, cd=mid, ba=mid, abc=w, cdb=w, bad=w,
-                        AB=w, BC=w, add_formats=(w,)))):
-        ref = cgemul(ca, cb, out, algo=algo, **kw)   # eager reference
+    global FAILS
+    for tag, fop, outf, algo, kw in cases:
+        Ar = _raws(fop, m * k, tag + "a").reshape(m, k)
+        Ai = _raws(fop, m * k, tag + "b").reshape(m, k)
+        Br = _raws(fop, k * n, tag + "c").reshape(k, n)
+        Bi = _raws(fop, k * n, tag + "d").reshape(k, n)
+        ca = QComplexTensor(from_raw(Ar, fop), from_raw(Ai, fop))
+        cb = QComplexTensor(from_raw(Br, fop), from_raw(Bi, fop))
+        ref = cgemul(ca, cb, outf, algo=algo, **kw)   # eager reference
         want = _ints(ref.real) + _ints(ref.imag)
 
-        def fn(dar, dai, dbr, dbi, algo=algo, kw=kw):
-            r = cgemul(QComplexTensor(QTensor(dar, fa), QTensor(dai, fa)),
-                       QComplexTensor(QTensor(dbr, fa), QTensor(dbi, fa)),
-                       out, algo=algo, **kw)
+        def fn(dar, dai, dbr, dbi, fop=fop, outf=outf, algo=algo, kw=kw):
+            r = cgemul(QComplexTensor(QTensor(dar, fop), QTensor(dai, fop)),
+                       QComplexTensor(QTensor(dbr, fop), QTensor(dbi, fop)),
+                       outf, algo=algo, **kw)
             return (r.real.data, r.imag.data)
 
-        global FAILS
+        t0 = time.time()
         try:
             jr = jax.jit(fn)(ca.real.data, ca.imag.data,
                              cb.real.data, cb.imag.data)
-            got = _ints(QTensor(jr[0], out[0])) + _ints(QTensor(jr[1],
-                                                                out[1]))
+            got = _ints(QTensor(jr[0], ref.real.fmt)) \
+                + _ints(QTensor(jr[1], ref.imag.fmt))
         except Exception as e:  # noqa: BLE001
             FAILS += 1
-            print(f"FAIL cgemm.{algo}: CRASH {type(e).__name__}: "
+            print(f"FAIL {tag}: CRASH {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
             continue
         if got != want:
             FAILS += 1
-            print(f"FAIL cgemm.{algo}: JIT diverges from eager", flush=True)
+            print(f"FAIL {tag}: JIT diverges from eager", flush=True)
         else:
-            print(f"PASS cgemm.{algo}", flush=True)
+            print(f"PASS {tag} ({time.time() - t0:.1f}s)", flush=True)
 
 
 def run_anus():
