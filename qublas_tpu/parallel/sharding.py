@@ -1123,12 +1123,17 @@ def sharded_cgemul_mn(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
 
 
 def sharded_cgemul_k(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
-                     add_formats=(), **mul_tags):
+                     add_formats=(), reduce_scatter: bool = False,
+                     **mul_tags):
     """Shard the contraction dim over ``tp``: each chip computes the complex
     fast path's partial integer dots (3 MXU matmuls for TF, 4 for basic) on
-    its K-slice; partials psum over ICI before the exact shift/combine
-    epilogue.  Requires the lossless proof — bit-exact because integer
-    addition order cannot matter when no step rounds or saturates."""
+    its K-slice; partials psum over ICI — or ``psum_scatter``
+    (``reduce_scatter=True``, output N-sharded over tp) — before the exact
+    shift/combine epilogue.  Since late round 4 the wide regime rides the
+    same hook: complex dots beyond int32 compute as per-chip limb dots and
+    combine with the carry-correct limb psum.  Requires the lossless proof
+    — bit-exact because integer addition order cannot matter when no step
+    rounds or saturates."""
     from ..complex import QComplexTensor
     from ..ops.cgemm import _fast_cgemul, _part_formats, _split_layers
 
@@ -1136,6 +1141,10 @@ def sharded_cgemul_k(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     tp = mesh.shape["tp"]
     if k % tp:
         raise ValueError(f"K={k} not divisible by tp={tp}")
+    if reduce_scatter and b.shape[-1] % tp:
+        raise ValueError(
+            f"N={b.shape[-1]} not divisible by tp={tp} (reduce_scatter "
+            f"shards the output's N dim)")
     orf, oif = _part_formats(out_fmt)
     r_layers, i_layers = _split_layers(add_formats)
     # 1-row x 1-col probe with the GLOBAL k: validates the proof and
@@ -1165,8 +1174,23 @@ def sharded_cgemul_k(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     ai = jax.device_put(a.imag.data, NamedSharding(mesh, in_ai))
     br = jax.device_put(b.real.data, NamedSharding(mesh, in_br))
     bi = jax.device_put(b.imag.data, NamedSharding(mesh, in_bi))
-    out_r = _out_spec(probe.real.fmt, P(None, None))
-    out_i = _out_spec(probe.imag.fmt, P(None, None))
+    out_rank = P(None, "tp") if reduce_scatter else P(None, None)
+    out_r = _out_spec(probe.real.fmt, out_rank)
+    out_i = _out_spec(probe.imag.fmt, out_rank)
+
+    if reduce_scatter:
+        def _red(d):
+            return jax.lax.psum_scatter(d, "tp", scatter_dimension=1,
+                                        tiled=True)
+
+        def _lred(d):
+            return _psum_limbs(d, True)
+    else:
+        def _red(d):
+            return jax.lax.psum(d, "tp")
+
+        def _lred(d):
+            return _psum_limbs(d, False)
 
     def build():
         @partial(jax.shard_map, mesh=mesh,
@@ -1177,8 +1201,7 @@ def sharded_cgemul_k(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
             lb = QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi))
             c = _fast_cgemul(la, lb, orf, oif, algo, r_layers, i_layers,
                              mul_tags,
-                             dot_reduce=lambda d: jax.lax.psum(d, "tp"),
-                             limb_dot_reduce=lambda d: _psum_limbs(d, False),
+                             dot_reduce=_red, limb_dot_reduce=_lred,
                              k_total=k, cap_mn=cap)
             # probe above proved the plan; local slices share the formats
             return c.real.data, c.imag.data
@@ -1186,7 +1209,7 @@ def sharded_cgemul_k(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
 
     fn = _cached(("ck", far, fai, fbr, fbi, orf, oif, algo,
                   _freeze(r_layers), _freeze(i_layers), _freeze(mul_tags),
-                  mesh, k, cap), build)
+                  mesh, k, cap, bool(reduce_scatter)), build)
     rr, ri = fn(ar, ai, br, bi)
     return QComplexTensor(QTensor(rr, probe.real.fmt),
                           QTensor(ri, probe.imag.fmt))

@@ -194,6 +194,35 @@ def test_sharded_k_wide_cgemul_pair_out():
     assert_matches(got, oracle(a, b, OUT_PAIR, "basic", TAGS_B, LAYERS))
 
 
+@pytest.mark.parametrize("rs", [False, True])
+def test_sharded_k_wide_cgemul_reduce_scatter(rs):
+    """psum AND psum_scatter (N-sharded output) forms of the wide complex
+    K-strategy must match the single-chip bits."""
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import sharded_cgemul_k
+
+    a, b = make_ops(F40, F40, 2, 8, 8, f"shrs{rs}")
+    got = sharded_cgemul_k(a, b, OUT_LIMB, mesh, algo="basic",
+                           add_formats=LAYERS, reduce_scatter=rs, **TAGS_B)
+    assert_matches(got, oracle(a, b, OUT_LIMB, "basic", TAGS_B, LAYERS))
+
+
+def test_sharded_k_i32_cgemul_reduce_scatter():
+    """reduce_scatter on the int32-domain complex K-strategy (TF algo)."""
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import sharded_cgemul_k
+
+    f34 = qformat(3, 4)
+    w = qformat(20, 8)
+    mid = qformat(5, 4)
+    tags = dict(ab=mid, cd=mid, ba=mid, abc=w, cdb=w, bad=w, AB=w, BC=w)
+    out = (qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO),) * 2
+    a, b = make_ops(f34, f34, 2, 8, 8, "shi32rs")
+    got = sharded_cgemul_k(a, b, out, mesh, algo="tf", add_formats=(w,),
+                           reduce_scatter=True, **tags)
+    assert_matches(got, oracle(a, b, out, "tf", tags, (w,)))
+
+
 def test_sharded_auto_routes_wide_to_k():
     mesh = _mesh_or_skip()
     from qublas_tpu.parallel import sharded_cgemul
