@@ -9,6 +9,7 @@ from .sharding import (
     make_mesh,
     shard_qgemul,
     sharded_cgemul,
+    sharded_cgemul_dp,
     sharded_cgemul_k,
     sharded_cgemul_mn,
     sharded_qgemul_dp,
@@ -28,6 +29,7 @@ __all__ = [
     "make_mesh",
     "shard_qgemul",
     "sharded_cgemul",
+    "sharded_cgemul_dp",
     "sharded_cgemul_k",
     "sharded_cgemul_mn",
     "sharded_qgemul_dp",

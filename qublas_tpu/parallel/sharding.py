@@ -53,6 +53,7 @@ __all__ = ["make_mesh", "shard_qgemul", "sharded_qgemul_k",
            "sharded_qgemul_k_limb_pipelined", "sharded_qgemul_mn",
            "sharded_qgemul_dp", "init_distributed",
            "sharded_cgemul", "sharded_cgemul_mn", "sharded_cgemul_k",
+           "sharded_cgemul_dp",
            "sharded_qreduce", "sharded_qreduce_k"]
 
 
@@ -995,6 +996,8 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     """
     from ..ops.cgemm import _fast_cgemul, _part_formats, _split_layers
 
+    if strategy == "auto" and a.real.ndim > 2:
+        strategy = "dp"
     if strategy == "auto":
         # memoize the fast-path-proof verdict: it is static per config,
         # and the eager 1-row x 1-col probe costs a device dispatch
@@ -1019,7 +1022,65 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     if strategy == "mn":
         return sharded_cgemul_mn(a, b, out_fmt, mesh, algo=algo,
                                  add_formats=add_formats, **mul_tags)
+    if strategy == "dp":
+        return sharded_cgemul_dp(a, b, out_fmt, mesh, algo=algo,
+                                 add_formats=add_formats, **mul_tags)
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def sharded_cgemul_dp(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
+                      add_formats=(), **mul_tags):
+    """Shard the leading batch dim of a batched complex GEMM over the whole
+    mesh (dp×tp): each chip runs independent complex GEMMs on its batch
+    slice — the complex side of the DCN streaming pattern
+    (:func:`sharded_qgemul_dp`).  Bit-exact for every config: each batch
+    element's full GEMM stays on one chip."""
+    from ..complex import QComplexTensor
+
+    if a.real.ndim < 3:
+        raise ValueError("dp strategy needs a batched LHS [batch, m, k]")
+    from ..ops.cgemm import cgemul
+
+    orf, oif = _cgemul_probe(a, b, out_fmt, algo, add_formats, mul_tags,
+                             "sharded_cgemul_dp")
+    n_dev = mesh.shape["dp"] * mesh.shape["tp"]
+    if a.real.shape[0] % n_dev:
+        raise ValueError(
+            f"batch dim {a.real.shape[0]} not divisible by {n_dev} devices")
+    axes = ("dp", "tp")
+    spec_a = P(axes, *([None] * (a.real.ndim - 1)))
+    spec_b = P(axes, *([None] * (b.real.ndim - 1))) \
+        if b.real.ndim == a.real.ndim else P(*([None] * b.real.ndim))
+    far, fai = a.real.fmt, a.imag.fmt
+    fbr, fbi = b.real.fmt, b.imag.fmt
+    in_ar = _in_spec(a.real, spec_a)
+    in_ai = _in_spec(a.imag, spec_a)
+    in_br = _in_spec(b.real, spec_b)
+    in_bi = _in_spec(b.imag, spec_b)
+    ar = jax.device_put(a.real.data, NamedSharding(mesh, in_ar))
+    ai = jax.device_put(a.imag.data, NamedSharding(mesh, in_ai))
+    br = jax.device_put(b.real.data, NamedSharding(mesh, in_br))
+    bi = jax.device_put(b.imag.data, NamedSharding(mesh, in_bi))
+    out_r = _out_spec(orf, spec_a)
+    out_i = _out_spec(oif, spec_a)
+
+    def build():
+        @partial(jax.shard_map, mesh=mesh,
+                 in_specs=(in_ar, in_ai, in_br, in_bi),
+                 out_specs=(out_r, out_i))
+        def block(ard, aid, brd, bid):
+            c = cgemul(QComplexTensor(QTensor(ard, far), QTensor(aid, fai)),
+                       QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi)),
+                       out_fmt, algo=algo, add_formats=add_formats,
+                       **mul_tags)
+            return c.real.data, c.imag.data
+        return block
+
+    fn = _cached(("cdp", far, fai, fbr, fbi, _freeze(out_fmt), algo,
+                  _freeze(add_formats), _freeze(mul_tags), mesh,
+                  in_ar, in_br), build)
+    rr, ri = fn(ar, ai, br, bi)
+    return QComplexTensor(QTensor(rr, orf), QTensor(ri, oif))
 
 
 def _cgemul_probe(a, b, out_fmt, algo, add_formats, mul_tags,

@@ -223,6 +223,38 @@ def test_sharded_k_i32_cgemul_reduce_scatter():
     assert_matches(got, oracle(a, b, out, "tf", tags, (w,)))
 
 
+def test_sharded_cgemul_dp_batched():
+    """Batch-sharded complex GEMM (dp over the whole mesh): bit-exact for
+    every config, wide operands included (each chip runs its batch slice's
+    full GEMMs)."""
+    mesh = _mesh_or_skip()
+    from qublas_tpu.parallel import sharded_cgemul, sharded_cgemul_dp
+
+    B, m, k, n = 8, 2, 4, 3
+
+    def mk(shape, seed):
+        tot = int(np.prod(shape))
+        return QComplexTensor(
+            from_raw(rand_raws(F40, tot, seed).reshape(shape), F40),
+            from_raw(rand_raws(F40, tot, seed + "i").reshape(shape), F40))
+
+    a, b = mk((B, m, k), "dpa"), mk((B, k, n), "dpb")
+    got = sharded_cgemul_dp(a, b, OUT_LIMB, mesh, algo="basic",
+                            add_formats=LAYERS, **TAGS_B)
+    ref = cgemul(a, b, OUT_LIMB, algo="basic", add_formats=LAYERS, **TAGS_B)
+    for part in ("real", "imag"):
+        g = np.asarray(getattr(got, part).raw(), dtype=object).reshape(-1)
+        w = np.asarray(getattr(ref, part).raw(), dtype=object).reshape(-1)
+        assert [int(v) for v in g] == [int(v) for v in w], part
+    # auto routes batched inputs to dp
+    got2 = sharded_cgemul(a, b, OUT_LIMB, mesh, algo="basic",
+                          add_formats=LAYERS, **TAGS_B)
+    for part in ("real", "imag"):
+        g = np.asarray(getattr(got2, part).raw(), dtype=object).reshape(-1)
+        w = np.asarray(getattr(ref, part).raw(), dtype=object).reshape(-1)
+        assert [int(v) for v in g] == [int(v) for v in w], part
+
+
 def test_sharded_auto_routes_wide_to_k():
     mesh = _mesh_or_skip()
     from qublas_tpu.parallel import sharded_cgemul
