@@ -1162,9 +1162,13 @@ def bench_cgemm_wide():
                                 QTensor(PairArray(bih, bil), fa))
 
             def body(i, c):
-                arh2, _ = jax.lax.optimization_barrier((arh, c))
-                qa = QComplexTensor(QTensor(PairArray(arh2, arl), fa),
-                                    QTensor(PairArray(aih, ail), fa))
+                # tie EVERY a-side operand to the carry (ADVICE r4: tying
+                # only arh let XLA hoist the ai-side digit matmuls out of
+                # the loop, timing 2 of 4 dots)
+                arh2, arl2, aih2, ail2, _ = jax.lax.optimization_barrier(
+                    (arh, arl, aih, ail, c))
+                qa = QComplexTensor(QTensor(PairArray(arh2, arl2), fa),
+                                    QTensor(PairArray(aih2, ail2), fa))
                 r = cgemul(qa, qb, outf, **kw)
                 return c + r.real.data.limbs[0].astype(jnp.int32)
             return jax.lax.fori_loop(0, RG, body,

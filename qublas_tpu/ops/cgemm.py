@@ -209,6 +209,12 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
             fA = s_ab.fmt.frac_bits + fbr.frac_bits
             fB = s_cd.fmt.frac_bits + fai.frac_bits
             fC = s_ba.fmt.frac_bits + fbi.frac_bits
+            # the epilogue applies fin_r-fB AND fin_i-fB individually to
+            # dB (and fin_r-fA / fin_i-fC to dA/dC) — every static shift
+            # must be non-negative, not just the max-side one
+            if min(fin_r.frac_bits - fA, fin_r.frac_bits - fB,
+                   fin_i.frac_bits - fB, fin_i.frac_bits - fC) < 0:
+                return None
             dA = dot(S1, b.real.data.astype(jnp.int32), s_ab.iv,
                      fmt_interval(fbr), fin_r.frac_bits - fA)
             dB = dot(a.imag.data.astype(jnp.int32), S2, fmt_interval(fai),
@@ -310,6 +316,10 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
             extra_bits = []
         if any(s < 0 for _, _, s in dspecs) or any(s < 0 for s in align):
             return None                   # shift invariant violated
+        if algo == "tf" and (fin_r.frac_bits < fB or fin_i.frac_bits < fB):
+            # epilogue L.lshl's dB by fin_r-fB AND fin_i-fB individually;
+            # dspecs only checked max(fin_r,fin_i)-fB (ADVICE r4)
+            return None
 
         need = max(requant_work_bits(re_tot, fin_r.frac_bits, orf),
                    requant_work_bits(im_tot, fin_i.frac_bits, oif),

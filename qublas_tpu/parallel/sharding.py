@@ -985,6 +985,30 @@ def sharded_qgemul_dp(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
 # Complex GEMM sharding (TF/Basic per-product algorithms)
 # ---------------------------------------------------------------------------
 
+def _stack_qt(ts):
+    """Stack same-format QTensors along a new leading axis (any storage)."""
+    from ..ops import limbint as L
+
+    t0 = ts[0]
+    if t0.is_pair:
+        data = W.PairArray(jnp.stack([t.data.hi for t in ts]),
+                           jnp.stack([t.data.lo for t in ts]))
+    elif t0.is_limb:
+        data = L.LimbArray(jnp.stack([t.data.limbs for t in ts], axis=1))
+    elif t0.is_host:
+        data = np.stack([t.data for t in ts])
+    else:
+        data = jnp.stack([t.data for t in ts])
+    return QTensor(data, t0.fmt)
+
+
+def _stack_complex(cs):
+    from ..complex import QComplexTensor
+
+    return QComplexTensor(_stack_qt([c.real for c in cs]),
+                          _stack_qt([c.imag for c in cs]))
+
+
 def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
                    add_formats=(), strategy: str = "auto", **mul_tags):
     """Sharded complex C = A @ B (see :func:`qublas_tpu.ops.cgemm.cgemul`).
@@ -997,7 +1021,22 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     from ..ops.cgemm import _fast_cgemul, _part_formats, _split_layers
 
     if strategy == "auto" and a.real.ndim > 2:
-        strategy = "dp"
+        n_dev = mesh.shape["dp"] * mesh.shape["tp"]
+        if a.real.shape[0] % n_dev == 0:
+            strategy = "dp"
+        else:
+            # valid-but-unaligned batch (ADVICE r4): auto must not raise —
+            # run each batch element through the 2D auto path and stack
+            from ..complex import QComplexTensor
+
+            outs = [sharded_cgemul(
+                        QComplexTensor(a.real[(i,)], a.imag[(i,)]),
+                        QComplexTensor(b.real[(i,)], b.imag[(i,)])
+                        if b.real.ndim == a.real.ndim else b,
+                        out_fmt, mesh, algo=algo, add_formats=add_formats,
+                        strategy="auto", **mul_tags)
+                    for i in range(a.real.shape[0])]
+            return _stack_complex(outs)
     if strategy == "auto":
         # memoize the fast-path-proof verdict: it is static per config,
         # and the eager 1-row x 1-col probe costs a device dispatch

@@ -189,6 +189,37 @@ def test_sharded_cgemul_auto_picks():
     assert_q_equal(y2.imag, ref2.imag)
 
 
+def test_sharded_cgemul_auto_unaligned_batch():
+    """auto on a batched input whose batch is NOT divisible by the device
+    count must not raise (ADVICE r4): it loops the 2D auto path per batch
+    element and stacks."""
+    f = qformat(3, 4)
+    wide = qformat(20, 8)
+    mid = qformat(5, 4)
+    out = (qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO),) * 2
+    kw = dict(algo="tf", add_formats=(wide,), ab=mid, cd=mid, ba=mid,
+              abc=wide, cdb=wide, bad=wide, AB=wide, BC=wide)
+    mesh = mesh22()
+    rng = np.random.RandomState(7)
+
+    def rq(shape, seed):
+        r = np.random.RandomState(seed)
+        return from_raw(r.randint(f.raw_min, f.raw_max + 1, shape), f)
+
+    a = QComplexTensor(rq((3, 4, 16), 80), rq((3, 4, 16), 81))
+    b = QComplexTensor(rq((3, 16, 8), 82), rq((3, 16, 8), 83))
+    y = sharded_cgemul(a, b, out, mesh, **kw)
+    ref = cgemul(a, b, out, **kw)
+    assert_q_equal(y.real, ref.real)
+    assert_q_equal(y.imag, ref.imag)
+    # 2D b (shared across batch) through the same fallback
+    b2 = QComplexTensor(rq((16, 8), 84), rq((16, 8), 85))
+    y2 = sharded_cgemul(a, b2, out, mesh, **kw)
+    ref2 = cgemul(a, b2, out, **kw)
+    assert_q_equal(y2.real, ref2.real)
+    assert_q_equal(y2.imag, ref2.imag)
+
+
 # ---------------------------------------------------------------------------
 # Sharded Qreduce
 # ---------------------------------------------------------------------------
