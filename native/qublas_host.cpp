@@ -626,6 +626,62 @@ void t_w_shift(const uint64_t *in, uint64_t *out, size_t n,
     }
 }
 
+// effective bit length of a non-negative magnitude
+template <int NL> inline int w_bits_u(const W<NL> &a) {
+    int t = w_top(a);
+    if (t == 0) return 0;
+    uint64_t v = a.l[t - 1];
+    int b = 0;
+    while (v) { ++b; v >>= 1; }
+    return (t - 1) * 64 + b;
+}
+
+// truncating signed division (round toward zero), b != 0: restoring
+// shift-subtract long division over the numerator's effective bit width.
+// The reference's >64-bit ArbiInt operator/ (deprecated decimal long
+// division, QuBLAS.h:1429-1483) has the same magnitude semantics; D1
+// documents the intent bits we reproduce.
+template <int NL> inline W<NL> w_div_trunc(const W<NL> &a, const W<NL> &b) {
+    bool na = w_is_neg(a), nb = w_is_neg(b);
+    W<NL> x = na ? w_neg(a) : a;
+    W<NL> y = nb ? w_neg(b) : b;
+    if (w_cmp_u(x, y) < 0) return w_zero<NL>();
+    int nbits = w_bits_u(x);
+    W<NL> rem = w_zero<NL>(), quot = w_zero<NL>();
+    for (int i = nbits - 1; i >= 0; --i) {
+        rem = w_shl(rem, 1);
+        if ((x.l[i / 64] >> (i % 64)) & 1) rem.l[0] |= 1;
+        if (w_cmp_u(rem, y) >= 0) {
+            rem = w_sub(rem, y);
+            quot.l[i / 64] |= 1ull << (i % 64);
+        }
+    }
+    return (na != nb) ? w_neg(quot) : quot;
+}
+
+template <int NL>
+void t_w_div(const uint64_t *a, const uint64_t *b, uint64_t *out, size_t n,
+             int32_t nla, int32_t nlb, int32_t nlo,
+             int32_t fa_frac, int32_t fb_frac, const Fmt *to) {
+    // reference warts (QuBLAS.h:3241-3266, same as qh_div): div-by-zero
+    // -> 0; quotient truncates toward zero; overflow stage only
+    int sa = fb_frac > fa_frac ? fb_frac - fa_frac : 0;
+    int sb = fa_frac > fb_frac ? fa_frac - fb_frac : 0;
+    int s = sa + to->frac_bits;
+    for (size_t i = 0; i < n; ++i) {
+        W<NL> bv = w_load_n<NL>(b + i * nlb, nlb);
+        if (w_is_zero(bv)) {
+            w_store_n(out + i * nlo, w_zero<NL>(), nlo);
+            continue;
+        }
+        W<NL> den = w_shl(bv, sb);
+        W<NL> num = w_load_n<NL>(a + i * nla, nla);
+        num = s >= 0 ? w_shl(num, s) : w_sar(num, -s);
+        w_store_n(out + i * nlo,
+                  w_int_convert(w_div_trunc(num, den), *to), nlo);
+    }
+}
+
 // multiword streaming tree GEMM: same binary-carry schedule as
 // qh_tree_gemm, every value an NL-limb vector — the reference's >64-bit
 // ArbiInt GEMM territory at C speed.
@@ -734,6 +790,15 @@ void qh_wx_addsub(const uint64_t *a, const uint64_t *b, uint64_t *out,
 #undef C_
 }
 
+void qh_wx_div(const uint64_t *a, const uint64_t *b, uint64_t *out,
+               size_t n, int32_t nl, int32_t nla, int32_t nlb,
+               int32_t nlo, int32_t fa_frac, int32_t fb_frac,
+               const Fmt *to) {
+#define C_(N) t_w_div<N>(a, b, out, n, nla, nlb, nlo, fa_frac, fb_frac, to)
+    QH_WX_DISPATCH(nl, C_)
+#undef C_
+}
+
 void qh_wx_shift(const uint64_t *in, uint64_t *out, size_t n, int32_t nl,
                  int32_t nla, int32_t nlo, int32_t shift) {
 #define C_(N) t_w_shift<N>(in, out, n, nla, nlo, shift)
@@ -757,6 +822,6 @@ void qh_wx_tree_gemm(const uint64_t *A, const uint64_t *B, uint64_t *C,
 #undef C_
 }
 
-int32_t qh_abi_version(void) { return 6; }
+int32_t qh_abi_version(void) { return 7; }
 
 }  // extern "C"

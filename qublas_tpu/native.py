@@ -92,6 +92,8 @@ def _build() -> Optional[ctypes.CDLL]:
                               i32, i32, i32, i32, i32, i32, fp]
     lib.qh_wx_addsub.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
                                  i32, i32, i32, i32, i32, i32, i32, fp]
+    lib.qh_wx_div.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
+                              i32, i32, i32, i32, i32, i32, fp]
     lib.qh_wx_shift.argtypes = [u64p, u64p, ctypes.c_size_t,
                                 i32, i32, i32, i32]
     lib.qh_wx_tree_gemm.argtypes = [u64p, u64p, u64p,
@@ -101,7 +103,7 @@ def _build() -> Optional[ctypes.CDLL]:
                                     fp, fp, fp, i32,
                                     ctypes.POINTER(i32), i32, fp]
     lib.qh_abi_version.restype = ctypes.c_int32
-    if lib.qh_abi_version() != 6 or lib.qh_w_limbs() != _NL \
+    if lib.qh_abi_version() != 7 or lib.qh_w_limbs() != _NL \
             or not all(lib.qh_wx_supported(nl) for nl in _W_NL_OPTIONS):
         return None
     return lib
@@ -389,7 +391,8 @@ def binary_op(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
         sb = max(fa.frac_bits - fb.frac_bits, 0)
         if ea + sa + max(to.frac_bits, 0) > _MAX_TOTAL_BITS or \
                 eb + sb > _MAX_TOTAL_BITS:
-            return None
+            return binary_op_wide(op, a_raws, b_raws, fa, fb, to,
+                                  sa_bits=ea, sb_bits=eb)
         lib.qh_div(_ptr(a), _ptr(b), _ptr(out), a.size, fa.frac_bits,
                    fb.frac_bits, ctypes.byref(_fmt(to)))
     else:
@@ -407,7 +410,7 @@ def binary_op_wide(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
     value widths (``_value_bits`` is an O(n) Python pass over object raws —
     don't do it twice)."""
     lib = get_lib()
-    if lib is None or op == "div":  # multiword division stays on Python ints
+    if lib is None:
         return None
     if sa_bits is None:
         sa_bits = max(_eff_width(fa), _value_bits(a_raws))
@@ -416,6 +419,15 @@ def binary_op_wide(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
     if op == "mul":
         need = _w_requant_bits(sa_bits + sb_bits,
                                fa.frac_bits + fb.frac_bits, to)
+    elif op == "div":
+        # round-5 compiled multiword divider (qh_wx_div): numerator
+        # upshifts by sa + out frac, denominator by sb; the quotient is
+        # bounded by the numerator and only the overflow stage runs
+        sa = max(fb.frac_bits - fa.frac_bits, 0)
+        sb = max(fa.frac_bits - fb.frac_bits, 0)
+        num_bits = sa_bits + sa + max(to.frac_bits, 0) + 1
+        need = max(_w_requant_bits(num_bits, to.frac_bits, to),
+                   sb_bits + sb + 1)
     else:
         f = max(fa.frac_bits, fb.frac_bits)
         src = max(sa_bits + f - fa.frac_bits, sb_bits + f - fb.frac_bits) + 1
@@ -434,6 +446,10 @@ def binary_op_wide(op: str, a_raws, b_raws, fa: QFormat, fb: QFormat,
     out = np.empty((la.shape[0], nlo), dtype=np.uint64)
     if op == "mul":
         lib.qh_wx_mul(_uptr(la), _uptr(lb), _uptr(out), la.shape[0], nl,
+                      nla, nlb, nlo, fa.frac_bits, fb.frac_bits,
+                      ctypes.byref(_fmt(to)))
+    elif op == "div":
+        lib.qh_wx_div(_uptr(la), _uptr(lb), _uptr(out), la.shape[0], nl,
                       nla, nlb, nlo, fa.frac_bits, fb.frac_bits,
                       ctypes.byref(_fmt(to)))
     else:

@@ -17,6 +17,7 @@ from .sharding import (
     sharded_qgemul_k_limb,
     sharded_qgemul_k_limb_pipelined,
     sharded_qgemul_k_pipelined,
+    sharded_qgemul_k_tree,
     sharded_qgemul_k_wide,
     sharded_qgemul_k_wide_pipelined,
     sharded_qgemul_mn,
@@ -34,6 +35,7 @@ __all__ = [
     "sharded_cgemul_mn",
     "sharded_qgemul_dp",
     "sharded_qgemul_k",
+    "sharded_qgemul_k_tree",
     "sharded_qgemul_k_limb",
     "sharded_qgemul_k_limb_pipelined",
     "sharded_qgemul_k_pipelined",

@@ -27,6 +27,14 @@ insert collectives.  Three strategies, chosen by bit-exactness constraints:
 * ``"dp"`` — shard leading batch dims; each chip runs independent GEMMs
   (multi-host batch streaming).
 
+* ``"k_tree"`` (round 5) — K-shard an ORDER-SENSITIVE tree: split the
+  contraction dim on level-``s`` subtree boundaries (``2^s | k``), fold
+  complete subtrees per device with the global layer formats, all_gather
+  the ``k/2^s`` node values, finish the top layers with shifted TypeAt
+  formats.  **Bit-exact for every config by construction** (no proof
+  gate) — closes the asymmetry where rounding/saturating accumulations
+  could only shard mn/dp.
+
 All functions operate on :class:`~qublas_tpu.qtensor.QTensor` (a pytree), so
 they compose with ``jax.jit`` / ``jax.shard_map`` like any array program.
 """
@@ -48,6 +56,7 @@ from ..qformat import QFormat, mul_merge
 from ..qtensor import QTensor
 
 __all__ = ["make_mesh", "shard_qgemul", "sharded_qgemul_k",
+           "sharded_qgemul_k_tree",
            "sharded_qgemul_k_pipelined", "sharded_qgemul_k_wide",
            "sharded_qgemul_k_wide_pipelined", "sharded_qgemul_k_limb",
            "sharded_qgemul_k_limb_pipelined", "sharded_qgemul_mn",
@@ -271,7 +280,24 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
                               mesh.shape["tp"], plan=plan) is not None:
                 strategy = "k_wide"
             else:
+                # order-sensitive (or envelope-excluded) config: the
+                # subtree-aligned tree split K-shards it bit-exactly with
+                # no proof.  Prefer it when the split is deep enough that
+                # the node gather is small (s >= 3: <= k/8 node values);
+                # shallow splits and host-route configs keep mn
                 strategy = "mn"
+                s, _q, _E, _nn = _k_tree_split(a.shape[-1],
+                                               mesh.shape["tp"])
+                if s >= 3:
+                    try:
+                        _check_traceable(a[0:1, :], b[:, 0:1], out_fmt,
+                                         mul_to, add_formats,
+                                         dict(mul_full_prec=kw.get(
+                                             "mul_full_prec", False)),
+                                         "shard_qgemul auto k_tree")
+                        strategy = "k_tree"
+                    except ValueError:
+                        pass
     if strategy == "k_limb":
         return sharded_qgemul_k_limb(a, b, out_fmt, mesh, mul_to=mul_to,
                                      add_formats=add_formats, **kw)
@@ -286,6 +312,9 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
         return sharded_qgemul_k_wide_pipelined(a, b, out_fmt, mesh,
                                                mul_to=mul_to,
                                                add_formats=add_formats, **kw)
+    if strategy == "k_tree":
+        return sharded_qgemul_k_tree(a, b, out_fmt, mesh, mul_to=mul_to,
+                                     add_formats=add_formats, **kw)
     if strategy == "k":
         return sharded_qgemul_k(a, b, out_fmt, mesh, mul_to=mul_to,
                                 add_formats=add_formats, **kw)
@@ -489,6 +518,190 @@ def sharded_qgemul_k_pipelined(a: QTensor, b: QTensor, out_fmt: QFormat,
 
     fn = _cached(("kp", prod_frac, out_fmt, epilogue_lut, mesh, bn), build)
     res_fmt = out_fmt if epilogue_lut is None else epilogue_lut.out_fmt
+    return QTensor(fn(a.data, b.data), res_fmt)
+
+
+# ---------------------------------------------------------------------------
+# Subtree-aligned K sharding — ORDER-SENSITIVE configs (no proof needed)
+# ---------------------------------------------------------------------------
+
+def _k_tree_split(k: int, tp: int):
+    """Split geometry for :func:`sharded_qgemul_k_tree`.
+
+    Picks the deepest subtree level ``s`` such that (a) ``2^s | k`` — so
+    level-``s`` node boundaries are global-tree-aligned and no pass-through
+    exists below level ``s`` (every layer ``l < s`` has size ``(k/2^s) *
+    2^(s-l)``, even) — and (b) ``2^s <= k // tp`` — so the per-device span
+    stays balanced.  Returns ``(s, q, E, n_nodes)``: each device folds ``q``
+    complete ``2^s``-element subtrees over its ``E = q * 2^s``-element
+    K-span (the k axis zero-pads to ``tp * E``; pad elements fill whole
+    level-``s`` node slots past ``n_nodes = k / 2^s`` and are sliced off
+    after the gather, so they never mix into real nodes)."""
+    v2 = (k & -k).bit_length() - 1
+    cap = max((k // tp).bit_length() - 1, 0)
+    s = min(v2, cap)
+    q = -(-k // (tp << s))
+    return s, q, q << s, k >> s
+
+
+def _node_format(mul_fmt: QFormat, add_formats, s: int) -> QFormat:
+    """Format of a level-``s`` tree node: fold the per-layer TypeAt formats
+    (QuBLAS.h:4913) from the product format through layers ``0..s-1``."""
+    from ..ops.reduce import layer_format
+    from ..qformat import add_merge
+
+    fmt = mul_fmt
+    for l in range(s):
+        lf = layer_format(add_formats, l)
+        fmt = lf if lf is not None else add_merge(fmt, fmt)
+    return fmt
+
+
+def _shift_layers(add_formats, s: int):
+    """Layer formats as seen from level ``s`` upward (TypeAt is
+    ``min(layer, len-1)``, so the shifted view is a suffix that repeats its
+    last element)."""
+    if not add_formats or s == 0:
+        return tuple(add_formats)
+    return tuple(add_formats[min(s + i, len(add_formats) - 1)]
+                 for i in range(max(len(add_formats) - s, 1)))
+
+
+def _pad_k(t: QTensor, axis: int, pad: int) -> QTensor:
+    """Zero-pad a QTensor along ``axis`` (lane / pair / limb storage).
+    Zero raws are valid in every format, and pad elements only ever fill
+    whole pad node slots (see :func:`_k_tree_split`)."""
+    from ..ops import limbint as L
+
+    if pad == 0:
+        return t
+    widths = [(0, 0)] * t.ndim
+    widths[axis] = (0, pad)
+    if t.is_pair:
+        return QTensor(W.PairArray(jnp.pad(t.data.hi, widths),
+                                   jnp.pad(t.data.lo, widths)), t.fmt)
+    if t.is_limb:
+        return QTensor(L.LimbArray(jnp.pad(t.data.limbs,
+                                           [(0, 0)] + widths)), t.fmt)
+    return QTensor(jnp.pad(t.data, widths), t.fmt)
+
+
+def _gather_nodes(t: QTensor):
+    """all_gather a node-leading QTensor over ``tp`` (node axis 0)."""
+    from ..ops import limbint as L
+
+    if t.is_pair:
+        return QTensor(W.PairArray(
+            jax.lax.all_gather(t.data.hi, "tp", axis=0, tiled=True),
+            jax.lax.all_gather(t.data.lo, "tp", axis=0, tiled=True)), t.fmt)
+    if t.is_limb:
+        return QTensor(L.LimbArray(
+            jax.lax.all_gather(t.data.limbs, "tp", axis=1, tiled=True)),
+            t.fmt)
+    return QTensor(jax.lax.all_gather(t.data, "tp", axis=0, tiled=True),
+                   t.fmt)
+
+
+def sharded_qgemul_k_tree(a: QTensor, b: QTensor, out_fmt: QFormat,
+                          mesh: Mesh, mul_to=None, add_formats=(),
+                          mul_full_prec=False, epilogue_lut=None,
+                          use_pallas=None) -> QTensor:
+    """K-shard an ORDER-SENSITIVE tree GEMM — subtree-aligned, bit-exact by
+    construction (round-5: closes the last parallelism asymmetry; every
+    other K strategy is gated on a losslessness proof).
+
+    The reference's canonical per-layer-quantized accumulation
+    (QuBLAS.h:4960-4990, BASELINE config 1) is association-order-sensitive,
+    so partials cannot psum.  But the tree is hierarchical: with the
+    contraction dim split on level-``s`` subtree boundaries (``2^s | k``),
+    each device folds its complete subtrees locally with the global layer
+    formats (layers ``0..s-1`` — no odd tails exist below level ``s``),
+    the ``k/2^s`` level-``s`` node values all_gather over ICI (tiny:
+    ``m x n x k/2^s`` elements), and the top layers fold with the shifted
+    TypeAt formats via :func:`~qublas_tpu.ops.reduce.qreduce` — whose
+    odd-tail converting-assignment rules reproduce the global tree's
+    levels ``s..`` exactly, including ragged (non-power-of-2) ``k``.
+
+    Any ``k >= 1`` and any ``tp`` are admitted (zero-pad to whole node
+    slots, sliced off post-gather).  When a device's span is exactly one
+    subtree the local fold IS a single-chip :func:`qgemul` — the blocked
+    Pallas tree kernel runs unchanged per chip.  The gathered top fold is
+    replicated over ``tp`` (it is O(m*n*k/2^s) VPU work).
+    """
+    from ..ops import elementwise as ew
+    from ..ops.reduce import _moveaxis, qreduce
+
+    if a.ndim != 2 or b.ndim != 2:
+        raise ValueError("k_tree shards 2-D GEMMs (use dp for batches)")
+    _check_traceable(a[0:1, :], b[:, 0:1], out_fmt, mul_to, add_formats,
+                     dict(mul_full_prec=mul_full_prec), "sharded_qgemul_k_tree")
+    k = a.shape[-1]
+    tp = mesh.shape["tp"]
+    s, q, E, n_nodes = _k_tree_split(k, tp)
+    mul_fmt = mul_merge(a.fmt, b.fmt, mul_to, mul_full_prec)
+    node_fmt = _node_format(mul_fmt, add_formats, s)
+    top_layers = _shift_layers(add_formats, s)
+    pad = tp * E - k
+    a = _pad_k(a, 1, pad)
+    b = _pad_k(b, 0, pad)
+    a = _device_put(a, mesh, P(None, "tp"))
+    b = _device_put(b, mesh, P("tp", None))
+    in_a = _in_spec(a, P(None, "tp"))
+    in_b = _in_spec(b, P("tp", None))
+    lut = epilogue_lut
+    res_fmt = lut.out_fmt if lut is not None else out_fmt
+    out_s = _out_spec(res_fmt, P(None, None))
+    fa, fb = a.fmt, b.fmt
+    m = a.shape[0]
+    n = b.shape[-1]
+
+    def build():
+        from ..ops.gemm import qgemul as _qgemul
+
+        # check_vma off: the top fold runs on an all_gather'ed (hence
+        # replicated) node array, which the varying-mesh-axes inference
+        # cannot see through
+        @partial(jax.shard_map, mesh=mesh, in_specs=(in_a, in_b),
+                 out_specs=out_s, check_vma=False)
+        def block(ad, bd):
+            qa, qb = QTensor(ad, fa), QTensor(bd, fb)
+            if s == 0:
+                # nodes are the quantized products themselves
+                prod = ew.qmul(QTensor(qa.data[:, :, None], fa),
+                               QTensor(qb.data[None, :, :], fb),
+                               to=mul_to, full_prec=mul_full_prec)
+                nodes = QTensor(_moveaxis(prod.data, 1, 0), prod.fmt)
+            elif q == 1:
+                # the whole device span is ONE complete subtree: the local
+                # fold is a single-chip qgemul (blocked Pallas tree kernel
+                # on TPU); the cast into node_fmt is the identity (the
+                # tree's level-s value already lives in node_fmt)
+                one = _qgemul(qa, qb, node_fmt, mul_to=mul_to,
+                              add_formats=add_formats,
+                              mul_full_prec=mul_full_prec,
+                              use_pallas=use_pallas)
+                nodes = QTensor(one.data[None, :, :]
+                                if not (one.is_pair or one.is_limb)
+                                else one.data.reshape(1, m, n), one.fmt)
+            else:
+                # q complete subtrees: fold all of them at once, layered
+                # ([m, q, 2^s, n] products; even pairings only)
+                ca = QTensor(qa.data.reshape(m, q, 1 << s)[..., None], fa)
+                rb = QTensor(qb.data.reshape(q, 1 << s, n), fb)
+                prod = ew.qmul(ca, rb, to=mul_to, full_prec=mul_full_prec)
+                sub = qreduce(prod, add_formats, axis=-2)      # [m, q, n]
+                nodes = QTensor(_moveaxis(sub.data, 1, 0), sub.fmt)
+            gathered = _gather_nodes(nodes)                # [tp*q, m, n]
+            real = gathered[0:n_nodes]                     # drop pad nodes
+            top = qreduce(real, top_layers, axis=0)        # levels s..
+            res = ew.qcast(top, out_fmt)
+            if lut is not None:
+                res = lut(res)
+            return res.data
+        return block
+
+    fn = _cached(("k_tree", fa, fb, out_fmt, mul_to, add_formats,
+                  mul_full_prec, lut, mesh, k, use_pallas), build)
     return QTensor(fn(a.data, b.data), res_fmt)
 
 

@@ -104,6 +104,69 @@ def main() -> int:
         np.testing.assert_array_equal(np.asarray(shard.data),
                                       ref4_lo[shard.index])
 
+    # 5) round-5 (VERDICT r4 weak-4): the wide/limb collectives CROSSING
+    #    the process boundary.  A (dp=1, tp=4) mesh spans both processes,
+    #    so the carry-correct column psums, the reduce-scatter variants,
+    #    the ppermute ring, and the k_tree node all_gather actually run
+    #    over the Gloo (DCN) fabric instead of the process-local tp.
+    from qublas_tpu.parallel import (
+        sharded_qgemul_k_limb,
+        sharded_qgemul_k_tree,
+        sharded_qgemul_k_wide,
+        sharded_qgemul_k_wide_pipelined,
+    )
+
+    mesh_tp = make_mesh(dp=1, tp=4)
+
+    # k_wide: pair-domain partial dots + carry-correct 16-bit-column psum
+    kw_out = qformat(20, 6, overflow_mode=OverflowMode.SAT_ZERO)
+    kw_fmts = dict(mul_to=qformat(40, 17), add_formats=(qformat(48, 17),))
+    aw2 = from_raw(rng.randint(-(1 << 39), 1 << 39, (4, 16),
+                               dtype=np.int64).astype(object), f40)
+    bw16 = from_raw(rng.randint(-(1 << 15), 1 << 15, (16, 8),
+                                dtype=np.int64).astype(object),
+                    qformat(7, 8))
+    ref5 = qgemul(aw2, bw16, kw_out, **kw_fmts)
+    want5 = np.asarray(ref5.raw())
+    for rs in (False, True):   # psum AND reduce-scatter across processes
+        y5 = sharded_qgemul_k_wide(aw2, bw16, kw_out, mesh_tp,
+                                   reduce_scatter=rs, **kw_fmts)
+        check_local_shards(y5, want5)
+    # the ppermute ring (latency-hiding decomposed matmul) across Gloo
+    y5p = sharded_qgemul_k_wide_pipelined(aw2, bw16, kw_out, mesh_tp,
+                                          **kw_fmts)
+    check_local_shards(y5p, want5)
+
+    # k_limb: balanced-digit limb partial dots + 2*Kw-column psum; limb
+    # (stacked uint32) output leaves
+    f40w = qformat(25, 15)
+    kl_out = qformat(60, 20, overflow_mode=OverflowMode.SAT_TCPL)
+    kl_fmts = dict(mul_to=qformat(51, 30), add_formats=(qformat(57, 30),))
+    awl = from_raw(rng.randint(-(1 << 39), 1 << 39, (3, 16),
+                               dtype=np.int64).astype(object), f40w)
+    bwl = from_raw(rng.randint(-(1 << 39), 1 << 39, (16, 8),
+                               dtype=np.int64).astype(object), f40w)
+    ref6 = qgemul(awl, bwl, kl_out, **kl_fmts)
+    ref6_limbs = np.asarray(ref6.data.limbs)
+    for rs in (False, True):
+        y6 = sharded_qgemul_k_limb(awl, bwl, kl_out, mesh_tp,
+                                   reduce_scatter=rs, **kl_fmts)
+        for shard in y6.data.limbs.addressable_shards:
+            np.testing.assert_array_equal(np.asarray(shard.data),
+                                          ref6_limbs[shard.index])
+
+    # k_tree: ORDER-SENSITIVE tree K-sharding (round 5) — the node
+    # all_gather crosses the process boundary
+    f88z = qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO)
+    at = from_raw(rng.randint(f88z.raw_min, f88z.raw_max + 1, (4, 16)),
+                  f88z)
+    bt = from_raw(rng.randint(f88z.raw_min, f88z.raw_max + 1, (16, 4)),
+                  f88z)
+    y7 = sharded_qgemul_k_tree(at, bt, f88z, mesh_tp, add_formats=(f88z,),
+                               use_pallas=False)
+    ref7 = qgemul(at, bt, f88z, add_formats=(f88z,), use_pallas=False)
+    check_local_shards(y7, np.asarray(ref7.raw()))
+
     print(f"DCN_WORKER_OK {pid}", flush=True)
     return 0
 

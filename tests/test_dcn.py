@@ -26,7 +26,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
+@pytest.mark.timeout(420)
 def test_two_process_dcn():
     port = _free_port()
     procs = [
@@ -39,7 +39,7 @@ def test_two_process_dcn():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=240)
+            out, _ = p.communicate(timeout=360)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:

@@ -1,0 +1,173 @@
+"""Subtree-aligned K-sharding of ORDER-SENSITIVE tree GEMMs (round 5).
+
+The other K strategies are gated on a losslessness proof; ``k_tree`` shards
+the canonical per-layer-quantized (rounding/saturating) accumulation —
+reference tree semantics at QuBLAS.h:4960-4990 — bit-exactly by construction:
+each device folds complete aligned subtrees (no pass-throughs exist below the
+split level when 2^s | k), node values all_gather, and the top layers fold
+with shifted TypeAt formats.  All cases assert bit-identity with the
+single-chip path on the virtual 8-device CPU mesh.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from qublas_tpu.ops.gemm import qgemul
+from qublas_tpu.parallel import make_mesh, shard_qgemul, sharded_qgemul_k_tree
+from qublas_tpu.parallel.sharding import _k_tree_split
+from qublas_tpu.qformat import OverflowMode, QFormat, RoundMode, qformat
+from qublas_tpu.qtensor import from_raw
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
+                                reason="needs the virtual 8-device mesh")
+
+rng = np.random.RandomState(11)
+
+
+def rand(fmt, shape, seed=None):
+    r = np.random.RandomState(seed) if seed is not None else rng
+    return from_raw(r.randint(fmt.raw_min, fmt.raw_max + 1, size=shape), fmt)
+
+
+def assert_match(got, ref):
+    np.testing.assert_array_equal(np.asarray(got.raw()),
+                                  np.asarray(ref.raw()))
+    assert got.fmt == ref.fmt
+
+
+# the canonical order-sensitive config: saturating per-layer accumulation
+F88Z = qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO)
+# rounding per-layer formats (order-sensitive through RND_CONV ties)
+RL = (qformat(9, 6, round_mode=RoundMode.RND_CONV),
+      qformat(10, 5, round_mode=RoundMode.RND_CONV,
+              overflow_mode=OverflowMode.SAT_TCPL))
+
+
+def test_split_geometry():
+    # k = tp * 2^s exactly: one subtree per device, no padding
+    assert _k_tree_split(512, 8) == (6, 1, 64, 8)
+    # tp | k, chunk not a power of two
+    assert _k_tree_split(24, 4) == (2, 2, 8, 6)
+    # odd k: degenerate split (products gather)
+    assert _k_tree_split(17, 8) == (0, 3, 3, 17)
+    # k < tp
+    assert _k_tree_split(3, 8) == (0, 1, 1, 3)
+
+
+@pytest.mark.parametrize("k", [64, 256])
+def test_k_tree_saturating_pow2(k):
+    """k = tp * 2^s: each device folds exactly one subtree (the q==1
+    qgemul path)."""
+    mesh = make_mesh(dp=1, tp=8)
+    a = rand(F88Z, (4, k), seed=k)
+    b = rand(F88Z, (k, 6), seed=k + 1)
+    ref = qgemul(a, b, F88Z, add_formats=(F88Z,))
+    got = sharded_qgemul_k_tree(a, b, F88Z, mesh, add_formats=(F88Z,))
+    assert_match(got, ref)
+
+
+@pytest.mark.parametrize("k", [24, 40, 48])
+def test_k_tree_multi_subtree(k):
+    """tp | k but the per-device chunk holds several subtrees (q > 1
+    layered local fold), possibly with node padding."""
+    mesh = make_mesh(dp=2, tp=4)
+    f = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    a = rand(f, (5, k), seed=k)
+    b = rand(f, (k, 7), seed=k + 1)
+    ref = qgemul(a, b, f, add_formats=RL)
+    got = sharded_qgemul_k_tree(a, b, f, mesh, add_formats=RL)
+    assert_match(got, ref)
+
+
+@pytest.mark.parametrize("k", [17, 20, 52, 100])
+def test_k_tree_ragged_k(k):
+    """k not divisible by tp (incl. odd k): padded node slots slice off,
+    top-fold odd-tail conversions reproduce the global tree."""
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    a = rand(f, (3, k), seed=k)
+    b = rand(f, (k, 5), seed=k + 2)
+    ref = qgemul(a, b, f, add_formats=RL)
+    got = sharded_qgemul_k_tree(a, b, f, mesh, add_formats=RL)
+    assert_match(got, ref)
+
+
+def test_k_tree_default_merger_formats():
+    """Empty add_formats: AddMerger default inference per layer must match
+    the single-chip tree (format evolution crosses the split level)."""
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(3, 4)
+    out = qformat(5, 4, round_mode=RoundMode.RND_POS_INF)
+    a = rand(f, (4, 32), seed=201)
+    b = rand(f, (32, 4), seed=202)
+    ref = qgemul(a, b, out)
+    got = sharded_qgemul_k_tree(a, b, out, mesh)
+    assert_match(got, ref)
+
+
+def test_k_tree_mul_quantized_products():
+    """Per-product mul_to quantization (rounding at the product step)."""
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(4, 4)
+    mul = qformat(6, 5, round_mode=RoundMode.RND_INF)
+    out = qformat(7, 5, overflow_mode=OverflowMode.SAT_ZERO)
+    a = rand(f, (4, 64), seed=301)
+    b = rand(f, (64, 4), seed=302)
+    ref = qgemul(a, b, out, mul_to=mul, add_formats=(out,))
+    got = sharded_qgemul_k_tree(a, b, out, mesh, mul_to=mul,
+                                add_formats=(out,))
+    assert_match(got, ref)
+
+
+def test_k_tree_pair_storage_nodes():
+    """Order-sensitive config whose node values live in (hi, lo) pair
+    storage: the gather and top fold ride the pair leaves."""
+    mesh = make_mesh(dp=2, tp=4)
+    f = qformat(15, 10)                      # int32 lanes
+    wide = qformat(40, 20)                   # pair-storage layer format
+    out = qformat(20, 10, round_mode=RoundMode.RND_CONV,
+                  overflow_mode=OverflowMode.SAT_ZERO)
+    a = rand(f, (3, 32), seed=401)
+    b = rand(f, (32, 3), seed=402)
+    # rounding final cast keeps it order-sensitive enough to skip the
+    # proof strategies when using shifted-down layer formats
+    ref = qgemul(a, b, out, add_formats=(wide, qformat(30, 12)))
+    got = sharded_qgemul_k_tree(a, b, out, mesh,
+                                add_formats=(wide, qformat(30, 12)))
+    assert_match(got, ref)
+
+
+def test_k_tree_epilogue_lut():
+    from qublas_tpu import anus
+
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(3, 4)
+    out = qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    table = anus.build_table(anus.sqrt_func, out, qformat(4, 3))
+    a = rand(f, (4, 32), seed=501)
+    b = rand(f, (32, 4), seed=502)
+    ref = qgemul(a, b, out, add_formats=(out,), epilogue_lut=table,
+                 use_pallas=False)
+    got = sharded_qgemul_k_tree(a, b, out, mesh, add_formats=(out,),
+                                epilogue_lut=table)
+    assert_match(got, ref)
+
+
+def test_auto_picks_k_tree_for_order_sensitive():
+    """shard_qgemul auto routes deep-split order-sensitive configs to
+    k_tree (round-5 wiring) and still falls back to mn for shallow
+    splits."""
+    mesh = make_mesh(dp=1, tp=8)
+    a = rand(F88Z, (4, 64), seed=601)
+    b = rand(F88Z, (64, 4), seed=602)
+    ref = qgemul(a, b, F88Z, add_formats=(F88Z,))
+    got = shard_qgemul(a, b, F88Z, mesh, add_formats=(F88Z,))
+    assert_match(got, ref)
+    # odd k -> s=0 -> shallow -> mn fallback still bit-exact
+    a2 = rand(F88Z, (8, 27), seed=603)
+    b2 = rand(F88Z, (27, 8), seed=604)
+    ref2 = qgemul(a2, b2, F88Z, add_formats=(F88Z,))
+    got2 = shard_qgemul(a2, b2, F88Z, mesh, add_formats=(F88Z,))
+    assert_match(got2, ref2)

@@ -215,3 +215,79 @@ def test_beyond_8190_refuses():
     dst = qformat(5000, 4000)            # ~9000-bit working width
     assert native.requantize([1 << 4900], src, dst) is None
     assert hostint.requantize(1 << 4900, 0, dst) == (1 << 4900) << 4000
+
+
+# ---------------------------------------------------------------------------
+# round 5: compiled multiword division (qh_wx_div — VERDICT r4 missing-2)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("om", [OverflowMode.SAT_TCPL, OverflowMode.SAT_ZERO,
+                                OverflowMode.WRP_TCPL])
+def test_div_300bit_vs_golden(om):
+    """A ~600-bit division (300-bit operands, upshifted numerator) runs on
+    the compiled restoring divider instead of the Python-int loop, with
+    the reference warts: div-by-zero -> 0, truncation toward zero, no
+    rounding stage."""
+    fa, fb = F300, qformat(180, 120)
+    out = qformat(250, 60, overflow_mode=om)
+    A = rand_raws(fa, 12, 31)
+    B = rand_raws(fb, 12, 32)
+    B[3] = 0                               # div-by-zero wart in the mix
+    got = native.binary_op("div", A, B, fa, fb, out)
+    assert got is not None, "must stay on the compiled engine"
+    for x, y, g in zip(A, B, got.reshape(-1)):
+        want, _ = hostops.qdiv((int(x), fa), (int(y), fb), to=out)
+        assert int(g) == want
+
+
+def test_div_1200bit_vs_golden_nl64():
+    """1200-bit operands (the NL=64 engine) through the divider."""
+    fa = qformat(700, 499)                 # 1200-bit storage
+    fb = qformat(650, 520)
+    out = qformat(900, 200, overflow_mode=OverflowMode.SAT_TCPL)
+    A = rand_raws(fa, 6, 33)
+    B = rand_raws(fb, 6, 34)
+    got = native.binary_op("div", A, B, fa, fb, out)
+    assert got is not None
+    for x, y, g in zip(A, B, got.reshape(-1)):
+        want, _ = hostops.qdiv((int(x), fa), (int(y), fb), to=out)
+        assert int(g) == want
+
+
+def test_div_negative_out_frac():
+    """out.frac_bits < 0 drives the numerator's arithmetic RIGHT shift
+    (QuBLAS.h:1582-1587 delegation) — floor semantics before the trunc
+    division, matching the golden model."""
+    fa = qformat(200, 100)
+    fb = qformat(80, 90)
+    out = qformat(200, -10, overflow_mode=OverflowMode.SAT_TCPL)
+    A = rand_raws(fa, 10, 35)
+    B = rand_raws(fb, 10, 36)
+    got = native.binary_op("div", A, B, fa, fb, out)
+    assert got is not None
+    for x, y, g in zip(A, B, got.reshape(-1)):
+        want, _ = hostops.qdiv((int(x), fa), (int(y), fb), to=out)
+        assert int(g) == want
+
+
+def test_div_fuzz_mixed_widths():
+    """Randomized differential family over mixed >64-bit widths."""
+    rng = random.Random("divfuzz")
+    for t in range(60):
+        ia, fra = rng.randint(30, 300), rng.randint(0, 200)
+        ib, frb = rng.randint(30, 300), rng.randint(0, 200)
+        io, fro = rng.randint(30, 300), rng.randint(-5, 200)
+        fa = qformat(ia, fra)
+        fb = qformat(ib, frb)
+        out = qformat(io, fro,
+                      overflow_mode=list(OverflowMode)[t % 5])
+        A = rand_raws(fa, 4, 100 + t)
+        B = rand_raws(fb, 4, 200 + t)
+        if t % 3 == 0:
+            B[1] = 0
+        got = native.binary_op("div", A, B, fa, fb, out)
+        if got is None:
+            continue   # outside the engine envelope: Python loop covers
+        for x, y, g in zip(A, B, got.reshape(-1)):
+            want, _ = hostops.qdiv((int(x), fa), (int(y), fb), to=out)
+            assert int(g) == want, (fa, fb, out, int(x), int(y))

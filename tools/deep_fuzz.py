@@ -545,6 +545,50 @@ def sweep_sharded(trials):
     return trials
 
 
+def sweep_sharded_ktree(trials):
+    """Round-5 subtree-aligned K-sharding of ORDER-SENSITIVE tree GEMMs
+    (``sharded_qgemul_k_tree``): random rounding/saturating configs over
+    random k (power-of-2, tp-divisible, ragged, odd) vs the single-chip
+    tree, on the virtual mesh.  Every config is admitted (no losslessness
+    gate), so the sweep is dominated by genuinely order-sensitive trees."""
+    if len(jax.devices()) < 8:
+        print("sharded_ktree: skipped (need 8 virtual devices)", flush=True)
+        return 0
+    from qublas_tpu.parallel import make_mesh, sharded_qgemul_k_tree
+
+    meshes = [make_mesh(dp=2, tp=4), make_mesh(dp=1, tp=8)]
+    for t in range(trials):
+        rng = rng_for("ktree", t)
+        mesh = meshes[t % 2]
+        m, n2 = 3, 4
+        k = int(rng.choice([7, 8, 12, 16, 17, 24, 32, 33, 40, 64]))
+        mx = [12, 16, 24][t % 3]
+        fa, fb = rand_fmt(rng, mx), rand_fmt(rng, 12)
+        out = rand_fmt(rng, mx)
+        mul_to = None if rng.randint(0, 2) else rand_fmt(rng, mx + 6)
+        layers = tuple(rand_fmt(rng, mx + 6)
+                       for _ in range(rng.randint(0, 3)))
+        A = rand_raws(rng, fa, m * k).reshape(m, k)
+        B = rand_raws(rng, fb, k * n2).reshape(k, n2)
+        try:
+            got = sharded_qgemul_k_tree(from_raw(A, fa), from_raw(B, fb),
+                                        out, mesh, mul_to=mul_to,
+                                        add_formats=layers)
+            ref = qgemul(from_raw(A, fa), from_raw(B, fb), out,
+                         mul_to=mul_to, add_formats=layers)
+            g = np.asarray(got.raw(), dtype=object).reshape(-1)
+            w = np.asarray(ref.raw(), dtype=object).reshape(-1)
+            if got.fmt != ref.fmt or \
+                    [int(v) for v in g] != [int(v) for v in w]:
+                fail("ktree", fa, fb, out, mul_to, layers, k, t % 2)
+        except ValueError:
+            pass  # clean host-route rejections are fine
+        except Exception as e:
+            fail("CRASH ktree", fa, fb, out, mul_to, layers, k,
+                 type(e).__name__, str(e)[:150])
+    return trials
+
+
 def main():
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     t0 = time.time()
@@ -559,6 +603,7 @@ def main():
         ("anus", sweep_anus, max(trials // 3, 50)),
         ("bitstream", sweep_bitstream, trials),
         ("sharded", sweep_sharded, max(trials // 10, 30)),
+        ("sharded_ktree", sweep_sharded_ktree, max(trials // 10, 30)),
     ]:
         # sweeps report the trials they actually EXECUTED (a skipped family
         # must not inflate the headline config count — advisor r2)

@@ -338,6 +338,21 @@ def run_sharded():
          qformat(60, 20, round_mode=RoundMode.RND_CONV,
                  overflow_mode=OverflowMode.SAT_TCPL),
          qformat(51, 30), (qformat(57, 30),), 3, 16, 8),
+        # round 5: subtree-aligned K-sharding of the ORDER-SENSITIVE tree
+        # (all_gather'ed node values + shifted-format top fold); power-of-2
+        # and ragged k
+        ("shard.k_tree", "k_tree",
+         qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO),
+         qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO),
+         qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO),
+         None, (qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO),),
+         4, 16, 4),
+        ("shard.k_tree_ragged", "k_tree",
+         qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO),
+         qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO),
+         qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO),
+         None, (qformat(9, 6, round_mode=RoundMode.RND_CONV),),
+         3, 21, 4),
     ]
     global FAILS
     for tag, strat, fa, fb, out, mul_to, layers, m, k, n in cases:
