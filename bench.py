@@ -845,15 +845,12 @@ def bench_wide_gemm():
             return jax.lax.fori_loop(0, RG, body, (ah, al))
 
         def run():
-            # patch active for every run so a retrace cannot flip the arm
-            # (same class as the bench_fastwide ADVICE r3 finding)
-            saved = G._STREAM_MIN_ELEMS
-            G._STREAM_MIN_ELEMS = min_elems
-            try:
+            # override active for every run so a retrace cannot flip the
+            # arm (same class as the bench_fastwide ADVICE r3 finding);
+            # round 5: gemm's supported stream_gate context
+            with G.stream_gate(min_elems):
                 hi, lo = f(a.data.hi, a.data.lo, b.data.hi, b.data.lo)
                 np.asarray(lo[:8, :128])  # sync
-            finally:
-                G._STREAM_MIN_ELEMS = saved
 
         def timed():
             t0 = time.perf_counter()
@@ -940,26 +937,22 @@ def bench_fastwide():
                                      jnp.zeros((m, n), jnp.int32))
 
         def patched(run):
-            # the patch must cover every trace of ``f`` — including a
+            # the override must cover every trace of ``f`` — including a
             # retrace after cache eviction — or an arm would silently
             # trace the wrong path (ADVICE r3; the round-4 device-trace
             # session caught the "stream" arm actually running the limb
-            # fast path because only _fast_gemm_wide was disabled)
-            saved_w = G._fast_gemm_wide
-            saved_l = G._fast_gemm_limb
-            saved_gate = G._STREAM_MIN_ELEMS
-            if mode == "stream":
-                G._fast_gemm_wide = lambda *a2, **k2: None
-                G._fast_gemm_limb = lambda *a2, **k2: None
-                G._STREAM_MIN_ELEMS = 0
-            elif mode == "pair":
-                G._fast_gemm_limb = lambda *a2, **k2: None
-            try:
+            # fast path because only the wide tier was disabled).  Round 5
+            # replaced the module monkeypatch with gemm's supported
+            # context API (force_tiers_off / stream_gate).
+            from contextlib import ExitStack
+
+            with ExitStack() as st:
+                if mode == "stream":
+                    st.enter_context(G.force_tiers_off("wide", "limb"))
+                    st.enter_context(G.stream_gate(0))
+                elif mode == "pair":
+                    st.enter_context(G.force_tiers_off("limb"))
                 return run()
-            finally:
-                G._fast_gemm_wide = saved_w
-                G._fast_gemm_limb = saved_l
-                G._STREAM_MIN_ELEMS = saved_gate
 
         def once():
             r = f(a, b)
@@ -1056,23 +1049,18 @@ def bench_limbwide():
                                      jnp.zeros((m, n), jnp.int32))
 
         def patched(run):
-            # patch covers every trace (incl. retrace after cache eviction).
-            # Disable BOTH fast paths: the pair path cannot take 80-bit
+            # override covers every trace (incl. retrace after cache
+            # eviction) via gemm's supported context API (round 5).
+            # Disable BOTH fast tiers: the pair path cannot take 80-bit
             # dots today (fits64 gate) but the stream claim must not rest
             # on that staying true
-            saved_l = G._fast_gemm_limb
-            saved_w = G._fast_gemm_wide
-            saved_gate = G._STREAM_MIN_ELEMS
-            if disable_fast:
-                G._fast_gemm_limb = lambda *a2, **k2: None
-                G._fast_gemm_wide = lambda *a2, **k2: None
-                G._STREAM_MIN_ELEMS = 0
-            try:
+            from contextlib import ExitStack
+
+            with ExitStack() as st:
+                if disable_fast:
+                    st.enter_context(G.force_tiers_off("wide", "limb"))
+                    st.enter_context(G.stream_gate(0))
                 return run()
-            finally:
-                G._fast_gemm_limb = saved_l
-                G._fast_gemm_wide = saved_w
-                G._STREAM_MIN_ELEMS = saved_gate
 
         def once():
             r = f(a.data.hi, a.data.lo, b.data.hi, b.data.lo)
@@ -1175,13 +1163,12 @@ def bench_cgemm_wide():
                                      jnp.zeros((m, n), jnp.int32))
 
         def patched(run):
-            saved = C._fast_cgemul
-            if disable_fast:
-                C._fast_cgemul = lambda *a2, **k2: None
-            try:
+            # supported override (round 5): layered arm runs inside
+            # cgemm's force_fast_off context instead of a module patch
+            if not disable_fast:
                 return run()
-            finally:
-                C._fast_cgemul = saved
+            with C.force_fast_off():
+                return run()
 
         def once():
             r = f(ca.real.data.hi, ca.real.data.lo,
@@ -1219,6 +1206,98 @@ def bench_cgemm_wide():
         "operand_bits": 40,
         "timing": "device-trace" if _timing["dev"] else "wall",
         "vs_baseline": round(t_s / t_f, 2),  # vs the layered path
+    }
+    print(json.dumps(rec))
+    return rec
+
+
+def bench_div():
+    """Round-5 artifact row for the division op class (VERDICT r4 item 6:
+    device dividers landed in round 4 with tests but no bench row).
+    value = device pair-division throughput (64-step restoring long
+    division on (hi, lo) pairs, in-jit chained); vs_baseline = speedup
+    over the exact Python host loop these configs ran before round 4.
+    ``native_wide_div_speedup`` rides along: the round-5 compiled
+    multiword divider (qh_wx_div) vs the Python-int loop at a 300-bit
+    config (host-side CPU — stable, no chip)."""
+    from qublas_tpu import hostops
+    from qublas_tpu.ops import elementwise as ew
+    from qublas_tpu.ops.wideint import PairArray
+    from qublas_tpu.qtensor import QTensor, from_raw
+
+    f40 = qformat(30, 9)              # pair-storage numerator
+    fb = qformat(10, 4)
+    out = qformat(35, 6, overflow_mode=OverflowMode.SAT_ZERO)
+    n = 256 * 256
+    rng = np.random.RandomState(0)
+    raws_a = rng.randint(-(1 << 39), 1 << 39, size=n, dtype=np.int64)
+    raws_b = rng.randint(-(1 << 13), 1 << 13, size=n, dtype=np.int64)
+    raws_b[raws_b == 0] = 1
+    raws_b[5] = 0                     # div-by-zero wart in the mix
+    a = from_raw(raws_a.astype(object), f40)
+    b = from_raw(raws_b.astype(object), fb)
+
+    RG = 8
+
+    @jax.jit
+    def dev(ah, al, bd):
+        def body(i, carry):
+            x = QTensor(PairArray(carry[0], carry[1]), f40)
+            r = ew.qdiv(x, QTensor(bd, fb), to=out)
+            return r.data.hi, r.data.lo
+
+        x = QTensor(PairArray(ah, al), f40)
+        r = ew.qdiv(x, QTensor(bd, fb), to=out)
+        return jax.lax.fori_loop(0, RG - 1, body, (r.data.hi, r.data.lo))
+
+    hi, lo = dev(a.data.hi, a.data.lo, b.data)
+    np.asarray(lo[:128])  # warm-up + sync
+    t0 = time.perf_counter()
+    iters = 0
+    while time.perf_counter() - t0 < 10.0 and iters < 8:
+        hi, lo = dev(hi, lo, b.data)
+        iters += 1
+    np.asarray(lo[:128])
+    t_dev = (time.perf_counter() - t0) / (iters * RG)
+
+    m = 4096
+    t0 = time.perf_counter()
+    for x, y in zip(raws_a[:m], raws_b[:m]):
+        hostops.qdiv((int(x), f40), (int(y), fb), to=out)
+    t_host = (time.perf_counter() - t0) * (n / m)
+
+    # native multiword divider vs the Python-int loop (300-bit operands)
+    from qublas_tpu import native
+
+    nat_speedup = None
+    if native.available():
+        import random as _random
+
+        fa3 = qformat(200, 100)
+        fb3 = qformat(180, 120)
+        out3 = qformat(250, 60)
+        rr = _random.Random("benchdiv")
+        n3 = 2000
+        A3 = np.array([rr.randint(fa3.raw_min, fa3.raw_max)
+                       for _ in range(n3)], dtype=object)
+        B3 = np.array([rr.randint(fb3.raw_min, fb3.raw_max) or 1
+                       for _ in range(n3)], dtype=object)
+        t0 = time.perf_counter()
+        got = native.binary_op("div", A3, B3, fa3, fb3, out3)
+        t_nat = time.perf_counter() - t0
+        assert got is not None
+        t0 = time.perf_counter()
+        for x, y in zip(A3[:200], B3[:200]):
+            hostops.qdiv((int(x), fa3), (int(y), fb3), to=out3)
+        t_loop = (time.perf_counter() - t0) * (n3 / 200)
+        nat_speedup = round(t_loop / t_nat, 1)
+
+    rec = {
+        "metric": "div_pair_melems",
+        "value": round(n / t_dev / 1e6, 2),
+        "unit": "Melem/s",
+        "vs_baseline": round(t_host / t_dev, 1),  # speedup over host loop
+        "native_wide_div_speedup": nat_speedup,
     }
     print(json.dumps(rec))
     return rec
@@ -1284,7 +1363,8 @@ EXTRA = {"tree": bench_tree_gemm, "reduce": bench_reduce,
          "lut": bench_lut_gemm, "cgemm": bench_cgemm, "wide": bench_wide,
          "limb": bench_limb, "wide-gemm": bench_wide_gemm,
          "fastwide": bench_fastwide, "limbwide": bench_limbwide,
-         "cgemmwide": bench_cgemm_wide, "native": bench_native}
+         "cgemmwide": bench_cgemm_wide, "div": bench_div,
+         "native": bench_native}
 
 
 ALL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -626,36 +626,80 @@ void t_w_shift(const uint64_t *in, uint64_t *out, size_t n,
     }
 }
 
-// effective bit length of a non-negative magnitude
-template <int NL> inline int w_bits_u(const W<NL> &a) {
-    int t = w_top(a);
-    if (t == 0) return 0;
-    uint64_t v = a.l[t - 1];
-    int b = 0;
-    while (v) { ++b; v >>= 1; }
-    return (t - 1) * 64 + b;
+// unsigned magnitude division x / y (y != 0), truncating — Knuth TAOCP
+// 4.3.1 Algorithm D in base 2^64 (the standard schoolbook long division
+// with normalized quotient-digit estimation): O(m*n) limb operations,
+// which is what lets the compiled divider beat CPython's bignum divide.
+template <int NL> inline W<NL> w_udiv(const W<NL> &xw, const W<NL> &yw) {
+    int n = w_top(yw);
+    int m = w_top(xw);
+    W<NL> q = w_zero<NL>();
+    if (m < n) return q;
+    if (n == 1) {                       // single-digit short division
+        uint64_t d = yw.l[0];
+        unsigned __int128 r = 0;
+        for (int i = m - 1; i >= 0; --i) {
+            unsigned __int128 cur = (r << 64) | xw.l[i];
+            q.l[i] = (uint64_t)(cur / d);
+            r = cur % d;
+        }
+        return q;
+    }
+    int s = __builtin_clzll(yw.l[n - 1]);   // normalize: top divisor bit set
+    uint64_t yn[NL + 1], xn[NL + 2];
+    for (int i = n - 1; i > 0; --i)
+        yn[i] = s ? (yw.l[i] << s) | (yw.l[i - 1] >> (64 - s)) : yw.l[i];
+    yn[0] = yw.l[0] << s;
+    xn[m] = s ? (xw.l[m - 1] >> (64 - s)) : 0;
+    for (int i = m - 1; i > 0; --i)
+        xn[i] = s ? (xw.l[i] << s) | (xw.l[i - 1] >> (64 - s)) : xw.l[i];
+    xn[0] = xw.l[0] << s;
+    const unsigned __int128 B = (unsigned __int128)1 << 64;
+    for (int j = m - n; j >= 0; --j) {
+        unsigned __int128 num =
+            ((unsigned __int128)xn[j + n] << 64) | xn[j + n - 1];
+        unsigned __int128 qhat = num / yn[n - 1];
+        unsigned __int128 rhat = num % yn[n - 1];
+        while (qhat >= B ||
+               (unsigned __int128)(uint64_t)qhat * yn[n - 2] >
+                   ((rhat << 64) | xn[j + n - 2])) {
+            --qhat;
+            rhat += yn[n - 1];
+            if (rhat >= B) break;       // further corrections impossible
+        }
+        uint64_t qd = (uint64_t)qhat;
+        i128 k = 0, t;                  // multiply-and-subtract with borrow
+        for (int i = 0; i < n; ++i) {
+            unsigned __int128 p = (unsigned __int128)qd * yn[i];
+            t = (i128)(unsigned __int128)xn[i + j] - k - (i128)(uint64_t)p;
+            xn[i + j] = (uint64_t)t;
+            k = (i128)(p >> 64) - (t >> 64);
+        }
+        t = (i128)(unsigned __int128)xn[j + n] - k;
+        xn[j + n] = (uint64_t)t;
+        if (t < 0) {                    // qhat one too large: add back
+            --qd;
+            unsigned __int128 c = 0;
+            for (int i = 0; i < n; ++i) {
+                unsigned __int128 sum =
+                    (unsigned __int128)xn[i + j] + yn[i] + c;
+                xn[i + j] = (uint64_t)sum;
+                c = sum >> 64;
+            }
+            xn[j + n] = (uint64_t)((unsigned __int128)xn[j + n] + c);
+        }
+        q.l[j] = qd;
+    }
+    return q;
 }
 
-// truncating signed division (round toward zero), b != 0: restoring
-// shift-subtract long division over the numerator's effective bit width.
-// The reference's >64-bit ArbiInt operator/ (deprecated decimal long
+// truncating signed division (round toward zero), b != 0.  The
+// reference's >64-bit ArbiInt operator/ (deprecated decimal long
 // division, QuBLAS.h:1429-1483) has the same magnitude semantics; D1
 // documents the intent bits we reproduce.
 template <int NL> inline W<NL> w_div_trunc(const W<NL> &a, const W<NL> &b) {
     bool na = w_is_neg(a), nb = w_is_neg(b);
-    W<NL> x = na ? w_neg(a) : a;
-    W<NL> y = nb ? w_neg(b) : b;
-    if (w_cmp_u(x, y) < 0) return w_zero<NL>();
-    int nbits = w_bits_u(x);
-    W<NL> rem = w_zero<NL>(), quot = w_zero<NL>();
-    for (int i = nbits - 1; i >= 0; --i) {
-        rem = w_shl(rem, 1);
-        if ((x.l[i / 64] >> (i % 64)) & 1) rem.l[0] |= 1;
-        if (w_cmp_u(rem, y) >= 0) {
-            rem = w_sub(rem, y);
-            quot.l[i / 64] |= 1ull << (i % 64);
-        }
-    }
+    W<NL> quot = w_udiv(na ? w_neg(a) : a, nb ? w_neg(b) : b);
     return (na != nb) ? w_neg(quot) : quot;
 }
 

@@ -31,6 +31,27 @@ from .widths import Interval, dtype_for, fmt_interval, route_requant
 
 __all__ = ["cgemul", "cgemv"]
 
+# supported benchmark/testing override (ADVICE r3 item 2: replaces bench's
+# module monkeypatch of _fast_cgemul with an explicit context)
+_FAST_OFF = False
+
+
+def force_fast_off():
+    """Context manager disabling the complex fast path (both domains) so
+    A/B arms can time the layered order-preserving path."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def ctx():
+        global _FAST_OFF
+        saved = _FAST_OFF
+        _FAST_OFF = True
+        try:
+            yield
+        finally:
+            _FAST_OFF = saved
+    return ctx()
+
 
 # ---------------------------------------------------------------------------
 # MXU fast path: when every per-product step and both accumulation trees are
@@ -440,7 +461,8 @@ def cgemul(a, b, out_fmt, algo: str = "basic", add_formats=(),
     orf, oif = _part_formats(out_fmt)
     r_layers, i_layers = _split_layers(add_formats)
 
-    fast = _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags)
+    fast = None if _FAST_OFF else \
+        _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags)
     if fast is not None:
         return fast
 
@@ -448,7 +470,7 @@ def cgemul(a, b, out_fmt, algo: str = "basic", add_formats=(),
     # it on one batch element's 1-row x 1-col slice, then vmap the 2-D
     # fast path over the flattened batch (3-4 MXU matmuls per element
     # instead of the layered [.., m, k, n] program)
-    if (a.real.ndim == b.real.ndim > 2
+    if (not _FAST_OFF and a.real.ndim == b.real.ndim > 2
             and a.real.shape[:-2] == b.real.shape[:-2]
             and not any(t.is_host or t.is_pair or t.is_limb
                         for t in (a.real, a.imag, b.real, b.imag))):

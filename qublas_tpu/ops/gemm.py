@@ -56,6 +56,44 @@ __all__ = ["qgemul", "qgemv", "exact_plan", "ExactPlan"]
 
 
 # ---------------------------------------------------------------------------
+# Benchmark/testing dispatch overrides (supported API — replaces ad-hoc
+# module monkeypatching of the tier functions, ADVICE r3 item 2: an A/B
+# arm enters a context; any retrace inside it sees a consistent dispatch)
+# ---------------------------------------------------------------------------
+
+from contextlib import contextmanager
+
+_TIERS_OFF: frozenset = frozenset()   # subset of {"wide", "limb"}
+_STREAM_GATE_OVERRIDE: Optional[int] = None
+
+
+@contextmanager
+def force_tiers_off(*tiers: str):
+    """Disable named fast-dispatch tiers ("limb": balanced-digit MXU dot;
+    "wide": pair-domain dot) within the context.  Trace-time static."""
+    global _TIERS_OFF
+    saved = _TIERS_OFF
+    _TIERS_OFF = saved | frozenset(tiers)
+    try:
+        yield
+    finally:
+        _TIERS_OFF = saved
+
+
+@contextmanager
+def stream_gate(min_elems: int):
+    """Override the streaming-path admission gate (``_STREAM_MIN_ELEMS``)
+    within the context — e.g. 0 forces small GEMMs onto the stream."""
+    global _STREAM_GATE_OVERRIDE
+    saved = _STREAM_GATE_OVERRIDE
+    _STREAM_GATE_OVERRIDE = min_elems
+    try:
+        yield
+    finally:
+        _STREAM_GATE_OVERRIDE = saved
+
+
+# ---------------------------------------------------------------------------
 # Exactness proof
 # ---------------------------------------------------------------------------
 
@@ -223,12 +261,14 @@ def qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to=None,
         # with operand width while digit matmuls ride the MXU).  Both are
         # bit-exact by the losslessness proof, so order is purely a
         # performance choice.
-        res = _fast_gemm_limb(a, b, out_fmt, plan)
+        res = None if "limb" in _TIERS_OFF else \
+            _fast_gemm_limb(a, b, out_fmt, plan)
         if res is not None:
             return res
         # pair-domain fallback for configs outside the digit-dot envelope
         # (oversized digit grids / dot tensors, host-route epilogues)
-        res = _fast_gemm_wide(a, b, out_fmt, plan)
+        res = None if "wide" in _TIERS_OFF else \
+            _fast_gemm_wide(a, b, out_fmt, plan)
         if res is not None:
             return res
 
@@ -604,8 +644,10 @@ def _stream_gemm_wide(a: QTensor, b: QTensor, out_fmt: QFormat, mul_to,
     batch = 1
     for d in np.broadcast_shapes(a.shape[:-2], b.shape[:-2]):
         batch *= d
+    gate = _STREAM_MIN_ELEMS if _STREAM_GATE_OVERRIDE is None \
+        else _STREAM_GATE_OVERRIDE
     if chunk < 8 or nfull < 2 or nchunks > _STREAM_MAX_CHUNKS \
-            or batch * m * k * n < _STREAM_MIN_ELEMS:
+            or batch * m * k * n < gate:
         return None
     in_levels = chunk.bit_length() - 1
 

@@ -291,3 +291,55 @@ def test_div_fuzz_mixed_widths():
         for x, y, g in zip(A, B, got.reshape(-1)):
             want, _ = hostops.qdiv((int(x), fa), (int(y), fb), to=out)
             assert int(g) == want, (fa, fb, out, int(x), int(y))
+
+
+def test_div_knuth_edge_patterns():
+    """Targeted magnitude patterns for the Algorithm D divider: qhat
+    overestimates and the rare add-back branch fire on divisors with a
+    small second digit and dividends packed with ones.  Pure integer
+    division configs (frac 0, huge out) so the quotient equals x // y."""
+    fa = qformat(830, 0)                  # up to ~830-bit magnitudes
+    fb = qformat(830, 0)
+    out = qformat(840, 0)                 # quotient always fits: identity
+    rng = random.Random("knuthD")
+
+    def cases():
+        B = 1 << 64
+        for t in range(400):
+            nx = rng.randint(1, 12)       # dividend limbs
+            ny = rng.randint(1, nx)       # divisor limbs
+            pick = t % 5
+            if pick == 0:                 # dense ones: maximal borrows
+                x = (1 << (64 * nx)) - rng.randint(1, 3)
+                y = (1 << (64 * ny)) - rng.randint(1, 3)
+            elif pick == 1:               # divisor second digit tiny ->
+                #                           classic qhat-overshoot shape
+                y = (rng.randint(B // 2, B - 1) << (64 * (ny - 1))) + \
+                    rng.randint(0, 2)
+                x = y * rng.randint(1, B - 1) + rng.randint(0, int(y) - 1)
+            elif pick == 2:               # power-of-two boundaries
+                x = 1 << rng.randint(0, 64 * nx - 2)
+                y = 1 << rng.randint(0, 64 * ny - 2)
+            elif pick == 3:               # exact multiples (zero remainder)
+                y = rng.randint(1, (1 << (64 * ny)) - 1)
+                x = y * rng.randint(0, (1 << (64 * (nx - ny + 1))) - 1)
+            else:                         # uniform random
+                x = rng.randint(0, (1 << (64 * nx)) - 1)
+                y = rng.randint(1, (1 << (64 * ny)) - 1)
+            x = min(x, fa.raw_max)
+            y = max(min(y, fb.raw_max), 1)
+            for sx in (1, -1):
+                for sy in (1, -1):
+                    yield sx * x, sy * y
+
+    A, B_ = zip(*cases())
+    A = np.array(A, dtype=object)
+    Bv = np.array(B_, dtype=object)
+    got = native.binary_op("div", A, Bv, fa, fb, out)
+    assert got is not None, "must stay on the compiled engine"
+    for x, y, g in zip(A, Bv, got.reshape(-1)):
+        x, y = int(x), int(y)
+        want = abs(x) // abs(y)
+        if (x < 0) != (y < 0):
+            want = -want
+        assert int(g) == want, (x, y, int(g), want)

@@ -184,17 +184,16 @@ def _gemm_case(tag, fa, fb, out, mul_to, layers, m, k, n, stream=False):
     a, b = from_raw(A, fa), from_raw(B, fb)
 
     def fn(da, db):
+        from contextlib import ExitStack
+
         from qublas_tpu.ops import gemm as _g
 
-        saved = _g._STREAM_MIN_ELEMS
-        if stream:
-            _g._STREAM_MIN_ELEMS = 0   # gate is trace-time static
-        try:
+        with ExitStack() as st:
+            if stream:
+                st.enter_context(_g.stream_gate(0))  # trace-time static
             return qgemul(QTensor(da, fa), QTensor(db, fb), out,
                           mul_to=mul_to, add_formats=layers,
                           use_pallas=False).data
-        finally:
-            _g._STREAM_MIN_ELEMS = saved
 
     check(tag, fn, (a.data, b.data), out, want)
 
