@@ -576,21 +576,22 @@ def bench_lut_gemm():
 
 def bench_cgemm():
     """BASELINE config 5: TFComplexMul complex GEMM, lossless config on the
-    MXU fast path (3 integer matmuls + exact shift/combine epilogues).
+    MXU fast path.
 
-    vs_baseline = fraction of 3 raw INT16 matmuls + combines — TF's real
-    floor on this hardware: its three multiplies take 9-bit operand SUMS
-    (a_r+a_i etc.), which int8 MXU passes cannot represent, and an int16
-    MXU matmul costs ~4x an int8 one (device-trace measured: 0.254 vs
-    0.060 ms at 2048^3 per 3-matmul group).  The earlier 3x-int8 floor was
-    the wrong yardstick — kept as ``vs_3xint8_informational`` (it also
-    shows the TPU-first fact that the naive 4x-int8 BasicComplexMul
-    algorithm is cheaper than TF's 3x-int16 on this hardware; the algo
-    choice changes RESULT BITS upstream, so it is the user's, not ours).
-    Every operand of both arms is barrier-tied to the carry: an arm whose
-    a-side-only matmul is loop-invariant would otherwise get it hoisted
-    and time fewer matmuls than it claims (device-trace session caught
-    exactly that in the int8 floor arm)."""
+    Round 5: the fast path LOWERS TF's three 9-bit-operand-sum matmuls to
+    the four elementary int8 matmuls (exact distribution under the
+    losslessness proof, ``cgemm._tf_int8_distributed``), so the
+    ``vs_baseline`` ratio against the historical 3x-INT16 floor now reads
+    ABOVE 1 (measured 2.68x at 2048^3) — int16 passes cost ~4x int8 ones
+    and the distributed form never issues them.  The binding comparison is
+    ``vs_3xint8_informational`` (vs 3 raw int8 matmuls; the full TF
+    semantics measured 0.95x of even the FOUR-matmul int8 group).  A
+    batched-dot_general form was also tried and measured 0.47x the int16
+    floor — negative result, tools/exp_cgemm_batch.py.  Every operand of
+    every arm is barrier-tied to the carry AND both output parts are
+    consumed: a hoisted loop-invariant matmul or a DCE'd imag-only dot
+    makes an arm time fewer matmuls than it claims (both caught by
+    device-trace sessions)."""
     from qublas_tpu.complex import QComplexTensor
     from qublas_tpu.ops.cgemm import cgemul
 
@@ -622,7 +623,11 @@ def bench_cgemm():
                        out, algo="tf", add_formats=(wide,), ab=mid, cd=mid,
                        ba=mid, abc=wide, cdb=wide, bad=wide, AB=wide,
                        BC=wide)
-            return acc + c.real.data.astype(jnp.int32)
+            # consume BOTH parts (round 5): an unused imag lets XLA DCE
+            # the imag-only dots and the arm times fewer matmuls than it
+            # claims (measured: 0.153 vs 0.207 ms/iter at 2048^3)
+            return acc + c.real.data.astype(jnp.int32) \
+                + c.imag.data.astype(jnp.int32)
         return jax.lax.fori_loop(0, RG, body,
                                  jnp.zeros((m, n), jnp.int32))
 
@@ -1152,13 +1157,16 @@ def bench_cgemm_wide():
             def body(i, c):
                 # tie EVERY a-side operand to the carry (ADVICE r4: tying
                 # only arh let XLA hoist the ai-side digit matmuls out of
-                # the loop, timing 2 of 4 dots)
+                # the loop, timing 2 of 4 dots) AND consume BOTH parts
+                # (round 5: an unused imag lets XLA DCE the imag-only
+                # dots — the same under-timing by another route)
                 arh2, arl2, aih2, ail2, _ = jax.lax.optimization_barrier(
                     (arh, arl, aih, ail, c))
                 qa = QComplexTensor(QTensor(PairArray(arh2, arl2), fa),
                                     QTensor(PairArray(aih2, ail2), fa))
                 r = cgemul(qa, qb, outf, **kw)
-                return c + r.real.data.limbs[0].astype(jnp.int32)
+                return (c + r.real.data.limbs[0].astype(jnp.int32)
+                        + r.imag.data.limbs[0].astype(jnp.int32))
             return jax.lax.fori_loop(0, RG, body,
                                      jnp.zeros((m, n), jnp.int32))
 

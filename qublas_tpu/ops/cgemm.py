@@ -90,6 +90,71 @@ def _single_default(*specs):
     return hostops.single_tag_default(*specs)
 
 
+def _tf_int8_distributed(a, b, k, fal1, fal2, w1, w2, w3, fin_r, fin_i,
+                         fA, fB, fC):
+    """Lower TF's three matmuls to the FOUR elementary int8 matmuls.
+
+    TF's multiplies take 9-bit operand SUMS (a_r+a_i etc.), which int8 MXU
+    passes cannot represent — an int16 matmul costs ~4x an int8 one
+    (device-trace: 0.254 vs 0.060 ms per 3-matmul group at 2048^3).  But
+    under the fast path's losslessness proof every intermediate requantize
+    is an exact shift, so the dots DISTRIBUTE:
+
+        dA = S1*br = (ar<<p1 + ai<<p2)*br = (ar*br)<<p1 + (ai*br)<<p2
+        dB = ai*S2 =                        (ai*br)<<p3 + (ai*bi)<<p4
+        dC = S3*bi =                        (ai*bi)<<p5 - (ar*bi)<<p6
+
+    i.e. 4 elementary int8 matmuls (the Basic algorithm's products) +
+    exact int32 shift/add recombination — bit-identical to the three-sum
+    form by the proof, and ~2.1x faster measured (round-5 experiment
+    tools/exp_cgemm_batch.py first bounded the alternatives: batching the
+    3 int16 matmuls into one dot_general measured 0.63x — a negative
+    result — which motivated this lowering instead).  Returns (dA, dB,
+    dC) or None when operands are not int8 lanes / any int32 bound fails
+    (caller falls back to the 3-matmul int16 form).
+    """
+    import jax.numpy as jnp
+
+    ops = (a.real.data, a.imag.data, b.real.data, b.imag.data)
+    if any(d.dtype != jnp.int8 for d in ops):
+        return None
+    far, fai = a.real.fmt, a.imag.fmt
+    fbr, fbi = b.real.fmt, b.imag.fmt
+    p1 = fal1 - far.frac_bits + w1
+    p2 = fal1 - fai.frac_bits + w1
+    p3 = fal2 - fbr.frac_bits + w2
+    p4 = fal2 - fbi.frac_bits + w2
+    p5 = fal1 - fai.frac_bits + w3
+    p6 = fal1 - far.frac_bits + w3
+    Drr = dot_partial_interval(fmt_interval(far) * fmt_interval(fbr), k)
+    Dir_ = dot_partial_interval(fmt_interval(fai) * fmt_interval(fbr), k)
+    Dii = dot_partial_interval(fmt_interval(fai) * fmt_interval(fbi), k)
+    Dri = dot_partial_interval(fmt_interval(far) * fmt_interval(fbi), k)
+    terms = [Drr << p1, Dir_ << p2, Dir_ << p3, Dii << p4,
+             Dii << p5, Dri << p6]
+    ivA = terms[0] + terms[1]
+    ivB = terms[2] + terms[3]
+    ivC = terms[4] - terms[5]
+    post = [ivA << (fin_r.frac_bits - fA),
+            ivB << (fin_r.frac_bits - fB),
+            ivB << (fin_i.frac_bits - fB),
+            ivC << (fin_i.frac_bits - fC)]
+    if not all(iv.fits32 for iv in terms + [ivA, ivB, ivC] + post):
+        return None
+
+    def P(x, y):
+        return jnp.matmul(x, y, preferred_element_type=jnp.int32)
+
+    prr = P(a.real.data, b.real.data)
+    pir = P(a.imag.data, b.real.data)
+    pii = P(a.imag.data, b.imag.data)
+    pri = P(a.real.data, b.imag.data)
+    dA = (prr << p1) + (pir << p2)
+    dB = (pir << p3) + (pii << p4)
+    dC = (pii << p5) - (pri << p6)
+    return dA, dB, dC
+
+
 def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
                  dot_reduce=None, k_total=None, limb_dot_reduce=None,
                  cap_mn=None, info=None):
@@ -215,18 +280,11 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
             # precomputed elementwise operands must fit int32 lanes
             if not (s_ab.iv.fits32 and s_cd.iv.fits32 and s_ba.iv.fits32):
                 return None
-            # precompute the lossless elementwise sums at their step formats
             fal1 = max(far.frac_bits, fai.frac_bits)
             w1 = s_ab.fmt.frac_bits - fal1
-            S1 = (shifted(a.real, fal1 - far.frac_bits + w1)
-                  + shifted(a.imag, fal1 - fai.frac_bits + w1))
             fal2 = max(fbr.frac_bits, fbi.frac_bits)
             w2 = s_cd.fmt.frac_bits - fal2
-            S2 = (shifted(b.real, fal2 - fbr.frac_bits + w2)
-                  + shifted(b.imag, fal2 - fbi.frac_bits + w2))
             w3 = s_ba.fmt.frac_bits - fal1
-            S3 = (shifted(a.imag, fal1 - fai.frac_bits + w3)
-                  - shifted(a.real, fal1 - far.frac_bits + w3))
             fA = s_ab.fmt.frac_bits + fbr.frac_bits
             fB = s_cd.fmt.frac_bits + fai.frac_bits
             fC = s_ba.fmt.frac_bits + fbi.frac_bits
@@ -236,14 +294,27 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
             if min(fin_r.frac_bits - fA, fin_r.frac_bits - fB,
                    fin_i.frac_bits - fB, fin_i.frac_bits - fC) < 0:
                 return None
-            dA = dot(S1, b.real.data.astype(jnp.int32), s_ab.iv,
-                     fmt_interval(fbr), fin_r.frac_bits - fA)
-            dB = dot(a.imag.data.astype(jnp.int32), S2, fmt_interval(fai),
-                     s_cd.iv, max(fin_r.frac_bits, fin_i.frac_bits) - fB)
-            dC = dot(S3, b.imag.data.astype(jnp.int32), s_ba.iv,
-                     fmt_interval(fbi), fin_i.frac_bits - fC)
-            if dA is None or dB is None or dC is None:
-                return None
+            dd = _tf_int8_distributed(a, b, k, fal1, fal2, w1, w2, w3,
+                                      fin_r, fin_i, fA, fB, fC)
+            if dd is not None:
+                dA, dB, dC = dd
+            else:
+                # the lossless elementwise sums at their step formats
+                S1 = (shifted(a.real, fal1 - far.frac_bits + w1)
+                      + shifted(a.imag, fal1 - fai.frac_bits + w1))
+                S2 = (shifted(b.real, fal2 - fbr.frac_bits + w2)
+                      + shifted(b.imag, fal2 - fbi.frac_bits + w2))
+                S3 = (shifted(a.imag, fal1 - fai.frac_bits + w3)
+                      - shifted(a.real, fal1 - far.frac_bits + w3))
+                dA = dot(S1, b.real.data.astype(jnp.int32), s_ab.iv,
+                         fmt_interval(fbr), fin_r.frac_bits - fA)
+                dB = dot(a.imag.data.astype(jnp.int32), S2,
+                         fmt_interval(fai), s_cd.iv,
+                         max(fin_r.frac_bits, fin_i.frac_bits) - fB)
+                dC = dot(S3, b.imag.data.astype(jnp.int32), s_ba.iv,
+                         fmt_interval(fbi), fin_i.frac_bits - fC)
+                if dA is None or dB is None or dC is None:
+                    return None
             if dot_reduce is not None:
                 dA, dB, dC = dot_reduce(dA), dot_reduce(dB), dot_reduce(dC)
             re = ((dA << (fin_r.frac_bits - fA))

@@ -1,0 +1,309 @@
+#!/usr/bin/env python3
+"""Analytic multi-chip scaling model (VERDICT r4 weak-3 / item 4).
+
+Multi-chip hardware is unavailable in this environment, so the >=85%
+GEMM-throughput scaling bar cannot be *measured*; this model makes it
+*estimable and reproducible*: per sharding strategy it accounts the exact
+collective bytes each output element moves, combines them with the
+MEASURED single-chip device-trace kernel rates (BENCH_ALL.json /
+BENCH_TPU_EVIDENCE.json) and public TPU v5e fabric constants, and writes
+``SCALING_MODEL.json`` with predicted efficiency at 8 / 16 / 256 chips
+under both strong scaling (bench shapes fixed) and weak scaling (k grows
+with tp).
+
+Model (scaling-book style):
+  * compute time per chip  Tc = work_per_chip / R_measured
+  * ring all-reduce of V bytes:      Tar = 2 * V * (tp-1)/tp / B_inj
+  * ring reduce-scatter / all-gather: half of that
+  * non-pipelined strategy: E = Tc / (Tc + Tcomm)
+  * ppermute-pipelined ring: comm overlaps compute stepwise ->
+      E = Tc / max(Tc, Tcomm)  (+ one unhidden step, modeled)
+  * mn / dp at their stated layouts move ZERO collective bytes inside the
+    GEMM (operands pre-replicated on the unsharded axes) -> E ~ 1.0 minus
+    dispatch overhead; the cost of *producing* that layout is charged to
+    the surrounding program, not the GEMM (stated in the artifact).
+
+Fabric constants are parameterized and documented inline; change them at
+the top if better numbers are available.  Re-run after re-benching:
+    python tools/scaling_model.py
+"""
+
+import json
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+
+# ---------------------------------------------------------------------------
+# Fabric constants (public specs; conservative ring assumptions)
+# ---------------------------------------------------------------------------
+# TPU v5e: 4 ICI links/chip @ 400 Gbps (1600 Gbps aggregate, 2D torus).  A
+# 1D ring collective uses 2 of the 4 links (one per direction), full
+# duplex -> per-chip injection bandwidth for ring collectives:
+ICI_RING_GBS = 100.0e9          # bytes/s (2 links x 400 Gbps = 100 GB/s)
+# DCN: per-host NIC (v5e hosts carry 8 chips); ring over hosts.
+DCN_HOST_GBS = 12.5e9           # bytes/s (100 Gbps NIC)
+CHIPS_PER_HOST = 8
+# per-dispatch / shard_map launch overhead anchor, measured on the real
+# chip by tools/exp_shard_overhead.py (1x1-mesh shard_map vs unsharded);
+# falls back to 0 with a note when the measurement file is absent.
+ANCHOR_PATH = ROOT / "SHARD1X1.json"
+
+
+def _bench_rows():
+    with open(ROOT / "BENCH_ALL.json") as f:
+        return json.load(f)["rows"]
+
+
+def _headline_tops():
+    try:
+        with open(ROOT / "BENCH_TPU_EVIDENCE.json") as f:
+            runs = json.load(f)["runs"]
+        dev = [r for r in runs if r.get("timing") == "device-trace"]
+        return max(r["value"] for r in (dev or runs)) * 1e9  # GOP/s -> OP/s
+    except (OSError, KeyError, ValueError):
+        return 380.3e12
+
+
+def ring_all_reduce(v_bytes, tp, bw):
+    return 2.0 * v_bytes * (tp - 1) / tp / bw
+
+
+def ring_one_pass(v_bytes, tp, bw):      # reduce-scatter OR all-gather
+    return v_bytes * (tp - 1) / tp / bw
+
+
+def efficiency(tc, tcomm, pipelined):
+    if pipelined:
+        # tp-step decomposed ring: each step's permute overlaps the next
+        # step's matmul; one step's transfer is never hidden
+        return tc / max(tc, tcomm) if max(tc, tcomm) > 0 else 1.0
+    return tc / (tc + tcomm) if (tc + tcomm) > 0 else 1.0
+
+
+def model():
+    import numpy as np
+
+    from qublas_tpu.ops.gemm import exact_plan, limb_dot_plan
+    from qublas_tpu.parallel.sharding import _k_tree_split, _node_format
+    from qublas_tpu.qformat import OverflowMode, qformat
+    from qublas_tpu.ops.widths import storage_kind, dtype_for
+
+    rows = _bench_rows()
+    R_INT8 = _headline_tops()                       # OP/s (2 ops/MAC)
+    R_PAIR = rows["fastwide"]["pair_path_gprod_s"] * 1e9   # prod/s
+    R_LIMB40 = rows["limbwide"]["value"] * 1e9             # prod/s, 40-bit
+    R_TREE = rows["tree"]["value"] * 1e9            # OP/s (2 ops/prod)
+    R_REDUCE = rows["reduce"]["value"] * 1e9        # elem/s (layered fold)
+
+    anchor = {"dispatch_overhead_s": 0.0, "source": "not measured"}
+    try:
+        with open(ANCHOR_PATH) as f:
+            a = json.load(f)
+        anchor = {"dispatch_overhead_s": a["overhead_s"],
+                  "source": a.get("note", "SHARD1X1.json")}
+    except (OSError, KeyError, ValueError):
+        pass
+    over = anchor["dispatch_overhead_s"]
+
+    chips = (8, 16, 256)
+    out = {"strategies": {}, "constants": {
+        "ici_ring_bytes_per_s": ICI_RING_GBS,
+        "dcn_host_bytes_per_s": DCN_HOST_GBS,
+        "chips_per_host": CHIPS_PER_HOST,
+        "measured_int8_ops_per_s": R_INT8,
+        "measured_pair_dot_prod_per_s": R_PAIR,
+        "measured_limb40_dot_prod_per_s": R_LIMB40,
+        "measured_tree_ops_per_s": R_TREE,
+        "measured_layered_reduce_elem_per_s": R_REDUCE,
+        "shard_map_anchor": anchor,
+    }}
+
+    def add(name, fn, note):
+        ent = {"note": note, "strong": {}, "weak": {}}
+        for tp in chips:
+            ent["strong"][str(tp)] = fn(tp, weak=False)
+            ent["weak"][str(tp)] = fn(tp, weak=True)
+        out["strategies"][name] = ent
+
+    # ---- k (int32 psum), bench shape 4096^3 int8 -------------------------
+    m0 = n0 = k0 = 4096
+
+    def f_k(tp, weak, pipelined=False, scatter=False):
+        k = k0 * tp if weak else k0
+        tc = 2.0 * m0 * n0 * (k / tp) / R_INT8
+        v = 4.0 * m0 * n0                   # int32 partial [m, n]
+        tcm = (ring_one_pass(v, tp, ICI_RING_GBS) if (scatter or pipelined)
+               else ring_all_reduce(v, tp, ICI_RING_GBS))
+        return round(efficiency(tc, tcm + over, pipelined), 4)
+
+    add("k", f_k, "int32 partial dots + psum; V = 4B/elem all-reduce")
+    add("k_reduce_scatter", lambda tp, weak: f_k(tp, weak, scatter=True),
+        "same partials, one-pass reduce-scatter (N-sharded output)")
+    add("k_pipelined", lambda tp, weak: f_k(tp, weak, pipelined=True),
+        "decomposed ppermute ring: permute of step i overlaps matmul i+1")
+
+    # ---- k_wide (pair domain), bench shape 512x2048x512 ------------------
+    mw, kw0, nw = 512, 2048, 512
+
+    def f_kwide(tp, weak, pipelined=False):
+        k = kw0 * tp if weak else kw0
+        tc = mw * nw * (k / tp) / R_PAIR
+        v = 16.0 * mw * nw                  # four 16-bit cols as int32
+        tcm = (ring_one_pass(v, tp, ICI_RING_GBS) if pipelined
+               else ring_all_reduce(v, tp, ICI_RING_GBS))
+        return round(efficiency(tc, tcm + over, pipelined), 4)
+
+    add("k_wide", f_kwide,
+        "64-bit pair partial dots; psum of 4 x int32 16-bit columns "
+        "(16 B/elem)")
+    add("k_wide_pipelined", lambda tp, weak: f_kwide(tp, weak, True),
+        "pair-domain ppermute ring (mod-2^64 exact accumulation)")
+
+    # ---- k_limb (limb domain), bench config 40-bit x 40-bit --------------
+    f40 = qformat(25, 15)
+    klout = qformat(60, 20)                    # bench_limbwide config
+    klmul = qformat(51, 30)
+
+    def f_klimb(tp, weak, pipelined=False):
+        k = kw0 * tp if weak else kw0
+        # the accumulate format must cover log2(k) growth (a user scaling
+        # k declares wider layers; the bench config's (62,30) covers 2048)
+        kladd = (qformat(51 + k.bit_length() + 1, 30),)
+        plan = exact_plan(f40, f40, klmul, kladd, k)
+        Kw = limb_dot_plan(f40, f40, klout, plan, k, mw, nw) \
+            if plan is not None else None
+        if Kw is None:
+            return None
+        tc = mw * nw * (k / tp) / R_LIMB40
+        v = 2.0 * Kw * 4.0 * mw * nw        # 2*Kw 16-bit cols as int32
+        tcm = (ring_one_pass(v, tp, ICI_RING_GBS) if pipelined
+               else ring_all_reduce(v, tp, ICI_RING_GBS))
+        return round(efficiency(tc, tcm + over, pipelined), 4)
+
+    add("k_limb", f_klimb,
+        "balanced-digit limb partial dots; psum of 2*Kw 16-bit columns "
+        "(8*Kw B/elem, Kw from the same proof the dispatch uses)")
+    add("k_limb_pipelined", lambda tp, weak: f_klimb(tp, weak, True),
+        "limb-domain ppermute ring (mod-2^(32*Kw) exact accumulation)")
+
+    # ---- k_tree (order-sensitive, round 5), bench shape 512^3 ------------
+    f88z = qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO)
+    mt = nt = kt0 = 512
+
+    def f_ktree(tp, weak):
+        k = kt0 * tp if weak else kt0
+        s, q, E, n_nodes = _k_tree_split(k, tp)
+        tc = 2.0 * mt * nt * (E / 1.0) / R_TREE      # local subtree folds
+        node_fmt = _node_format(f88z, (f88z,), s)
+        nb = {None: 8, "lane": 4, "pair": 8, "limb": 4}[
+            storage_kind(node_fmt)]
+        if storage_kind(node_fmt) == "lane":
+            import jax.numpy as jnp
+
+            d = dtype_for(node_fmt)
+            nb = jnp.dtype(d).itemsize
+        v = nb * mt * nt * n_nodes                   # gathered node array
+        tcm = ring_one_pass(v, tp, ICI_RING_GBS)
+        ttop = mt * nt * n_nodes / R_REDUCE          # replicated top fold
+        return round(tc / (tc + tcm + ttop + over), 4)
+
+    add("k_tree", f_ktree,
+        "subtree-aligned order-sensitive split: local folds + all_gather "
+        "of m*n*(k/2^s) node values + replicated top fold (charged)")
+
+    # ---- mn / dp ---------------------------------------------------------
+    def f_mn(tp, weak):
+        k = k0 * tp if weak else k0
+        tc = 2.0 * m0 * n0 * k / (tp * tp) / R_INT8  # dp x tp grid tiles
+        return round(tc / (tc + over), 4)
+
+    add("mn", f_mn,
+        "output-tile sharding; ZERO collective bytes at the stated layout "
+        "(A replicated over tp, B over dp) — layout production charged to "
+        "the surrounding program")
+
+    def f_dp(n_chips, weak):
+        hosts = max(n_chips // CHIPS_PER_HOST, 1)
+        batch_gb = 2.0 * m0 * k0 / 1e9               # int8 A per batch elem
+        tc = 2.0 * m0 * n0 * k0 / R_INT8             # per batch elem
+        t_stream = batch_gb * 1e9 / DCN_HOST_GBS / CHIPS_PER_HOST
+        return round(tc / max(tc, t_stream), 4) if hosts > 1 else 1.0
+
+    add("dp", f_dp,
+        "batch streaming; intra-GEMM comm zero, bound = DCN input "
+        "streaming rate per host vs per-chip compute")
+
+    # break-even contraction slice per K strategy: the per-chip k slice at
+    # which the strategy reaches >=85% (Tc >= 5.667*Tcomm non-pipelined,
+    # Tc >= Tcomm pipelined), at the bench m x n and tp=8
+    def kslice_85(rate_prod_per_s, ops_per_prod, v_bytes, mm, nn,
+                  pipelined, one_pass):
+        tcm = (ring_one_pass(v_bytes, 8, ICI_RING_GBS) if one_pass
+               else ring_all_reduce(v_bytes, 8, ICI_RING_GBS))
+        c1 = ops_per_prod * mm * nn / rate_prod_per_s   # Tc per k-slice elem
+        need = tcm / c1 if pipelined else (0.85 / 0.15) * tcm / c1
+        return int(need) + 1
+
+    out["break_even_k_slice_85pct_tp8"] = {
+        "k": kslice_85(R_INT8, 2.0, 4.0 * m0 * n0, m0, n0, False, False),
+        "k_reduce_scatter": kslice_85(R_INT8, 2.0, 4.0 * m0 * n0, m0, n0,
+                                      False, True),
+        "k_pipelined": kslice_85(R_INT8, 2.0, 4.0 * m0 * n0, m0, n0,
+                                 True, True),
+        "k_wide": kslice_85(R_PAIR, 1.0, 16.0 * mw * nw, mw, nw,
+                            False, False),
+        "k_wide_pipelined": kslice_85(R_PAIR, 1.0, 16.0 * mw * nw, mw, nw,
+                                      True, True),
+        "k_limb_Kw4": kslice_85(R_LIMB40, 1.0, 32.0 * mw * nw, mw, nw,
+                                False, False),
+        "k_limb_pipelined_Kw4": kslice_85(R_LIMB40, 1.0, 32.0 * mw * nw,
+                                          mw, nw, True, True),
+        "note": "minimum per-chip contraction slice k/tp for >=85% at the "
+                "bench m x n; comm volume is k-independent for the K "
+                "strategies, so efficiency is set by the slice alone",
+    }
+    out["summary"] = {
+        "bar": ">=85% GEMM-throughput scaling at 1 chip / 1 host / N>=2 "
+               "hosts (BASELINE.json)",
+        "verdict": "mn and dp meet the bar at any scale (zero intra-GEMM "
+                   "collective bytes at their stated layouts).  The K "
+                   "strategies are comm-bound below a break-even per-chip "
+                   "k slice (see break_even_k_slice_85pct_tp8): int8 "
+                   "k-psum needs k/tp >= ~100k at 4096x4096 outputs "
+                   "(arithmetic intensity k/(4*tp) MACs/byte vs the "
+                   "chip's ~3800 ops/byte machine balance), while the "
+                   "slower wide/limb dot rates reach the bar at k/tp of "
+                   "a few thousand, and the ppermute rings cut the "
+                   "requirement ~5.7x further (overlap: E = Tc/max(Tc,"
+                   "Tcomm)).  k_tree additionally pays the replicated "
+                   "top fold (m*n*k/2^s elements), binding it to "
+                   "moderate tp.",
+        "strong_scaling_note": "strong scaling at fixed bench shapes "
+                               "degrades for every psum variant as k/tp "
+                               "shrinks; the weak columns (k grows with "
+                               "tp) isolate the collective cost",
+        "honesty": "single-chip rates are measured device-trace numbers; "
+                   "fabric constants are public v5e specs with a "
+                   "conservative 2-link ring assumption; no multi-chip "
+                   "measurement exists in this environment (stated "
+                   "limitation)",
+    }
+    return out
+
+
+def main():
+    doc = model()
+    path = ROOT / "SCALING_MODEL.json"
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=True)
+        f.write("\n")
+    for name, ent in doc["strategies"].items():
+        print(name, "strong:", ent["strong"], "weak:", ent["weak"])
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()
