@@ -23,6 +23,7 @@ from .sharding import (
     sharded_qgemul_mn,
     sharded_qreduce,
     sharded_qreduce_k,
+    sharded_qreduce_k_tree,
 )
 
 __all__ = [
@@ -44,4 +45,5 @@ __all__ = [
     "sharded_qgemul_mn",
     "sharded_qreduce",
     "sharded_qreduce_k",
+    "sharded_qreduce_k_tree",
 ]

@@ -63,7 +63,7 @@ __all__ = ["make_mesh", "shard_qgemul", "sharded_qgemul_k",
            "sharded_qgemul_dp", "init_distributed",
            "sharded_cgemul", "sharded_cgemul_mn", "sharded_cgemul_k",
            "sharded_cgemul_dp",
-           "sharded_qreduce", "sharded_qreduce_k"]
+           "sharded_qreduce", "sharded_qreduce_k", "sharded_qreduce_k_tree"]
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -1720,3 +1720,74 @@ def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTenso
     fn = _cached(("qrk", x.fmt, frac, final_fmt, regime, limb_k, mesh),
                  build)
     return QTensor(fn(xd)[0], final_fmt)
+
+
+def sharded_qreduce_k_tree(x: QTensor, layer_formats=(),
+                           mesh: Mesh = None) -> QTensor:
+    """Reduction-axis sharding of an ORDER-SENSITIVE tree reduction
+    (round 5 — the Qreduce analogue of :func:`sharded_qgemul_k_tree`).
+
+    :func:`sharded_qreduce_k` is gated on a losslessness proof; this form
+    shards ANY config bit-exactly by construction: split the vector on
+    level-``s`` subtree boundaries (``2^s | n``), fold complete subtrees
+    per device with the global layer formats (no pass-throughs exist
+    below level ``s``), all_gather the ``n/2^s`` node values, and fold
+    the top layers with the shifted TypeAt formats — :func:`qreduce`'s
+    odd-tail converting assignments reproduce the global tree, including
+    ragged/odd ``n`` (zero-pad to whole node slots, sliced post-gather).
+    """
+    from ..qformat import add_merge
+    from ..ops.reduce import _normalize, layer_format, qreduce
+
+    layer_formats = _normalize(layer_formats)
+    if x.ndim != 1:
+        raise ValueError("sharded_qreduce_k_tree reduces a 1-D vector")
+    if x.is_host:
+        raise ValueError("host-storage values cannot run inside shard_map")
+    n = x.shape[0]
+    tp = mesh.shape["tp"]
+    s, q, E, n_nodes = _k_tree_split(n, tp)
+    # trace-time probe: wide configs whose tree falls to the host route
+    # cannot run inside shard_map — fail cleanly
+    try:
+        jax.eval_shape(
+            lambda d: qreduce(QTensor(d, x.fmt), layer_formats).data,
+            x.data)
+    except (jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError) as e:
+        raise ValueError(
+            "this reduction outgrows device lanes (host route); "
+            "sharded_qreduce_k_tree cannot run it inside shard_map") from e
+    top_layers = _shift_layers(layer_formats, s)
+    # final format: walk the full tree's layer chain (static)
+    cur, m, layer = x.fmt, n, 0
+    while m > 1:
+        lf = layer_format(layer_formats, layer)
+        cur = lf if lf is not None else add_merge(cur, cur)
+        m = (m + 1) // 2
+        layer += 1
+    final_fmt = cur
+    xp = _pad_k(x, 0, tp * E - n)
+    xp = _device_put(xp, mesh, P("tp"))
+    in_s = _in_spec(xp, P("tp"))
+    out_s = _out_spec(final_fmt, P())
+    fmtx = x.fmt
+
+    def build():
+        @partial(jax.shard_map, mesh=mesh, in_specs=(in_s,),
+                 out_specs=out_s, check_vma=False)
+        def block(data):
+            t = QTensor(data, fmtx)
+            if s == 0:
+                nodes = t                              # [E] raw elements
+            else:
+                nodes = qreduce(QTensor(t.data.reshape(q, 1 << s), fmtx),
+                                layer_formats, axis=1)  # [q]
+            gathered = _gather_nodes(nodes)            # [tp*q]
+            real = gathered[0:n_nodes]
+            top = qreduce(real, top_layers, axis=0)
+            return top.data
+        return block
+
+    fn = _cached(("qrk_tree", fmtx, layer_formats, mesh, n), build)
+    return QTensor(fn(xp.data), final_fmt)

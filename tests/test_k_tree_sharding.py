@@ -171,3 +171,37 @@ def test_auto_picks_k_tree_for_order_sensitive():
     ref2 = qgemul(a2, b2, F88Z, add_formats=(F88Z,))
     got2 = shard_qgemul(a2, b2, F88Z, mesh, add_formats=(F88Z,))
     assert_match(got2, ref2)
+
+
+# ---------------------------------------------------------------------------
+# Order-sensitive Qreduce K-sharding (the reduce analogue)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [64, 40, 17, 100])
+def test_k_tree_reduce_order_sensitive(n):
+    from qublas_tpu.ops.reduce import qreduce
+    from qublas_tpu.parallel import sharded_qreduce_k_tree
+
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    x = rand(f, (n,), seed=700 + n)
+    ref = qreduce(x, RL)
+    got = sharded_qreduce_k_tree(x, RL, mesh=mesh)
+    assert_match(got, ref)
+
+
+def test_k_tree_reduce_default_formats_and_pair():
+    from qublas_tpu.ops.reduce import qreduce
+    from qublas_tpu.parallel import sharded_qreduce_k_tree
+
+    mesh = make_mesh(dp=2, tp=4)
+    # AddMerger default chain (no formats)
+    f = qformat(3, 4)
+    x = rand(f, (32,), seed=801)
+    assert_match(sharded_qreduce_k_tree(x, mesh=mesh), qreduce(x))
+    # pair-storage node values (wide layer format, rounding later)
+    f2 = qformat(15, 10)
+    layers = (qformat(40, 12, round_mode=RoundMode.RND_CONV),)
+    x2 = rand(f2, (24,), seed=802)
+    assert_match(sharded_qreduce_k_tree(x2, layers, mesh=mesh),
+                 qreduce(x2, layers))

@@ -581,6 +581,18 @@ def sweep_sharded_ktree(trials):
             if got.fmt != ref.fmt or \
                     [int(v) for v in g] != [int(v) for v in w]:
                 fail("ktree", fa, fb, out, mul_to, layers, k, t % 2)
+            if t % 3 == 2:
+                # the reduce analogue on the same order-sensitive formats
+                from qublas_tpu.parallel import sharded_qreduce_k_tree
+
+                xv = from_raw(A[0], fa)
+                gr = sharded_qreduce_k_tree(xv, layers, mesh=mesh)
+                rr = qreduce(xv, layers)
+                if gr.fmt != rr.fmt or \
+                        int(np.asarray(gr.raw(), dtype=object).reshape(())) \
+                        != int(np.asarray(rr.raw(),
+                                          dtype=object).reshape(())):
+                    fail("ktree_reduce", fa, layers, k, t % 2)
         except ValueError:
             pass  # clean host-route rejections are fine
         except Exception as e:

@@ -291,6 +291,32 @@ def run_cgemm():
             print(f"PASS {tag} ({time.time() - t0:.1f}s)", flush=True)
 
 
+def run_bitwise():
+    """Round-5 raw-bitwise surface: pair ^ limb on-device vs Python ints
+    (the two's-complement oracle), eager + jit."""
+    from qublas_tpu import bitwise
+
+    fp, fl = qformat(30, 9), qformat(50, 29)
+    A = _raws(fp, 8, "bwa")
+    B = _raws(fl, 8, "bwb")
+    a, b = from_raw(A, fp), from_raw(B, fl)
+    want = [int(x) ^ int(y) for x, y in zip(A, B)]
+
+    def fn(ah, al, bl):
+        from qublas_tpu.ops.limbint import LimbArray
+        from qublas_tpu.ops.wideint import PairArray
+
+        r = bitwise.qxor(QTensor(PairArray(ah, al), fp),
+                         QTensor(LimbArray(bl), fl))
+        return r.data.limbs
+
+    from qublas_tpu.ops.limbint import LimbArray
+
+    check("bitwise.pair_xor_limb",
+          lambda ah, al, bl: LimbArray(fn(ah, al, bl)),
+          (a.data.hi, a.data.lo, b.data.limbs), fl, want)
+
+
 def run_anus():
     mid = qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO)
     table = anus.build_table(anus.sqrt_func, mid, mid)
@@ -391,6 +417,7 @@ def main():
     run_gemm()
     run_cgemm()
     run_anus()
+    run_bitwise()
     run_sharded()
     print(f"done in {time.time() - t0:.0f}s — "
           f"{'ALL CLEAN' if not FAILS else f'{FAILS} FAILURES'}"
