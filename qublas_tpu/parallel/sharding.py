@@ -282,13 +282,20 @@ def shard_qgemul(a: QTensor, b: QTensor, out_fmt: QFormat, mesh: Mesh,
             else:
                 # order-sensitive (or envelope-excluded) config: the
                 # subtree-aligned tree split K-shards it bit-exactly with
-                # no proof.  Prefer it when the split is deep enough that
-                # the node gather is small (s >= 3: <= k/8 node values);
-                # shallow splits and host-route configs keep mn
+                # no proof.  mn moves ZERO collective bytes at its layout
+                # (SCALING_MODEL.json), so auto keeps it when it can
+                # shard the output; k_tree takes over when mn is
+                # infeasible (m/n not divisible by the mesh) or the shape
+                # is k-dominated, provided the split is deep enough that
+                # the node gather stays small (s >= 3: <= k/8 values)
+                # and the config traces on device
                 strategy = "mn"
-                s, _q, _E, _nn = _k_tree_split(a.shape[-1],
-                                               mesh.shape["tp"])
-                if s >= 3:
+                m_, n_ = a.shape[0], b.shape[-1]
+                k_ = a.shape[-1]
+                mn_ok = m_ % mesh.shape["dp"] == 0 \
+                    and n_ % mesh.shape["tp"] == 0
+                s, _q, _E, _nn = _k_tree_split(k_, mesh.shape["tp"])
+                if s >= 3 and (not mn_ok or k_ >= 8 * max(m_, n_)):
                     try:
                         _check_traceable(a[0:1, :], b[:, 0:1], out_fmt,
                                          mul_to, add_formats,
