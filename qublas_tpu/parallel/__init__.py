@@ -11,6 +11,7 @@ from .sharding import (
     sharded_cgemul,
     sharded_cgemul_dp,
     sharded_cgemul_k,
+    sharded_cgemul_k_tree,
     sharded_cgemul_mn,
     sharded_qgemul_dp,
     sharded_qgemul_k,
@@ -33,6 +34,7 @@ __all__ = [
     "sharded_cgemul",
     "sharded_cgemul_dp",
     "sharded_cgemul_k",
+    "sharded_cgemul_k_tree",
     "sharded_cgemul_mn",
     "sharded_qgemul_dp",
     "sharded_qgemul_k",

@@ -62,7 +62,7 @@ __all__ = ["make_mesh", "shard_qgemul", "sharded_qgemul_k",
            "sharded_qgemul_k_limb_pipelined", "sharded_qgemul_mn",
            "sharded_qgemul_dp", "init_distributed",
            "sharded_cgemul", "sharded_cgemul_mn", "sharded_cgemul_k",
-           "sharded_cgemul_dp",
+           "sharded_cgemul_k_tree", "sharded_cgemul_dp",
            "sharded_qreduce", "sharded_qreduce_k", "sharded_qreduce_k_tree"]
 
 
@@ -1273,11 +1273,31 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
                                  cap_mn=(a.shape[0], b.shape[-1]))
             ok = probe is not None
             _probe_cache_put(key, ok)
-        strategy = "k" if ok and a.shape[-1] % mesh.shape["tp"] == 0 \
-            else "mn"
+        if ok and a.shape[-1] % mesh.shape["tp"] == 0:
+            strategy = "k"
+        else:
+            # order-sensitive complex config: same policy as the real
+            # GEMM's auto (round 5) — mn moves zero collective bytes, so
+            # k_tree takes over only when mn cannot shard the output or
+            # the shape is k-dominated, with a deep enough split
+            strategy = "mn"
+            m_, n_, k_ = a.shape[0], b.shape[-1], a.shape[-1]
+            mn_ok = m_ % mesh.shape["dp"] == 0 \
+                and n_ % mesh.shape["tp"] == 0
+            s, _q, _E, _nn = _k_tree_split(k_, mesh.shape["tp"])
+            if s >= 3 and (not mn_ok or k_ >= 8 * max(m_, n_)):
+                try:
+                    _cgemul_probe(a, b, out_fmt, algo, add_formats,
+                                  mul_tags, "sharded_cgemul auto k_tree")
+                    strategy = "k_tree"
+                except ValueError:
+                    pass
     if strategy == "k":
         return sharded_cgemul_k(a, b, out_fmt, mesh, algo=algo,
                                 add_formats=add_formats, **mul_tags)
+    if strategy == "k_tree":
+        return sharded_cgemul_k_tree(a, b, out_fmt, mesh, algo=algo,
+                                     add_formats=add_formats, **mul_tags)
     if strategy == "mn":
         return sharded_cgemul_mn(a, b, out_fmt, mesh, algo=algo,
                                  add_formats=add_formats, **mul_tags)
@@ -1285,6 +1305,82 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
         return sharded_cgemul_dp(a, b, out_fmt, mesh, algo=algo,
                                  add_formats=add_formats, **mul_tags)
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def sharded_cgemul_k_tree(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
+                          add_formats=(), **mul_tags):
+    """K-shard an ORDER-SENSITIVE complex GEMM — the complex analogue of
+    :func:`sharded_qgemul_k_tree` (round 5), bit-exact for every config
+    with no losslessness gate.
+
+    Per part the accumulation is the same vector-path tree, so the same
+    subtree-aligned split applies: each device computes its K-slice's
+    complex products (Basic/TF per-step quantization via
+    ``cmul``/``cmul_tf``) and folds complete ``2^s``-element subtrees per
+    part with the global per-part layer formats; the per-part node values
+    all_gather; the top layers fold with shifted TypeAt formats; each
+    part then takes its converting assignment into ``out_fmt``.
+    """
+    from ..complex import QComplexTensor, cmul, cmul_tf
+    from ..ops import elementwise as ew
+    from ..ops.cgemm import _split_layers
+    from ..ops.reduce import _moveaxis, qreduce
+
+    if a.real.ndim != 2 or b.real.ndim != 2:
+        raise ValueError("k_tree shards 2-D complex GEMMs (dp for batches)")
+    orf, oif = _cgemul_probe(a, b, out_fmt, algo, add_formats, mul_tags,
+                             "sharded_cgemul_k_tree")
+    k = a.shape[-1]
+    tp = mesh.shape["tp"]
+    s, q, E, n_nodes = _k_tree_split(k, tp)
+    r_layers, i_layers = _split_layers(add_formats)
+    r_layers, i_layers = tuple(r_layers), tuple(i_layers)
+    top_r = _shift_layers(r_layers, s)
+    top_i = _shift_layers(i_layers, s)
+    pad = tp * E - k
+    ar = _device_put(_pad_k(a.real, 1, pad), mesh, P(None, "tp"))
+    ai = _device_put(_pad_k(a.imag, 1, pad), mesh, P(None, "tp"))
+    br = _device_put(_pad_k(b.real, 0, pad), mesh, P("tp", None))
+    bi = _device_put(_pad_k(b.imag, 0, pad), mesh, P("tp", None))
+    in_specs = (_in_spec(ar, P(None, "tp")), _in_spec(ai, P(None, "tp")),
+                _in_spec(br, P("tp", None)), _in_spec(bi, P("tp", None)))
+    out_specs = (_out_spec(orf, P(None, None)),
+                 _out_spec(oif, P(None, None)))
+    far, fai = a.real.fmt, a.imag.fmt
+    fbr, fbi = b.real.fmt, b.imag.fmt
+    m = a.real.shape[0]
+    n = b.real.shape[-1]
+    mulfn = cmul_tf if algo == "tf" else cmul
+
+    def build():
+        @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
+                 out_specs=out_specs, check_vma=False)
+        def block(ard, aid, brd, bid):
+            pa = QComplexTensor(QTensor(ard[:, :, None], far),
+                                QTensor(aid[:, :, None], fai))
+            pb = QComplexTensor(QTensor(brd[None, :, :], fbr),
+                                QTensor(bid[None, :, :], fbi))
+            prod = mulfn(pa, pb, **mul_tags)         # [m, E, n] per part
+
+            def fold(t, layers, top, of):
+                if s == 0:
+                    nodes = QTensor(_moveaxis(t.data, 1, 0), t.fmt)
+                else:
+                    r = QTensor(t.data.reshape(m, q, 1 << s, n), t.fmt)
+                    sub = qreduce(r, layers, axis=-2)     # [m, q, n]
+                    nodes = QTensor(_moveaxis(sub.data, 1, 0), sub.fmt)
+                real_nodes = _gather_nodes(nodes)[0:n_nodes]
+                topv = qreduce(real_nodes, top, axis=0)
+                return ew.qcast(topv, of or topv.fmt).data
+
+            return (fold(prod.real, r_layers, top_r, orf),
+                    fold(prod.imag, i_layers, top_i, oif))
+        return block
+
+    fn = _cached(("ck_tree", far, fai, fbr, fbi, out_fmt, algo,
+                  add_formats, _freeze(mul_tags), mesh, k), build)
+    rr, ri = fn(ar.data, ai.data, br.data, bi.data)
+    return QComplexTensor(QTensor(rr, orf), QTensor(ri, oif))
 
 
 def sharded_cgemul_dp(a, b, out_fmt, mesh: Mesh, algo: str = "basic",

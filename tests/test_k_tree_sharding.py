@@ -205,3 +205,49 @@ def test_k_tree_reduce_default_formats_and_pair():
     x2 = rand(f2, (24,), seed=802)
     assert_match(sharded_qreduce_k_tree(x2, layers, mesh=mesh),
                  qreduce(x2, layers))
+
+
+# ---------------------------------------------------------------------------
+# Order-sensitive COMPLEX GEMM K-sharding (the complex analogue)
+# ---------------------------------------------------------------------------
+
+def _cops(m, k, n, f, seeds):
+    from qublas_tpu.complex import QComplexTensor
+
+    return (QComplexTensor(rand(f, (m, k), seeds[0]),
+                           rand(f, (m, k), seeds[1])),
+            QComplexTensor(rand(f, (k, n), seeds[2]),
+                           rand(f, (k, n), seeds[3])))
+
+
+@pytest.mark.parametrize("algo,k", [("basic", 32), ("tf", 32),
+                                    ("basic", 21), ("tf", 40)])
+def test_k_tree_cgemul_order_sensitive(algo, k):
+    from qublas_tpu.ops.cgemm import cgemul
+    from qublas_tpu.parallel import sharded_cgemul_k_tree
+
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    out = (qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO),
+           qformat(5, 3, round_mode=RoundMode.RND_CONV))
+    a, b = _cops(3, k, 4, f, (900, 901, 902, 903))
+    kw = dict(algo=algo, add_formats=(qformat(6, 4),))
+    ref = cgemul(a, b, out, **kw)
+    got = sharded_cgemul_k_tree(a, b, out, mesh, **kw)
+    assert_match(got.real, ref.real)
+    assert_match(got.imag, ref.imag)
+
+
+def test_k_tree_cgemul_auto_picks_when_mn_infeasible():
+    """auto: order-sensitive complex config with n < tp routes to k_tree
+    (mn cannot shard the output)."""
+    from qublas_tpu.ops.cgemm import cgemul
+    from qublas_tpu.parallel import sharded_cgemul
+
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    a, b = _cops(3, 64, 3, f, (910, 911, 912, 913))
+    ref = cgemul(a, b, (f, f), algo="tf")
+    got = sharded_cgemul(a, b, (f, f), mesh, algo="tf")
+    assert_match(got.real, ref.real)
+    assert_match(got.imag, ref.imag)

@@ -593,6 +593,28 @@ def sweep_sharded_ktree(trials):
                         != int(np.asarray(rr.raw(),
                                           dtype=object).reshape(())):
                     fail("ktree_reduce", fa, layers, k, t % 2)
+            if t % 5 == 4:
+                # the complex analogue (per-part trees, basic/tf alternate)
+                from qublas_tpu.parallel import sharded_cgemul_k_tree
+
+                algo = "tf" if t % 2 else "basic"
+                ca = QComplexTensor(from_raw(A, fa),
+                                    from_raw(rand_raws(rng, fa, m * k)
+                                             .reshape(m, k), fa))
+                cb = QComplexTensor(from_raw(B, fb),
+                                    from_raw(rand_raws(rng, fb, k * n2)
+                                             .reshape(k, n2), fb))
+                gc = sharded_cgemul_k_tree(ca, cb, out, mesh, algo=algo,
+                                           add_formats=layers)
+                rc = cgemul(ca, cb, out, algo=algo, add_formats=layers)
+                for part in ("real", "imag"):
+                    gp = np.asarray(getattr(gc, part).raw(),
+                                    dtype=object).reshape(-1)
+                    wp = np.asarray(getattr(rc, part).raw(),
+                                    dtype=object).reshape(-1)
+                    if getattr(gc, part).fmt != getattr(rc, part).fmt or \
+                            [int(v) for v in gp] != [int(v) for v in wp]:
+                        fail("ktree_cgemul", algo, fa, fb, out, layers, k)
         except ValueError:
             pass  # clean host-route rejections are fine
         except Exception as e:
