@@ -80,7 +80,12 @@ def _bitwise(opname, a: QTensor, b: QTensor) -> QTensor:
            "xor": jnp.bitwise_xor}[opname]
 
     if kind == "lane":
-        dt = dtype_for(fmt)
+        # compute in the WIDEST of the operands' actual lane dtypes and
+        # the format's floor dtype: from_raw stores fill(int)-wart raws
+        # un-masked in a wider lane (round-5 review: casting straight to
+        # dtype_for(fmt) truncated them, diverging from the host path)
+        dt = jnp.promote_types(jnp.promote_types(a.data.dtype, b.data.dtype),
+                               dtype_for(fmt))
         return QTensor(jop(a.data.astype(dt), b.data.astype(dt)), fmt)
 
     if kind == "pair":

@@ -36,21 +36,20 @@ __all__ = ["cgemul", "cgemv"]
 _FAST_OFF = False
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
 def force_fast_off():
     """Context manager disabling the complex fast path (both domains) so
     A/B arms can time the layered order-preserving path."""
-    from contextlib import contextmanager
-
-    @contextmanager
-    def ctx():
-        global _FAST_OFF
-        saved = _FAST_OFF
-        _FAST_OFF = True
-        try:
-            yield
-        finally:
-            _FAST_OFF = saved
-    return ctx()
+    global _FAST_OFF
+    saved = _FAST_OFF
+    _FAST_OFF = True
+    try:
+        yield
+    finally:
+        _FAST_OFF = saved
 
 
 # ---------------------------------------------------------------------------

@@ -707,8 +707,12 @@ def sharded_qgemul_k_tree(a: QTensor, b: QTensor, out_fmt: QFormat,
             return res.data
         return block
 
+    # cache key carries m/n too: the block closure bakes the reshape and
+    # node geometry (q, s, n_nodes) derived from them (round-5 review:
+    # omitting them returned a stale-shape program for a second call with
+    # the same formats but different output dims)
     fn = _cached(("k_tree", fa, fb, out_fmt, mul_to, add_formats,
-                  mul_full_prec, lut, mesh, k, use_pallas), build)
+                  mul_full_prec, lut, mesh, k, m, n, use_pallas), build)
     return QTensor(fn(a.data, b.data), res_fmt)
 
 
@@ -1378,7 +1382,7 @@ def sharded_cgemul_k_tree(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
         return block
 
     fn = _cached(("ck_tree", far, fai, fbr, fbi, out_fmt, algo,
-                  add_formats, _freeze(mul_tags), mesh, k), build)
+                  add_formats, _freeze(mul_tags), mesh, k, m, n), build)
     rr, ri = fn(ar.data, ai.data, br.data, bi.data)
     return QComplexTensor(QTensor(rr, orf), QTensor(ri, oif))
 

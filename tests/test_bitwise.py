@@ -108,3 +108,18 @@ def test_decimal_roundtrip_and_word_wrap():
     t3 = bitwise.from_decimal([str((1 << 127) + 1)], qformat(80, 47))
     assert int(np.asarray(t3.raw(), dtype=object).reshape(-1)[0]) == \
         -(1 << 127) + 1
+
+
+def test_lane_wart_raws_not_truncated():
+    """fill(int)-wart raws (out-of-range, stored in a wider lane dtype)
+    must survive the device bitwise path un-masked, matching the host
+    oracle (round-5 review fix)."""
+    f = qformat(3, 4)                     # 8-bit format
+    a = from_raw(np.array([300, -200, 77]), f)   # wart raws -> int16 lane
+    got = bitwise.qand(a, a)
+    assert [int(v) for v in np.asarray(got.raw()).reshape(-1)] == \
+        [300, -200, 77]
+    b = from_raw(np.array([0x1FF, 3, 5]), f)
+    got2 = bitwise.qxor(a, b)
+    assert [int(v) for v in np.asarray(got2.raw()).reshape(-1)] == \
+        [300 ^ 0x1FF, -200 ^ 3, 77 ^ 5]

@@ -251,3 +251,33 @@ def test_k_tree_cgemul_auto_picks_when_mn_infeasible():
     got = sharded_cgemul(a, b, (f, f), mesh, algo="tf")
     assert_match(got.real, ref.real)
     assert_match(got.imag, ref.imag)
+
+
+def test_k_tree_cache_not_confused_by_swapped_dims():
+    """Two calls with identical formats/k/mesh but different output dims
+    must not reuse a stale-shape program (round-5 review: the cache key
+    omitted m/n while the closure baked them in — the second call
+    returned wrong values or crashed)."""
+    from qublas_tpu.complex import QComplexTensor
+    from qublas_tpu.ops.cgemm import cgemul
+    from qublas_tpu.parallel import sharded_cgemul_k_tree
+
+    mesh = make_mesh(dp=1, tp=8)
+    # real GEMM, q>1 branch: (4,48)x(48,6) then (8,48)x(48,6)
+    f = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    for m in (4, 8):
+        a = rand(f, (m, 48), seed=950 + m)
+        b = rand(f, (48, 6), seed=960 + m)
+        got = sharded_qgemul_k_tree(a, b, f, mesh, add_formats=RL)
+        assert_match(got, qgemul(a, b, f, add_formats=RL))
+    # complex GEMM: swapped output dims
+    for m, n in ((3, 4), (4, 3)):
+        ca = QComplexTensor(rand(f, (m, 64), seed=970 + m),
+                            rand(f, (m, 64), seed=971 + m))
+        cb = QComplexTensor(rand(f, (64, n), seed=972 + n),
+                            rand(f, (64, n), seed=973 + n))
+        got = sharded_cgemul_k_tree(ca, cb, (f, f), mesh,
+                                    add_formats=(qformat(6, 4),))
+        ref = cgemul(ca, cb, (f, f), add_formats=(qformat(6, 4),))
+        assert_match(got.real, ref.real)
+        assert_match(got.imag, ref.imag)

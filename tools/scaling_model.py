@@ -198,13 +198,19 @@ def model():
         s, q, E, n_nodes = _k_tree_split(k, tp)
         tc = 2.0 * mt * nt * (E / 1.0) / R_TREE      # local subtree folds
         node_fmt = _node_format(f88z, (f88z,), s)
-        nb = {None: 8, "lane": 4, "pair": 8, "limb": 4}[
-            storage_kind(node_fmt)]
-        if storage_kind(node_fmt) == "lane":
+        kind = storage_kind(node_fmt)
+        if kind == "lane":
             import jax.numpy as jnp
 
-            d = dtype_for(node_fmt)
-            nb = jnp.dtype(d).itemsize
+            nb = jnp.dtype(dtype_for(node_fmt)).itemsize
+        elif kind == "pair":
+            nb = 8
+        elif kind == "limb":
+            from qublas_tpu.ops.widths import limb_count
+
+            nb = 4 * limb_count(node_fmt)
+        else:
+            nb = 16                      # host-width nodes: not shardable
         v = nb * mt * nt * n_nodes                   # gathered node array
         tcm = ring_one_pass(v, tp, ICI_RING_GBS)
         ttop = mt * nt * n_nodes / R_REDUCE          # replicated top fold
