@@ -281,3 +281,36 @@ def test_k_tree_cache_not_confused_by_swapped_dims():
         ref = cgemul(ca, cb, (f, f), add_formats=(qformat(6, 4),))
         assert_match(got.real, ref.real)
         assert_match(got.imag, ref.imag)
+
+
+def test_k_tree_butterfly_matches_gather_and_single_chip():
+    """The ppermute-butterfly top fold (auto for one-subtree-per-device
+    power-of-2 splits) must be bit-identical to both the all_gather form
+    and the single-chip tree."""
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO)
+    for k in (64, 512):
+        a = rand(f, (4, k), seed=1000 + k)
+        b = rand(f, (k, 6), seed=1001 + k)
+        ref = qgemul(a, b, f, add_formats=RL)
+        bf = sharded_qgemul_k_tree(a, b, f, mesh, add_formats=RL,
+                                   butterfly=True)
+        ag = sharded_qgemul_k_tree(a, b, f, mesh, add_formats=RL,
+                                   butterfly=False)
+        assert_match(bf, ref)
+        assert_match(ag, ref)
+
+
+def test_k_tree_butterfly_pair_nodes():
+    """Butterfly exchange/select on (hi, lo) pair node values."""
+    mesh = make_mesh(dp=2, tp=4)
+    f = qformat(15, 10)
+    layers = (qformat(40, 12, round_mode=RoundMode.RND_CONV),
+              qformat(42, 10))
+    out = qformat(20, 8, overflow_mode=OverflowMode.SAT_ZERO)
+    a = rand(f, (3, 32), seed=1100)
+    b = rand(f, (32, 3), seed=1101)
+    ref = qgemul(a, b, out, add_formats=layers)
+    got = sharded_qgemul_k_tree(a, b, out, mesh, add_formats=layers,
+                                butterfly=True)
+    assert_match(got, ref)

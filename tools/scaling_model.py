@@ -193,7 +193,7 @@ def model():
     f88z = qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO)
     mt = nt = kt0 = 512
 
-    def f_ktree(tp, weak):
+    def f_ktree(tp, weak, bf=False):
         k = kt0 * tp if weak else kt0
         s, q, E, n_nodes = _k_tree_split(k, tp)
         tc = 2.0 * mt * nt * (E / 1.0) / R_TREE      # local subtree folds
@@ -211,14 +211,29 @@ def model():
             nb = 4 * limb_count(node_fmt)
         else:
             nb = 16                      # host-width nodes: not shardable
-        v = nb * mt * nt * n_nodes                   # gathered node array
-        tcm = ring_one_pass(v, tp, ICI_RING_GBS)
-        ttop = mt * nt * n_nodes / R_REDUCE          # replicated top fold
+        import math
+
+        lg = max(int(math.log2(tp)), 1)
+        if bf and not (q == 1 and s >= 1 and tp & (tp - 1) == 0
+                       and n_nodes == tp):
+            return None                  # outside the butterfly's gate
+        if bf:
+            # log2(tp) exchange+merge rounds: one node volume moved and
+            # one merge fold per round, per device
+            tcm = lg * nb * mt * nt / ICI_RING_GBS
+            ttop = lg * mt * nt / R_REDUCE
+        else:
+            v = nb * mt * nt * n_nodes               # gathered node array
+            tcm = ring_one_pass(v, tp, ICI_RING_GBS)
+            ttop = mt * nt * n_nodes / R_REDUCE      # replicated top fold
         return round(tc / (tc + tcm + ttop + over), 4)
 
     add("k_tree", f_ktree,
         "subtree-aligned order-sensitive split: local folds + all_gather "
         "of m*n*(k/2^s) node values + replicated top fold (charged)")
+    add("k_tree_butterfly", lambda tp, weak: f_ktree(tp, weak, bf=True),
+        "one-node-per-device splits fold via a ppermute butterfly: "
+        "log2(tp) node volumes + merges per device instead of tp-1 each")
 
     # ---- mn / dp ---------------------------------------------------------
     def f_mn(tp, weak):
