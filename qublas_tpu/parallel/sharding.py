@@ -1378,22 +1378,27 @@ def sharded_cgemul(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
 
 
 def sharded_cgemul_k_tree(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
-                          add_formats=(), **mul_tags):
+                          add_formats=(), butterfly: Optional[bool] = None,
+                          **mul_tags):
     """K-shard an ORDER-SENSITIVE complex GEMM — the complex analogue of
     :func:`sharded_qgemul_k_tree` (round 5), bit-exact for every config
     with no losslessness gate.
 
     Per part the accumulation is the same vector-path tree, so the same
     subtree-aligned split applies: each device computes its K-slice's
-    complex products (Basic/TF per-step quantization via
-    ``cmul``/``cmul_tf``) and folds complete ``2^s``-element subtrees per
-    part with the global per-part layer formats; the per-part node values
-    all_gather; the top layers fold with shifted TypeAt formats; each
-    part then takes its converting assignment into ``out_fmt``.
+    complex products (Basic/TF per-step quantization) and folds complete
+    ``2^s``-element subtrees per part with the global per-part layer
+    formats; the per-part node values all_gather; the top layers fold
+    with shifted TypeAt formats; each part then takes its converting
+    assignment into ``out_fmt``.  One-subtree-per-device power-of-2
+    splits instead run the LOCAL fold as a single-chip :func:`cgemul`
+    (full fast dispatch, incl. the distributed int8 TF lowering when the
+    local slice proves lossless) and fold the cross-device levels with
+    the ppermute butterfly per part.
     """
     from ..complex import QComplexTensor, cmul, cmul_tf
     from ..ops import elementwise as ew
-    from ..ops.cgemm import _split_layers
+    from ..ops.cgemm import _split_layers, cgemul
     from ..ops.reduce import _moveaxis, qreduce
 
     if a.real.ndim != 2 or b.real.ndim != 2:
@@ -1407,6 +1412,19 @@ def sharded_cgemul_k_tree(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     r_layers, i_layers = tuple(r_layers), tuple(i_layers)
     top_r = _shift_layers(r_layers, s)
     top_i = _shift_layers(i_layers, s)
+    # per-part product formats (static, tag quirks included) -> level-s
+    # node formats for the q==1 local-cgemul reuse
+    from .. import hostops as _ho
+
+    _mulh = _ho.complex_mul_tf if algo == "tf" else _ho.complex_mul_basic
+    (_z1, pr_fmt), (_z2, pi_fmt) = _mulh(
+        ((0, a.real.fmt), (0, a.imag.fmt)),
+        ((0, b.real.fmt), (0, b.imag.fmt)), **mul_tags)
+    node_r = _node_format(pr_fmt, r_layers, s)
+    node_i = _node_format(pi_fmt, i_layers, s)
+    bf_ok = q == 1 and s >= 1 and tp >= 2 and tp & (tp - 1) == 0 \
+        and n_nodes == tp
+    use_bf = bf_ok if butterfly is None else (butterfly and bf_ok)
     pad = tp * E - k
     ar = _device_put(_pad_k(a.real, 1, pad), mesh, P(None, "tp"))
     ai = _device_put(_pad_k(a.imag, 1, pad), mesh, P(None, "tp"))
@@ -1426,6 +1444,30 @@ def sharded_cgemul_k_tree(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
         @partial(jax.shard_map, mesh=mesh, in_specs=in_specs,
                  out_specs=out_specs, check_vma=False)
         def block(ard, aid, brd, bid):
+            if q == 1 and s >= 1:
+                # the device span is one complete subtree per part: reuse
+                # the single-chip complex GEMM (fast dispatch) into the
+                # level-s node formats — identity final casts
+                loc = cgemul(
+                    QComplexTensor(QTensor(ard, far), QTensor(aid, fai)),
+                    QComplexTensor(QTensor(brd, fbr), QTensor(bid, fbi)),
+                    (node_r, node_i), algo=algo, add_formats=add_formats,
+                    **mul_tags)
+
+                def fold_one(t, layers, top, of):
+                    if use_bf:
+                        topv = _butterfly_fold(t, layers, s, tp)
+                    else:
+                        nodes = QTensor(
+                            t.data[None, :, :]
+                            if not (t.is_pair or t.is_limb)
+                            else t.data.reshape(1, m, n), t.fmt)
+                        real_nodes = _gather_nodes(nodes)[0:n_nodes]
+                        topv = qreduce(real_nodes, top, axis=0)
+                    return ew.qcast(topv, of or topv.fmt).data
+
+                return (fold_one(loc.real, r_layers, top_r, orf),
+                        fold_one(loc.imag, i_layers, top_i, oif))
             pa = QComplexTensor(QTensor(ard[:, :, None], far),
                                 QTensor(aid[:, :, None], fai))
             pb = QComplexTensor(QTensor(brd[None, :, :], fbr),
@@ -1448,7 +1490,8 @@ def sharded_cgemul_k_tree(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
         return block
 
     fn = _cached(("ck_tree", far, fai, fbr, fbi, out_fmt, algo,
-                  add_formats, _freeze(mul_tags), mesh, k, m, n), build)
+                  add_formats, _freeze(mul_tags), mesh, k, m, n, use_bf),
+                 build)
     rr, ri = fn(ar.data, ai.data, br.data, bi.data)
     return QComplexTensor(QTensor(rr, orf), QTensor(ri, oif))
 
@@ -1896,7 +1939,8 @@ def sharded_qreduce_k(x: QTensor, layer_formats=(), mesh: Mesh = None) -> QTenso
 
 
 def sharded_qreduce_k_tree(x: QTensor, layer_formats=(),
-                           mesh: Mesh = None) -> QTensor:
+                           mesh: Mesh = None,
+                           butterfly: Optional[bool] = None) -> QTensor:
     """Reduction-axis sharding of an ORDER-SENSITIVE tree reduction
     (round 5 — the Qreduce analogue of :func:`sharded_qgemul_k_tree`).
 
@@ -1945,6 +1989,9 @@ def sharded_qreduce_k_tree(x: QTensor, layer_formats=(),
     in_s = _in_spec(xp, P("tp"))
     out_s = _out_spec(final_fmt, P())
     fmtx = x.fmt
+    bf_ok = q == 1 and s >= 1 and tp >= 2 and tp & (tp - 1) == 0 \
+        and n_nodes == tp
+    use_bf = bf_ok if butterfly is None else (butterfly and bf_ok)
 
     def build():
         @partial(jax.shard_map, mesh=mesh, in_specs=(in_s,),
@@ -1956,11 +2003,15 @@ def sharded_qreduce_k_tree(x: QTensor, layer_formats=(),
             else:
                 nodes = qreduce(QTensor(t.data.reshape(q, 1 << s), fmtx),
                                 layer_formats, axis=1)  # [q]
+            if use_bf:
+                # one node per device: ppermute-butterfly merge rounds
+                v = _butterfly_fold(nodes, layer_formats, s, tp)
+                return v[0].data
             gathered = _gather_nodes(nodes)            # [tp*q]
             real = gathered[0:n_nodes]
             top = qreduce(real, top_layers, axis=0)
             return top.data
         return block
 
-    fn = _cached(("qrk_tree", fmtx, layer_formats, mesh, n), build)
+    fn = _cached(("qrk_tree", fmtx, layer_formats, mesh, n, use_bf), build)
     return QTensor(fn(xp.data), final_fmt)

@@ -314,3 +314,51 @@ def test_k_tree_butterfly_pair_nodes():
     got = sharded_qgemul_k_tree(a, b, out, mesh, add_formats=layers,
                                 butterfly=True)
     assert_match(got, ref)
+
+
+def test_k_tree_cgemul_butterfly_and_local_fast():
+    """q==1 complex splits run the local fold as a single-chip cgemul and
+    the top levels as the per-part butterfly — bit-identical to gather
+    form and single-chip, for both algos, incl. a locally-lossless config
+    (the local cgemul takes its fast path)."""
+    from qublas_tpu.complex import QComplexTensor
+    from qublas_tpu.ops.cgemm import cgemul
+    from qublas_tpu.parallel import sharded_cgemul_k_tree
+
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    out = (f, qformat(5, 3, round_mode=RoundMode.RND_CONV))
+    for algo in ("basic", "tf"):
+        a, b = _cops(3, 64, 4, f, (1200, 1201, 1202, 1203))
+        kw = dict(algo=algo, add_formats=(qformat(6, 4),))
+        ref = cgemul(a, b, out, **kw)
+        for bf in (True, False):
+            got = sharded_cgemul_k_tree(a, b, out, mesh, butterfly=bf,
+                                        **kw)
+            assert_match(got.real, ref.real)
+            assert_match(got.imag, ref.imag)
+    # locally-lossless wide-layer config: local cgemul hits its fast path
+    f2 = qformat(3, 4)
+    wide = qformat(20, 8)
+    mid = qformat(5, 4)
+    out2 = (qformat(3, 4, overflow_mode=OverflowMode.SAT_ZERO),) * 2
+    kw2 = dict(algo="tf", add_formats=(qformat(9, 8),), ab=mid, cd=mid,
+               ba=mid, abc=wide, cdb=wide, bad=wide, AB=wide, BC=wide)
+    a2, b2 = _cops(3, 64, 4, f2, (1210, 1211, 1212, 1213))
+    ref2 = cgemul(a2, b2, out2, **kw2)
+    got2 = sharded_cgemul_k_tree(a2, b2, out2, mesh, **kw2)
+    assert_match(got2.real, ref2.real)
+    assert_match(got2.imag, ref2.imag)
+
+
+def test_k_tree_reduce_butterfly():
+    from qublas_tpu.ops.reduce import qreduce
+    from qublas_tpu.parallel import sharded_qreduce_k_tree
+
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    x = rand(f, (64,), seed=1300)
+    ref = qreduce(x, RL)
+    for bf in (True, False):
+        got = sharded_qreduce_k_tree(x, RL, mesh=mesh, butterfly=bf)
+        assert_match(got, ref)
