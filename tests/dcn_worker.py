@@ -155,8 +155,9 @@ def main() -> int:
             np.testing.assert_array_equal(np.asarray(shard.data),
                                           ref6_limbs[shard.index])
 
-    # k_tree: ORDER-SENSITIVE tree K-sharding (round 5) — the node
-    # all_gather crosses the process boundary
+    # k_tree: ORDER-SENSITIVE tree K-sharding (round 5) — at k=16, tp=4
+    # the one-subtree-per-device split auto-upgrades to the ppermute
+    # BUTTERFLY, so the exchange+merge rounds cross the process boundary
     f88z = qformat(8, 8, overflow_mode=OverflowMode.SAT_ZERO)
     at = from_raw(rng.randint(f88z.raw_min, f88z.raw_max + 1, (4, 16)),
                   f88z)
@@ -166,6 +167,38 @@ def main() -> int:
                                use_pallas=False)
     ref7 = qgemul(at, bt, f88z, add_formats=(f88z,), use_pallas=False)
     check_local_shards(y7, np.asarray(ref7.raw()))
+
+    # the complex + reduce k_tree analogues across Gloo (round 5)
+    from qublas_tpu.complex import QComplexTensor
+    from qublas_tpu.ops.cgemm import cgemul
+    from qublas_tpu.ops.reduce import qreduce
+    from qublas_tpu.parallel import (
+        sharded_cgemul_k_tree,
+        sharded_qreduce_k_tree,
+    )
+
+    cat = QComplexTensor(
+        from_raw(rng.randint(f88z.raw_min, f88z.raw_max + 1, (3, 16)),
+                 f88z),
+        from_raw(rng.randint(f88z.raw_min, f88z.raw_max + 1, (3, 16)),
+                 f88z))
+    cbt = QComplexTensor(
+        from_raw(rng.randint(f88z.raw_min, f88z.raw_max + 1, (16, 3)),
+                 f88z),
+        from_raw(rng.randint(f88z.raw_min, f88z.raw_max + 1, (16, 3)),
+                 f88z))
+    y8c = sharded_cgemul_k_tree(cat, cbt, (f88z, f88z), mesh_tp,
+                                algo="tf", add_formats=(f88z,))
+    ref8c = cgemul(cat, cbt, (f88z, f88z), algo="tf", add_formats=(f88z,))
+    check_local_shards(y8c.real, np.asarray(ref8c.real.raw()))
+    check_local_shards(y8c.imag, np.asarray(ref8c.imag.raw()))
+
+    xt8 = from_raw(rng.randint(f88z.raw_min, f88z.raw_max + 1, (16,)),
+                   f88z)
+    y9r = sharded_qreduce_k_tree(xt8, (f88z,), mesh=mesh_tp)
+    ref9r = qreduce(xt8, (f88z,))
+    assert int(np.asarray(jax.device_get(y9r.data))) == int(ref9r.raw())
+    assert y9r.fmt == ref9r.fmt
 
     print(f"DCN_WORKER_OK {pid}", flush=True)
     return 0

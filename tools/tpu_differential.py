@@ -407,6 +407,49 @@ def run_sharded():
             print(f"PASS {tag} ({time.time() - t0:.1f}s)", flush=True)
 
 
+def run_sharded_ktree_complex():
+    """Round-5 complex/reduce k_tree on the 1x1 mesh: the q==1 branch
+    runs the LOCAL single-chip cgemul (fast dispatch) inside shard_map —
+    the same route class that caught the r4 miscompile."""
+    from qublas_tpu.parallel import (make_mesh, sharded_cgemul_k_tree,
+                                     sharded_qreduce_k_tree)
+    from qublas_tpu.ops.reduce import qreduce
+
+    global FAILS
+    mesh = make_mesh(dp=1, tp=1)
+    f = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    out = (f, qformat(5, 3, round_mode=RoundMode.RND_CONV))
+    kw = dict(algo="tf", add_formats=(qformat(6, 4),))
+    Ar = _raws(f, 3 * 32, "ckta").reshape(3, 32)
+    Ai = _raws(f, 3 * 32, "cktb").reshape(3, 32)
+    Br = _raws(f, 32 * 4, "cktc").reshape(32, 4)
+    Bi = _raws(f, 32 * 4, "cktd").reshape(32, 4)
+    ca = QComplexTensor(from_raw(Ar, f), from_raw(Ai, f))
+    cb = QComplexTensor(from_raw(Br, f), from_raw(Bi, f))
+    t0 = time.time()
+    try:
+        got = sharded_cgemul_k_tree(ca, cb, out, mesh, **kw)
+        ref = cgemul(ca, cb, out, **kw)
+        ok = (_ints(got.real) == _ints(ref.real)
+              and _ints(got.imag) == _ints(ref.imag))
+        xv = from_raw(_raws(f, 32, "ckte"), f)
+        gr = sharded_qreduce_k_tree(xv, (f,), mesh=mesh)
+        rr = qreduce(xv, (f,))
+        ok = ok and _ints(gr) == _ints(rr) and gr.fmt == rr.fmt
+    except Exception as e:  # noqa: BLE001
+        FAILS += 1
+        print(f"FAIL shard.cgemul_k_tree: CRASH {type(e).__name__}: "
+              f"{str(e)[:200]}", flush=True)
+        return
+    if not ok:
+        FAILS += 1
+        print("FAIL shard.cgemul/reduce_k_tree: diverges from single-chip",
+              flush=True)
+    else:
+        print(f"PASS shard.cgemul+reduce_k_tree ({time.time() - t0:.1f}s)",
+              flush=True)
+
+
 def main():
     t0 = time.time()
     print("platform:", jax.devices()[0].platform,
@@ -419,6 +462,7 @@ def main():
     run_anus()
     run_bitwise()
     run_sharded()
+    run_sharded_ktree_complex()
     print(f"done in {time.time() - t0:.0f}s — "
           f"{'ALL CLEAN' if not FAILS else f'{FAILS} FAILURES'}"
           f" ({SKIPS} host-routed skips)", flush=True)
