@@ -97,6 +97,8 @@ def main():
     ref_c = cgemul(ca, cb, (mid, mid), **ckw)
     np.testing.assert_array_equal(np.asarray(cy.real.raw()),
                                   np.asarray(ref_c.real.raw()))
+    np.testing.assert_array_equal(np.asarray(cy.imag.raw()),
+                                  np.asarray(ref_c.imag.raw()))
     print("TF complex GEMM: auto-sharded, bit-exact")
 
     # 4) order-sensitive tree reduction, reduction-axis-sharded (k_tree)

@@ -623,21 +623,6 @@ def _ppermute_qt(t: QTensor, perm):
     return QTensor(pp(t.data), t.fmt)
 
 
-def _where_qt(cond, x: QTensor, y: QTensor) -> QTensor:
-    """Elementwise select between two same-format/same-storage QTensors."""
-    from ..ops import limbint as L
-
-    def w(p, r):
-        return jnp.where(cond, p, r)
-
-    if x.is_pair:
-        return QTensor(W.PairArray(w(x.data.hi, y.data.hi),
-                                   w(x.data.lo, y.data.lo)), x.fmt)
-    if x.is_limb:
-        return QTensor(L.LimbArray(w(x.data.limbs, y.data.limbs)), x.fmt)
-    return QTensor(w(x.data, y.data), x.fmt)
-
-
 def _butterfly_fold(v: QTensor, add_formats, s: int, tp: int):
     """ppermute-butterfly top fold: log2(tp) exchange+merge rounds.
 
@@ -650,15 +635,13 @@ def _butterfly_fold(v: QTensor, add_formats, s: int, tp: int):
     from ..ops import elementwise as ew
     from ..ops.reduce import layer_format
 
-    idx = jax.lax.axis_index("tp")
     for lvl in range(tp.bit_length() - 1):
         stride = 1 << lvl
         perm = [(d, d ^ stride) for d in range(tp)]
         pv = _ppermute_qt(v, perm)
-        left_is_me = (idx & stride) == 0
-        left = _where_qt(left_is_me, v, pv)
-        right = _where_qt(left_is_me, pv, v)
-        v = ew.qadd(left, right, to=layer_format(add_formats, s + lvl))
+        # the tree merge is a quantized ADD of same-format operands —
+        # commutative, so no left/right ordering select is needed
+        v = ew.qadd(v, pv, to=layer_format(add_formats, s + lvl))
     return v
 
 
@@ -686,8 +669,13 @@ def sharded_qgemul_k_tree(a: QTensor, b: QTensor, out_fmt: QFormat,
     Any ``k >= 1`` and any ``tp`` are admitted (zero-pad to whole node
     slots, sliced off post-gather).  When a device's span is exactly one
     subtree the local fold IS a single-chip :func:`qgemul` — the blocked
-    Pallas tree kernel runs unchanged per chip.  The gathered top fold is
-    replicated over ``tp`` (it is O(m*n*k/2^s) VPU work).
+    Pallas tree kernel runs unchanged per chip — and, for power-of-2
+    ``tp``, the cross-device levels fold via a ppermute BUTTERFLY
+    (log2(tp) exchange+merge rounds) instead of the gather.  Otherwise
+    the gathered top fold is replicated over ``tp`` (O(m*n*k/2^s) VPU
+    work).  ``butterfly``: None = auto (butterfly whenever the split
+    qualifies), False = always gather, True = require the butterfly
+    (raises if the split does not qualify — never a silent downgrade).
     """
     from ..ops import elementwise as ew
     from ..ops.reduce import _moveaxis, qreduce
@@ -706,7 +694,12 @@ def sharded_qgemul_k_tree(a: QTensor, b: QTensor, out_fmt: QFormat,
     # exactly one node per device with tree-aligned XOR pairings
     bf_ok = q == 1 and s >= 1 and tp >= 2 and tp & (tp - 1) == 0 \
         and n_nodes == tp
-    use_bf = bf_ok if butterfly is None else (butterfly and bf_ok)
+    if butterfly and not bf_ok:
+        raise ValueError(
+            "butterfly=True needs a one-subtree-per-device power-of-2 "
+            "split (q==1, tp a power of 2, n_nodes==tp); this shape "
+            "does not qualify - use butterfly=None (auto) or False")
+    use_bf = bf_ok if butterfly is None else bool(butterfly)
     pad = tp * E - k
     a = _pad_k(a, 1, pad)
     b = _pad_k(b, 0, pad)
@@ -1394,7 +1387,9 @@ def sharded_cgemul_k_tree(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     splits instead run the LOCAL fold as a single-chip :func:`cgemul`
     (full fast dispatch, incl. the distributed int8 TF lowering when the
     local slice proves lossless) and fold the cross-device levels with
-    the ppermute butterfly per part.
+    the ppermute butterfly per part.  ``butterfly``: None = auto, False
+    = gather, True = require the butterfly (raises when the split does
+    not qualify).
     """
     from ..complex import QComplexTensor, cmul, cmul_tf
     from ..ops import elementwise as ew
@@ -1424,7 +1419,12 @@ def sharded_cgemul_k_tree(a, b, out_fmt, mesh: Mesh, algo: str = "basic",
     node_i = _node_format(pi_fmt, i_layers, s)
     bf_ok = q == 1 and s >= 1 and tp >= 2 and tp & (tp - 1) == 0 \
         and n_nodes == tp
-    use_bf = bf_ok if butterfly is None else (butterfly and bf_ok)
+    if butterfly and not bf_ok:
+        raise ValueError(
+            "butterfly=True needs a one-subtree-per-device power-of-2 "
+            "split (q==1, tp a power of 2, n_nodes==tp); this shape "
+            "does not qualify - use butterfly=None (auto) or False")
+    use_bf = bf_ok if butterfly is None else bool(butterfly)
     pad = tp * E - k
     ar = _device_put(_pad_k(a.real, 1, pad), mesh, P(None, "tp"))
     ai = _device_put(_pad_k(a.imag, 1, pad), mesh, P(None, "tp"))
@@ -1952,6 +1952,9 @@ def sharded_qreduce_k_tree(x: QTensor, layer_formats=(),
     the top layers with the shifted TypeAt formats — :func:`qreduce`'s
     odd-tail converting assignments reproduce the global tree, including
     ragged/odd ``n`` (zero-pad to whole node slots, sliced post-gather).
+    One-node-per-device power-of-2 splits fold via the ppermute
+    butterfly; ``butterfly``: None = auto, False = gather, True =
+    require it (raises when the split does not qualify).
     """
     from ..qformat import add_merge
     from ..ops.reduce import _normalize, layer_format, qreduce
@@ -1991,7 +1994,12 @@ def sharded_qreduce_k_tree(x: QTensor, layer_formats=(),
     fmtx = x.fmt
     bf_ok = q == 1 and s >= 1 and tp >= 2 and tp & (tp - 1) == 0 \
         and n_nodes == tp
-    use_bf = bf_ok if butterfly is None else (butterfly and bf_ok)
+    if butterfly and not bf_ok:
+        raise ValueError(
+            "butterfly=True needs a one-subtree-per-device power-of-2 "
+            "split (q==1, tp a power of 2, n_nodes==tp); this shape "
+            "does not qualify - use butterfly=None (auto) or False")
+    use_bf = bf_ok if butterfly is None else bool(butterfly)
 
     def build():
         @partial(jax.shard_map, mesh=mesh, in_specs=(in_s,),

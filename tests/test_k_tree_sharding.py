@@ -362,3 +362,15 @@ def test_k_tree_reduce_butterfly():
     for bf in (True, False):
         got = sharded_qreduce_k_tree(x, RL, mesh=mesh, butterfly=bf)
         assert_match(got, ref)
+
+
+def test_butterfly_true_raises_outside_gate():
+    """butterfly=True must never silently downgrade to the gather
+    (round-5 review): a non-qualifying split raises."""
+    mesh = make_mesh(dp=1, tp=8)
+    f = qformat(4, 4, overflow_mode=OverflowMode.SAT_ZERO)
+    a = rand(f, (3, 21), seed=1400)       # ragged k -> s=0
+    b = rand(f, (21, 4), seed=1401)
+    with pytest.raises(ValueError):
+        sharded_qgemul_k_tree(a, b, f, mesh, add_formats=RL,
+                              butterfly=True)

@@ -438,12 +438,12 @@ def run_sharded_ktree_complex():
         ok = ok and _ints(gr) == _ints(rr) and gr.fmt == rr.fmt
     except Exception as e:  # noqa: BLE001
         FAILS += 1
-        print(f"FAIL shard.cgemul_k_tree: CRASH {type(e).__name__}: "
+        print(f"FAIL shard.cgemul+reduce_k_tree: CRASH {type(e).__name__}: "
               f"{str(e)[:200]}", flush=True)
         return
     if not ok:
         FAILS += 1
-        print("FAIL shard.cgemul/reduce_k_tree: diverges from single-chip",
+        print("FAIL shard.cgemul+reduce_k_tree: diverges from single-chip",
               flush=True)
     else:
         print(f"PASS shard.cgemul+reduce_k_tree ({time.time() - t0:.1f}s)",
