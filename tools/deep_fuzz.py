@@ -623,6 +623,49 @@ def sweep_sharded_ktree(trials):
     return trials
 
 
+def sweep_bitwise(trials):
+    """Round-5 raw-bitwise surface (bitwise.qand/qor/qxor/qnot) across
+    random mixed-width formats and storage kinds vs the Python-int
+    two's-complement oracle, plus decimal round-trips."""
+    import operator
+
+    from qublas_tpu import bitwise
+
+    ops = [("qand", operator.and_), ("qor", operator.or_),
+           ("qxor", operator.xor)]
+    for t in range(trials):
+        rng = rng_for("bitw", t)
+        mx = [12, 30, 60, 120, 400, 1100][t % 6]
+        fa, fb = rand_fmt(rng, mx), rand_fmt(rng, mx // (1 + t % 3) + 2)
+        n = 6
+        A, B = rand_raws(rng, fa, n), rand_raws(rng, fb, n)
+        a, b = from_raw(A, fa), from_raw(B, fb)
+        wide = fa if fa.storage_bits >= fb.storage_bits else fb
+        try:
+            name, op = ops[t % 3]
+            got = getattr(bitwise, name)(a, b)
+            want = [op(int(x), int(y)) for x, y in zip(A, B)]
+            if got.fmt != wide or \
+                    [int(v) for v in np.asarray(got.raw(),
+                                                dtype=object).reshape(-1)] \
+                    != want:
+                fail("bitwise", name, fa, fb)
+            gn = bitwise.qnot(a)
+            if [int(v) for v in np.asarray(gn.raw(),
+                                           dtype=object).reshape(-1)] \
+                    != [~int(x) for x in A]:
+                fail("bitwise_not", fa)
+            dec = bitwise.to_decimal(a)
+            rt = bitwise.from_decimal(dec, fa)
+            if [int(v) for v in np.asarray(rt.raw(),
+                                           dtype=object).reshape(-1)] \
+                    != [int(x) for x in A]:
+                fail("bitwise_decimal_rt", fa)
+        except Exception as e:
+            fail("CRASH bitwise", fa, fb, type(e).__name__, str(e)[:150])
+    return trials
+
+
 def main():
     trials = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
     t0 = time.time()
@@ -638,6 +681,7 @@ def main():
         ("bitstream", sweep_bitstream, trials),
         ("sharded", sweep_sharded, max(trials // 10, 30)),
         ("sharded_ktree", sweep_sharded_ktree, max(trials // 10, 30)),
+        ("bitwise", sweep_bitwise, max(trials // 4, 50)),
     ]:
         # sweeps report the trials they actually EXECUTED (a skipped family
         # must not inflate the headline config count — advisor r2)
