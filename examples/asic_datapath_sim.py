@@ -8,6 +8,11 @@ end to end on qublas_tpu.  Runs on CPU or TPU (same bits either way).
     python examples/asic_datapath_sim.py
 """
 
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 
 import qublas_tpu as q
