@@ -271,8 +271,15 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
                 return None
             xd, yd = x, y
             if xd.dtype != jnp.int8 or yd.dtype != jnp.int8:
-                xd = xd.astype(jnp.int32)
-                yd = yd.astype(jnp.int32)
+                # narrowest MXU lane the operand INTERVALS prove
+                # (measured neutral vs int32 casts on the current
+                # toolchain — XLA narrows converted operands itself —
+                # kept as the explicit form)
+                i16 = (iv_x.fits(-(1 << 15), (1 << 15) - 1)
+                       and iv_y.fits(-(1 << 15), (1 << 15) - 1))
+                dt = jnp.int16 if i16 else jnp.int32
+                xd = xd.astype(dt)
+                yd = yd.astype(dt)
             return jnp.matmul(xd, yd, preferred_element_type=jnp.int32)
 
         if algo == "tf":

@@ -751,9 +751,16 @@ def _fast_gemm(a: QTensor, b: QTensor, out_fmt: QFormat, plan: ExactPlan,
 
     x, y = a.data, b.data
     if x.dtype != jnp.int8 or y.dtype != jnp.int8:
-        # non-int8 inputs still accumulate exactly in int32 (proof holds)
-        x = x.astype(jnp.int32)
-        y = y.astype(jnp.int32)
+        # accumulate exactly in int32 either way (proof holds); keep the
+        # OPERANDS in the narrowest common lane.  Measured neutral on the
+        # current toolchain (device-trace A/B at int16-lane 2048^3:
+        # 1.00x — XLA already narrows an int32 matmul whose operands are
+        # converts from int16), kept as the explicit form
+        narrow = jnp.int16 if all(
+            d in (jnp.int8, jnp.int16) for d in (x.dtype, y.dtype)) \
+            else jnp.int32
+        x = x.astype(narrow)
+        y = y.astype(narrow)
     dot = jnp.matmul(x, y, preferred_element_type=jnp.int32)
     raw = W.requantize_i32(dot, plan.prod_frac, out_fmt)
     return QTensor(raw.astype(dtype_for(out_fmt)), out_fmt)
