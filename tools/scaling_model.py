@@ -234,6 +234,14 @@ def model():
     add("k_tree_butterfly", lambda tp, weak: f_ktree(tp, weak, bf=True),
         "one-node-per-device splits fold via a ppermute butterfly: "
         "log2(tp) node volumes + merges per device instead of tp-1 each")
+    out["constants"]["k_tree_1x1_wrapper_s"] = {
+        "value": 25.7e-6,
+        "note": "measured on-chip (device-trace, 512^3 order-sensitive "
+                "config): sharded_qgemul_k_tree on a 1x1 mesh costs "
+                "25.7 us over the unsharded blocked tree kernel (363 us) "
+                "— the degenerate gather + final cast pass; bounds the "
+                "per-chip wrapper the model's top-fold term absorbs",
+    }
 
     # ---- mn / dp ---------------------------------------------------------
     def f_mn(tp, weak):
