@@ -13,7 +13,19 @@ import sys
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+import os
+
 import numpy as np
+
+import jax
+
+# a TPU-tunnel sitecustomize may pin the platform; honor a virtual-device
+# request (same steering as sharded_deployment.py / __graft_entry__.py)
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
 
 import qublas_tpu as q
 from qublas_tpu import OverflowMode, RoundMode, qformat

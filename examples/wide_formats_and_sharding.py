@@ -17,7 +17,23 @@ Every value printed is bit-exact vs the Python golden model (hostops),
 which is pinned to the compiled C++ reference by tests/golden_data.
 """
 
+import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
+
+import jax
+
+# a TPU-tunnel sitecustomize may pin the platform; honor a virtual-device
+# request (same steering as the other examples)
+if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except RuntimeError:
+        pass
 
 import qublas_tpu as q
 from qublas_tpu import refrand

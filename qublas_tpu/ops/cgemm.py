@@ -271,15 +271,16 @@ def _fast_cgemul(a, b, orf, oif, algo, r_layers, i_layers, mul_tags,
                 return None
             xd, yd = x, y
             if xd.dtype != jnp.int8 or yd.dtype != jnp.int8:
-                # narrowest MXU lane the operand INTERVALS prove
-                # (measured neutral vs int32 casts on the current
-                # toolchain — XLA narrows converted operands itself —
-                # kept as the explicit form)
-                i16 = (iv_x.fits(-(1 << 15), (1 << 15) - 1)
-                       and iv_y.fits(-(1 << 15), (1 << 15) - 1))
-                dt = jnp.int16 if i16 else jnp.int32
-                xd = xd.astype(dt)
-                yd = yd.astype(dt)
+                # narrowest common lane by DTYPE (value-preserving for
+                # fill(int)-wart raws, which legally exceed their format
+                # range — an interval-based downcast wrapped them, r5
+                # review repro).  Measured neutral vs int32 casts on the
+                # current toolchain; kept as the explicit form
+                narrow = jnp.int16 if all(
+                    d in (jnp.int8, jnp.int16)
+                    for d in (xd.dtype, yd.dtype)) else jnp.int32
+                xd = xd.astype(narrow)
+                yd = yd.astype(narrow)
             return jnp.matmul(xd, yd, preferred_element_type=jnp.int32)
 
         if algo == "tf":

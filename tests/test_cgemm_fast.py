@@ -144,3 +144,35 @@ def test_batched_fast_path_matches_layered():
                                       np.asarray(one2.real.raw()))
         np.testing.assert_array_equal(np.asarray(got2.imag.raw())[i],
                                       np.asarray(one2.imag.raw()))
+
+
+def test_fast_path_preserves_wart_raws():
+    """fill(int)-wart raws (legally out of the format's range, stored in a
+    wider lane dtype) must survive the complex fast path's operand
+    narrowing — an interval-based int16 downcast wrapped them (round-5
+    review repro: 100000 in an int8-storage format wrapped to -31072 and
+    the product diverged from the oracle)."""
+    import numpy as np
+
+    from qublas_tpu.complex import QComplexTensor
+    from qublas_tpu.ops import cgemm as CG
+    from qublas_tpu.ops.cgemm import cgemul
+    from qublas_tpu.qformat import qformat
+    from qublas_tpu.qtensor import from_raw
+
+    f = qformat(3, 4)
+    wide = qformat(40, 8)                  # roomy lossless steps
+    out = (qformat(40, 8), qformat(40, 8))
+    kw = dict(algo="basic", add_formats=(qformat(44, 8),),
+              ac=wide, bd=wide, ad=wide, bc=wide,
+              acbd=qformat(41, 8), adbc=qformat(41, 8))
+    A = from_raw(np.full((2, 3), 100000), f)    # wart raw -> int32 lane
+    B = from_raw(np.full((3, 2), 2), f)
+    ca = QComplexTensor(A, from_raw(np.zeros((2, 3), dtype=int), f))
+    cb = QComplexTensor(B, from_raw(np.zeros((3, 2), dtype=int), f))
+    got = cgemul(ca, cb, out, **kw)
+    with CG.force_fast_off():
+        ref = cgemul(ca, cb, out, **kw)
+    np.testing.assert_array_equal(np.asarray(got.real.raw()),
+                                  np.asarray(ref.real.raw()))
+    assert int(np.asarray(got.real.raw()).reshape(-1)[0]) == 600000

@@ -26,3 +26,8 @@ def test_sharded_deployment_example():
 def test_asic_datapath_example():
     p = _run("asic_datapath_sim.py")
     assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]
+
+
+def test_wide_formats_example():
+    p = _run("wide_formats_and_sharding.py")
+    assert p.returncode == 0, p.stdout[-2000:] + p.stderr[-2000:]

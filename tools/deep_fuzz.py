@@ -638,7 +638,24 @@ def sweep_bitwise(trials):
         mx = [12, 30, 60, 120, 400, 1100][t % 6]
         fa, fb = rand_fmt(rng, mx), rand_fmt(rng, mx // (1 + t % 3) + 2)
         n = 6
-        A, B = rand_raws(rng, fa, n), rand_raws(rng, fb, n)
+
+        def dense(fmt):
+            # FULL-width raws (rand_raws clamps to +/-2^62, which leaves
+            # wide formats' high limbs as pure sign fill — r5 review);
+            # every 4th trial throws in a fill(int)-wart raw beyond the
+            # declared range (stored un-masked by from_raw)
+            w = max(fmt.storage_bits, 2)
+            vals = [int(rng.randint(0, 2)) * -1 ^
+                    int.from_bytes(bytes(rng.randint(0, 256, (w + 14) // 8,
+                                                     dtype=np.int64)
+                                         .astype(np.uint8)), "little")
+                    for _ in range(n)]
+            vals = [max(min(v, fmt.raw_max), fmt.raw_min) for v in vals]
+            if t % 4 == 0 and fmt.storage_bits <= 24:
+                vals[0] = fmt.raw_max * 3 + 7          # wart raw
+            return np.array(vals, dtype=object)
+
+        A, B = dense(fa), dense(fb)
         a, b = from_raw(A, fa), from_raw(B, fb)
         wide = fa if fa.storage_bits >= fb.storage_bits else fb
         try:
